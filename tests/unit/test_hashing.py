@@ -1,0 +1,45 @@
+import jax.numpy as jnp
+import numpy as np
+
+from urmap_tpu import alphabet, hashing
+
+
+def _words_bruteforce(codes: np.ndarray, k: int):
+    n = len(codes) - k + 1
+    out = []
+    for p in range(n):
+        w = codes[p : p + k]
+        out.append((hashing.kmer_to_word(w), bool((w < 4).all())))
+    return out
+
+
+def test_extract_words_matches_bruteforce(rng):
+    for k in (4, 16, 17, 24, 32):
+        codes = rng.integers(0, 4, size=200).astype(np.uint8)
+        codes[[7, 50, 130]] = alphabet.GENOME_N  # plant invalid bases
+        lo, hi, valid = hashing.extract_words(jnp.asarray(codes), k)
+        lo, hi, valid = np.asarray(lo), np.asarray(hi), np.asarray(valid)
+        brute = _words_bruteforce(codes, k)
+        for p, ((blo, bhi), bvalid) in enumerate(brute):
+            assert valid[p] == bvalid, (k, p)
+            if bvalid:
+                assert (int(lo[p]), int(hi[p])) == (blo, bhi), (k, p)
+
+
+def test_hash_determinism_and_slot_range():
+    lo = jnp.arange(1000, dtype=jnp.uint32)
+    hi = jnp.arange(1000, dtype=jnp.uint32) * 7
+    h1 = np.asarray(hashing.hash_words(lo, hi))
+    h2 = np.asarray(hashing.hash_words(lo, hi))
+    assert np.array_equal(h1, h2)
+    slots = np.asarray(hashing.words_to_slots(lo, hi, 10))
+    assert slots.max() < 1 << 10
+
+
+def test_hash_spreads(rng):
+    # distinct words should rarely collide in 2^20 slots
+    lo = jnp.asarray(rng.integers(0, 1 << 32, size=10000, dtype=np.uint64).astype(np.uint32))
+    hi = jnp.asarray(rng.integers(0, 1 << 16, size=10000, dtype=np.uint64).astype(np.uint32))
+    slots = np.asarray(hashing.words_to_slots(lo, hi, 20))
+    _, counts = np.unique(slots, return_counts=True)
+    assert counts.max() <= 4  # ~Poisson(0.01) tail

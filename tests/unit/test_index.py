@@ -1,0 +1,96 @@
+import numpy as np
+
+from urmap_tpu import alphabet
+from urmap_tpu.config import IndexConfig
+from urmap_tpu.hashing import kmer_to_word
+from urmap_tpu.index import UfiIndex, build_index
+from urmap_tpu.io.fasta import SeqDB
+
+
+def _random_genome(rng, n):
+    return alphabet.decode(rng.integers(0, 4, size=n).astype(np.uint8))
+
+
+def _np_slot(lo: int, hi: int, slot_bits: int) -> int:
+    """Independent numpy/python reimplementation of hashing.hash_words."""
+    M = 0xFFFFFFFF
+    h = (lo * 0x9E3779B1) & M
+    h ^= (hi * 0x85EBCA6B) & M
+    h ^= h >> 16
+    h = (h * 0x7FEB352D) & M
+    h ^= h >> 15
+    h = (h * 0x846CA68B) & M
+    h ^= h >> 16
+    return h & ((1 << slot_bits) - 1)
+
+
+def _brute_index(db: SeqDB, cfg: IndexConfig):
+    """Obviously-correct dict-based build: slot → sorted positions."""
+    table: dict[int, list[int]] = {}
+    codes = db.codes
+    for p in range(len(codes) - cfg.k + 1):
+        w = codes[p : p + cfg.k]
+        if (w >= 4).any():
+            continue
+        lo, hi = kmer_to_word(w)
+        table.setdefault(_np_slot(lo, hi, cfg.slot_bits), []).append(p)
+    for s in table:
+        table[s] = table[s][: cfg.max_positions_per_slot]
+    return table
+
+
+def test_build_matches_bruteforce(rng):
+    seq = _random_genome(rng, 3000)
+    db = SeqDB.from_seqs(["chr1"], [seq])
+    cfg = IndexConfig(k=12, slot_bits=14, max_positions_per_slot=4)
+    idx = build_index(db, cfg)
+    brute = _brute_index(db, cfg)
+    for slot in range(cfg.num_slots):
+        got = list(idx.slot_positions(slot))
+        want = brute.get(slot, [])
+        assert got == want, f"slot {slot}"
+
+
+def test_build_chunked_equals_single(rng):
+    seq = _random_genome(rng, 5000)
+    db = SeqDB.from_seqs(["c"], [seq])
+    cfg = IndexConfig(k=10, slot_bits=12, max_positions_per_slot=8)
+    a = build_index(db, cfg)
+    b = build_index(db, cfg, chunk=700)
+    assert np.array_equal(a.offsets, b.offsets)
+    assert np.array_equal(a.positions, b.positions)
+
+
+def test_cap_keeps_first_positions():
+    db = SeqDB.from_seqs(["c"], ["ACGT" * 100])  # extreme repeat
+    cfg = IndexConfig(k=8, slot_bits=10, max_positions_per_slot=3)
+    idx = build_index(db, cfg)
+    counts = np.diff(idx.offsets)
+    assert counts.max() == 3
+    # kept positions are the smallest (first occurrences)
+    for slot in np.nonzero(counts)[0]:
+        ps = idx.slot_positions(int(slot))
+        assert list(ps) == sorted(ps)
+        assert ps[0] < 100  # early occurrence retained
+
+
+def test_index_save_load(tmp_path, rng):
+    db = SeqDB.from_seqs(["c"], [_random_genome(rng, 1000)])
+    idx = build_index(db, IndexConfig(k=10, slot_bits=12))
+    idx.save(str(tmp_path / "g.ufi"))
+    idx2 = UfiIndex.load(str(tmp_path / "g.ufi"))
+    assert idx2.config == idx.config
+    assert np.array_equal(idx2.offsets, idx.offsets)
+    assert np.array_equal(idx2.positions, idx.positions)
+    assert np.array_equal(idx2.seqdb.codes, idx.seqdb.codes)
+
+
+def test_separator_blocks_cross_sequence_words(rng):
+    db = SeqDB.from_seqs(["a", "b"], ["ACGTACGTACGT", "TGCATGCATGCA"])
+    cfg = IndexConfig(k=10, slot_bits=12, max_positions_per_slot=16)
+    idx = build_index(db, cfg)
+    ref_id, _ = db.global_to_local(idx.positions.astype(np.int64))
+    # every indexed word lies fully inside one sequence
+    for p, r in zip(idx.positions, ref_id):
+        local = int(p) - int(db.starts[r])
+        assert 0 <= local <= int(db.lengths[r]) - cfg.k

@@ -1,0 +1,77 @@
+import gzip
+
+import numpy as np
+import pytest
+
+from urmap_tpu import alphabet
+from urmap_tpu.io import FastqReader, SeqDB
+from urmap_tpu.io.fasta import SEPARATOR_LEN
+
+
+def test_fasta_roundtrip(tmp_path):
+    fa = tmp_path / "g.fa"
+    fa.write_text(">chr1 description here\nACGTACGT\nGGGG\n>chr2\nTTTT\n")
+    db = SeqDB.from_fasta(str(fa))
+    assert db.labels == ["chr1", "chr2"]
+    assert list(db.lengths) == [12, 4]
+    assert alphabet.decode(db.get_seq_codes(0)) == "ACGTACGTGGGG"
+    assert alphabet.decode(db.get_seq_codes(1)) == "TTTT"
+    # separators isolate sequences
+    assert db.codes[0] == alphabet.GENOME_N
+    assert db.starts[0] == SEPARATOR_LEN
+    ref, off = db.global_to_local([db.starts[1] + 2])
+    assert ref[0] == 1 and off[0] == 2
+
+
+def test_fasta_gzip(tmp_path):
+    fa = tmp_path / "g.fa.gz"
+    with gzip.open(fa, "wb") as f:
+        f.write(b">s\nACGT\n")
+    db = SeqDB.from_fasta(str(fa))
+    assert alphabet.decode(db.get_seq_codes(0)) == "ACGT"
+
+
+def test_seqdb_save_load(tmp_path):
+    db = SeqDB.from_seqs(["a", "b"], ["ACGT", "GGCC"])
+    db.save(str(tmp_path / "db.npz"))
+    db2 = SeqDB.load(str(tmp_path / "db.npz"))
+    assert db2.labels == db.labels
+    assert np.array_equal(db2.codes, db.codes)
+
+
+def _write_fastq(path, records):
+    with open(path, "w") as f:
+        for name, seq, qual in records:
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+
+
+def test_fastq_single(tmp_path):
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, [("r1", "ACGT", "IIII"), ("r2", "GGTTAA", "!!!!!!")])
+    batches = list(FastqReader(str(fq), batch_size=10, max_read_len=5))
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.names == ["r1", "r2"]
+    assert list(b.lengths) == [4, 5]  # second truncated to max_read_len
+    assert alphabet.decode(b.codes[0, :4]) == "ACGT"
+    assert b.codes[0, 4] == alphabet.READ_N  # padding
+    assert b.seqs[1] == b"GGTTAA"  # raw passthrough untouched
+
+
+def test_fastq_paired_and_sync_error(tmp_path):
+    f1, f2 = tmp_path / "1.fq", tmp_path / "2.fq"
+    _write_fastq(f1, [("p/1", "ACGT", "IIII")])
+    _write_fastq(f2, [("p/2", "TTTT", "IIII")])
+    (fwd, rev), = list(FastqReader(str(f1), str(f2), max_read_len=10))
+    assert fwd.names == rev.names == ["p"]
+
+    _write_fastq(f2, [("q/2", "TTTT", "IIII")])
+    with pytest.raises(ValueError, match="name mismatch"):
+        list(FastqReader(str(f1), str(f2), max_read_len=10))
+
+
+def test_fastq_batching(tmp_path):
+    fq = tmp_path / "r.fq"
+    _write_fastq(fq, [(f"r{i}", "ACGT", "IIII") for i in range(7)])
+    sizes = [len(b) for b in FastqReader(str(fq), batch_size=3, max_read_len=8)]
+    assert sizes == [3, 3, 1]

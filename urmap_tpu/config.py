@@ -1,0 +1,132 @@
+"""Typed configuration for index build and mapping.
+
+Every numeric whose exact value in the reference mapper could not be
+verified (reference mount empty — SURVEY.md §0) is marked ``PARITY-TODO``
+with the extraction recipe from SURVEY.md §0.1. Keeping them all here means
+re-tuning for parity is mechanical: change one file, rerun the parity suite.
+
+Reference anchors:
+  - word length k ≈ 24: BASELINE.json north_star ("UFI-style hashed k-mer
+    index (k≈24 pinned seeds)").
+  - repeat handling ("pinned" seed scheme): URMAP paper (Edgar 2020,
+    PeerJ 8:e9338), Methods.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ScoreConfig:
+    """Alignment scoring. PARITY-TODO: extract exact constants via
+    SURVEY.md §0.1 item 4 (grep XDrop/Band in reference src) when the
+    reference mount is populated."""
+
+    match: int = 1
+    mismatch: int = -2
+    gap_open: int = -4      # charged on the first base of a gap (open+extend)
+    gap_extend: int = -1    # charged on every subsequent gap base
+
+    def gap_cost(self, length: int) -> int:
+        """Total (negative) score of a gap of ``length`` bases."""
+        if length <= 0:
+            return 0
+        return self.gap_open + self.gap_extend * (length - 1)
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """UFI-style index build parameters."""
+
+    # Word (seed) length. [NS] k≈24. PARITY-TODO exact default.
+    k: int = 24
+    # log2 of hash-slot count. The index is a lossy hash: k-mers map to
+    # 2**slot_bits CSR slots; collisions are filtered downstream by
+    # alignment verification, so slot_bits trades memory for verify work.
+    slot_bits: int = 24
+    # Repeat cap: slots holding more than this many genome positions keep
+    # only the first ``max_positions_per_slot`` (analog of the reference's
+    # high-frequency word capping / pinned-seed scheme [PAPER]).
+    # PARITY-TODO: reference's exact cap & pinning rule.
+    max_positions_per_slot: int = 256
+    # Genome positions are uint32 global coordinates over the concatenated
+    # genome (GRCh38 ≈ 3.1 Gbp fits). Kept for documentation/validation.
+    max_genome_len: int = (1 << 32) - 1
+
+    @property
+    def num_slots(self) -> int:
+        return 1 << self.slot_bits
+
+    @staticmethod
+    def auto_slot_bits(genome_len: int, lo: int = 16, hi: int = 30) -> int:
+        """Pick slot_bits ≈ log2(genome_len) + 1, clamped: ~0.5 expected
+        positions per slot keeps collision chains short."""
+        bits = max(lo, min(hi, (genome_len - 1).bit_length() + 1))
+        return bits
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Per-read mapping pipeline parameters (fixed shapes for XLA)."""
+
+    # Reads are padded to this length on device (static shape). Reads
+    # longer than this are soft-clipped at map time; raise for long reads.
+    max_read_len: int = 160
+    # Number of seed words extracted per read strand, at evenly spaced
+    # offsets covering [0, read_len - k]. PARITY-TODO: reference's seed
+    # placement rule.
+    seeds_per_read: int = 8
+    # Cap on genome positions fetched per seed slot (gather width).
+    positions_per_seed: int = 64
+    # Top-V candidate diagonals (by vote count) verified per read strand.
+    top_candidates: int = 8
+    # Banded DP half-width: band covers diagonal offsets in
+    # [-band_halfwidth, +band_halfwidth] (max indel size handled).
+    band_halfwidth: int = 16
+    # Minimum accepted alignment score as a fraction of read length
+    # (match=+1 ⇒ perfect read of length L scores L).
+    # PARITY-TODO: reference's min identity / score threshold.
+    min_score_frac: float = 0.4
+    # MAPQ ceiling. PARITY-TODO: reference's exact MAPQ formula & cap
+    # (SURVEY.md §0.1 item 3).
+    max_mapq: int = 42
+    # MAPQ slope: mapq = min(max_mapq, mapq_scale * (best - second)).
+    # PARITY-TODO.
+    mapq_scale: float = 6.0
+    # Paired-end: accepted fragment length (TLEN) window for a "proper
+    # pair" (flag 0x2), FR orientation. PARITY-TODO: reference defaults /
+    # whether estimated from data.
+    min_fragment_len: int = 50
+    max_fragment_len: int = 1000
+    # Mate rescue: when one mate maps well and the other doesn't, run
+    # banded DP over a window of this many bases around the expected mate
+    # position. PARITY-TODO.
+    rescue_window: int = 1200
+    # Device batch size (reads per pipeline step, per device).
+    batch_size: int = 2048
+
+    def seed_offsets(self, read_len: int, k: int) -> list[int]:
+        """Evenly spaced seed start offsets covering [0, read_len-k]."""
+        span = max(read_len - k, 0)
+        n = self.seeds_per_read
+        if n == 1 or span == 0:
+            return [0] * n
+        return [round(i * span / (n - 1)) for i in range(n)]
+
+
+def _to_jsonable(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def dump_configs(path: str, **cfgs: Any) -> None:
+    with open(path, "w") as f:
+        json.dump({k: _to_jsonable(v) for k, v in cfgs.items()}, f, indent=2)
+
+
+def load_config(cls, d: dict):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in fields})

@@ -1,0 +1,86 @@
+"""UFI index container + on-disk format.
+
+The reference serializes one binary ``.ufi`` blob (SURVEY.md §2.7). File
+format carries no parity requirement (parity is on SAM output), so ours is
+a directory:
+
+    <name>.ufi/
+      header.json   — format version, k, slot_bits, cap, counts
+      tables.npz    — offsets[int32, num_slots+1], positions[uint32, P]
+      seqdb.npz     — genome codes + labels/starts/lengths (io/fasta.py)
+
+CSR semantics: positions[offsets[s] : offsets[s+1]] are the global genome
+start positions (ascending) of every indexed k-mer whose hash slot is s.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from urmap_tpu.config import IndexConfig
+from urmap_tpu.io.fasta import SeqDB
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class UfiIndex:
+    config: IndexConfig
+    offsets: np.ndarray    # int32[num_slots + 1]
+    positions: np.ndarray  # uint32[total_positions]
+    seqdb: SeqDB
+
+    @property
+    def num_positions(self) -> int:
+        return int(self.positions.shape[0])
+
+    def slot_positions(self, slot: int) -> np.ndarray:
+        return self.positions[self.offsets[slot] : self.offsets[slot + 1]]
+
+    def device_tables(self):
+        """The HBM-resident mapping state: jnp arrays consumed by the
+        jitted map step. Genome codes ride along for verification gathers."""
+        import jax.numpy as jnp
+
+        return {
+            "offsets": jnp.asarray(self.offsets, jnp.int32),
+            "positions": jnp.asarray(self.positions.astype(np.int32)),
+            "genome": jnp.asarray(self.seqdb.codes),
+        }
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        header = {
+            "format_version": FORMAT_VERSION,
+            "k": self.config.k,
+            "slot_bits": self.config.slot_bits,
+            "max_positions_per_slot": self.config.max_positions_per_slot,
+            "num_positions": self.num_positions,
+            "genome_total_len": self.seqdb.total_len,
+            "num_seqs": self.seqdb.num_seqs,
+        }
+        with open(os.path.join(path, "header.json"), "w") as f:
+            json.dump(header, f, indent=2)
+        np.savez(os.path.join(path, "tables.npz"),
+                 offsets=self.offsets, positions=self.positions)
+        self.seqdb.save(os.path.join(path, "seqdb.npz"))
+
+    @classmethod
+    def load(cls, path: str) -> "UfiIndex":
+        with open(os.path.join(path, "header.json")) as f:
+            header = json.load(f)
+        if header["format_version"] != FORMAT_VERSION:
+            raise ValueError(f"unsupported index format {header['format_version']}")
+        with np.load(os.path.join(path, "tables.npz")) as z:
+            offsets, positions = z["offsets"], z["positions"]
+        seqdb = SeqDB.load(os.path.join(path, "seqdb.npz"))
+        cfg = IndexConfig(
+            k=header["k"],
+            slot_bits=header["slot_bits"],
+            max_positions_per_slot=header["max_positions_per_slot"],
+        )
+        return cls(config=cfg, offsets=offsets, positions=positions, seqdb=seqdb)

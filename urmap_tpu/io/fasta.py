@@ -1,0 +1,146 @@
+"""FASTA reader and SeqDB: the in-memory reference genome.
+
+Analog of the reference's SeqDB layer (SURVEY.md §2.4): labels, lengths,
+and the concatenated genome as one code array, plus global↔(ref, local)
+coordinate mapping. Sequences are concatenated with a run of genome-N
+codes between them so that no indexable k-mer or high-scoring alignment
+spans a sequence boundary (N never matches; see alphabet.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from urmap_tpu import alphabet
+
+# Separator of N codes between concatenated sequences. Must be ≥ the
+# largest word length (32) so no valid k-mer spans two sequences; larger
+# also pads verify windows so near-boundary gathers stay in-bounds cheaply.
+SEPARATOR_LEN = 64
+
+
+def _open_maybe_gzip(path: str):
+    f = open(path, "rb")
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+@dataclass
+class SeqDB:
+    """Concatenated genome + per-sequence metadata.
+
+    Attributes:
+      labels: sequence names (first whitespace-delimited token of header).
+      starts: int64[num_seqs] global start of each sequence in ``codes``.
+      lengths: int64[num_seqs] sequence lengths.
+      codes: uint8[total] concatenated nucleotide codes with N separators
+        (and SEPARATOR_LEN of leading/trailing N padding).
+    """
+
+    labels: list[str] = field(default_factory=list)
+    starts: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    lengths: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    codes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint8))
+
+    @property
+    def num_seqs(self) -> int:
+        return len(self.labels)
+
+    @property
+    def total_len(self) -> int:
+        return int(self.codes.shape[0])
+
+    @classmethod
+    def from_fasta(cls, path: str) -> "SeqDB":
+        labels: list[str] = []
+        chunks: list[list[bytes]] = []
+        with _open_maybe_gzip(path) as f:
+            cur: list[bytes] | None = None
+            for raw in _io.BufferedReader(f, 1 << 20):
+                line = raw.strip()
+                if not line:
+                    continue
+                if line.startswith(b">"):
+                    labels.append(line[1:].split()[0].decode("ascii"))
+                    cur = []
+                    chunks.append(cur)
+                else:
+                    if cur is None:
+                        raise ValueError(f"{path}: sequence data before first header")
+                    cur.append(line)
+        if not labels:
+            raise ValueError(f"{path}: no FASTA records")
+        seqs = [b"".join(c) for c in chunks]
+        return cls.from_seqs(labels, seqs)
+
+    @classmethod
+    def from_seqs(cls, labels: list[str], seqs: list[bytes | str]) -> "SeqDB":
+        """Build from in-memory sequences (tests, synthetic genomes)."""
+        sep = np.full(SEPARATOR_LEN, alphabet.GENOME_N, np.uint8)
+        parts = [sep]
+        starts = np.zeros(len(seqs), np.int64)
+        lengths = np.zeros(len(seqs), np.int64)
+        pos = SEPARATOR_LEN
+        for i, s in enumerate(seqs):
+            codes = (
+                np.asarray(s, dtype=np.uint8)
+                if isinstance(s, np.ndarray)
+                else alphabet.encode(s, is_genome=True)
+            )
+            starts[i] = pos
+            lengths[i] = codes.shape[0]
+            parts.append(codes)
+            parts.append(sep)
+            pos += codes.shape[0] + SEPARATOR_LEN
+        return cls(
+            labels=list(labels),
+            starts=starts,
+            lengths=lengths,
+            codes=np.concatenate(parts),
+        )
+
+    # -- coordinate mapping -------------------------------------------------
+
+    def global_to_local(self, gpos) -> tuple[np.ndarray, np.ndarray]:
+        """Global position(s) → (ref_id, 0-based local offset). Positions in
+        separator runs map to the preceding sequence (offset may be out of
+        [0, length) — callers clamp/flag)."""
+        gpos = np.asarray(gpos, dtype=np.int64)
+        ref_id = np.searchsorted(self.starts, gpos, side="right") - 1
+        ref_id = np.clip(ref_id, 0, max(self.num_seqs - 1, 0))
+        return ref_id, gpos - self.starts[ref_id]
+
+    def local_to_global(self, ref_id: int, local: int) -> int:
+        return int(self.starts[ref_id]) + int(local)
+
+    def get_seq_codes(self, ref_id: int) -> np.ndarray:
+        s = int(self.starts[ref_id])
+        return self.codes[s : s + int(self.lengths[ref_id])]
+
+    # -- (de)serialization (stored inside the index directory) ---------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            labels=np.array(self.labels, dtype=object),
+            starts=self.starts,
+            lengths=self.lengths,
+            codes=self.codes,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SeqDB":
+        with np.load(path, allow_pickle=True) as z:
+            return cls(
+                labels=[str(x) for x in z["labels"]],
+                starts=z["starts"],
+                lengths=z["lengths"],
+                codes=z["codes"],
+            )
