@@ -1,0 +1,114 @@
+"""End-to-end device pipeline vs planted truth and the oracle."""
+
+import numpy as np
+import pytest
+
+from tests.oracle import OracleMapper
+from tests.utils import make_seqdb, plant_read, random_seq
+from urmap_tpu import alphabet
+from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
+from urmap_tpu.index import build_index
+from urmap_tpu.io.fasta import SeqDB
+from urmap_tpu.map import Mapper
+
+ICFG = IndexConfig(k=16, slot_bits=18, max_positions_per_slot=64)
+MCFG = MapConfig(max_read_len=128, batch_size=64, seeds_per_read=6,
+                 positions_per_seed=32, top_candidates=8, band_halfwidth=12)
+
+
+def _pad_batch(reads, L=128):
+    codes = np.full((len(reads), L), alphabet.READ_N, np.uint8)
+    lens = np.zeros(len(reads), np.int32)
+    for i, r in enumerate(reads):
+        c = r.codes if hasattr(r, "codes") else r
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    return codes, lens
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(42)
+    db = make_seqdb(rng, [60_000, 30_000])
+    idx = build_index(db, ICFG)
+    mapper = Mapper(idx, MCFG)
+    return rng, db, idx, mapper
+
+
+def test_planted_reads_all_variants(world):
+    rng, db, idx, mapper = world
+    reads = []
+    for _ in range(50):
+        reads.append(plant_read(rng, db, length=100,
+                                n_snps=int(rng.integers(0, 4)),
+                                ins=int(rng.integers(0, 2)) * int(rng.integers(1, 5)),
+                                dels=0))
+    for _ in range(20):
+        reads.append(plant_read(rng, db, length=100, dels=int(rng.integers(1, 6))))
+    codes, lens = _pad_batch(reads)
+    res = mapper.map_codes(codes, lens)
+    n_ok = 0
+    for i, r in enumerate(reads):
+        assert res.mapped[i], f"read {i} unmapped ({r})"
+        assert res.strand[i] == r.strand, i
+        if res.pos[i] == r.gpos:
+            n_ok += 1
+    # position must be exact for every planted read here (unique random loci)
+    assert n_ok == len(reads), f"{len(reads) - n_ok} wrong positions"
+
+
+def test_matches_oracle(world):
+    rng, db, idx, mapper = world
+    oracle = OracleMapper(db, map_cfg=MCFG)
+    reads = [plant_read(rng, db, length=90,
+                        n_snps=int(rng.integers(0, 5)),
+                        ins=int(rng.integers(0, 3)),
+                        dels=int(rng.integers(0, 3))) for _ in range(25)]
+    codes, lens = _pad_batch(reads)
+    res = mapper.map_codes(codes, lens)
+    for i, r in enumerate(reads):
+        m = oracle.map_read(r.codes)
+        assert res.mapped[i] == m.mapped, i
+        if m.mapped:
+            assert res.pos[i] == m.pos, i
+            assert res.score[i] == m.score, i
+            assert res.strand[i] == m.strand, i
+            assert res.mapq[i] == m.mapq, (i, res.second[i], m.second_score)
+
+
+def test_unmappable_and_short_reads(world):
+    rng, db, idx, mapper = world
+    garbage = alphabet.encode(random_seq(rng, 100), is_genome=False)
+    short = alphabet.encode("ACGTACGT", is_genome=False)  # < k
+    withn = plant_read(rng, db, length=100).codes.copy()
+    withn[::3] = alphabet.READ_N  # N every 3rd base: no valid seed words
+    codes, lens = _pad_batch([garbage, short, withn])
+    res = mapper.map_codes(codes, lens)
+    assert not res.mapped[0]
+    assert not res.mapped[1]
+    assert not res.mapped[2]
+    assert res.mapq[0] == 0
+
+
+def test_duplicate_locus_mapq0(world):
+    rng = np.random.default_rng(7)
+    seg = random_seq(rng, 400)
+    db = SeqDB.from_seqs(["c"], [seg + random_seq(rng, 5000) + seg])
+    idx = build_index(db, ICFG)
+    mapper = Mapper(idx, MCFG)
+    read = db.codes[int(db.starts[0]) + 50 : int(db.starts[0]) + 150]
+    codes, lens = _pad_batch([read])
+    res = mapper.map_codes(codes, lens)
+    assert res.mapped[0]
+    assert res.second[0] == res.score[0]
+    assert res.mapq[0] == 0
+
+
+def test_batch_padding_roundtrip(world):
+    """Batches not divisible by batch_size get padded and unpadded."""
+    rng, db, idx, mapper = world
+    reads = [plant_read(rng, db, length=80) for _ in range(5)]
+    codes, lens = _pad_batch(reads)
+    res = mapper.map_codes(codes, lens)
+    assert len(res.mapped) == 5
+    assert res.mapped.all()

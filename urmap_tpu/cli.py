@@ -1,0 +1,201 @@
+"""Command-line interface, mirroring the reference mapper's flag surface.
+
+Reference CLI (SURVEY.md §2.1, [RECALL] — single-dash declarative flags):
+
+    urmap -make_ufi genome.fa -output genome.ufi [-wordlength 24] [-veryfast]
+    urmap -map R1.fq -ufi genome.ufi -samout out.sam [-reverse R2.fq]
+          [-threads N] [-log file]
+
+We accept the same single-dash spelling:
+
+    python -m urmap_tpu -make_ufi genome.fa -output genome.ufi
+    python -m urmap_tpu -map R1.fq -ufi genome.ufi -samout out.sam
+
+-threads is accepted for script compatibility; device batching replaces
+host thread fan-out (the TPU pipeline is data-parallel by construction),
+so it only sizes the host IO prefetch.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from urmap_tpu import __version__
+from urmap_tpu.config import IndexConfig, MapConfig
+from urmap_tpu.utils import MetricsLogger, Progress
+
+USAGE = """urmap-tpu v{v} — TPU-native short-read mapper
+
+Index build:
+  python -m urmap_tpu -make_ufi <genome.fa> -output <genome.ufi>
+      [-wordlength K] [-slot_bits B] [-maxpos N] [-veryfast]
+
+Mapping:
+  python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
+      [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
+      [-log <file>] [-metrics <file.jsonl>] [-quiet]
+
+Other: -version, -help
+"""
+
+# flag → (has_value, description)
+_FLAGS = {
+    "make_ufi": True, "output": True, "wordlength": True, "slot_bits": True,
+    "maxpos": True, "veryfast": False,
+    "map": True, "ufi": True, "samout": True, "reverse": True,
+    "threads": True, "batch": True, "maxreadlen": True,
+    "log": True, "metrics": True, "quiet": False,
+    "version": False, "help": False,
+}
+
+
+def parse_args(argv: list[str]) -> dict:
+    opts: dict[str, object] = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("-"):
+            raise SystemExit(f"unexpected argument {tok!r} (see -help)")
+        name = tok.lstrip("-")
+        if name not in _FLAGS:
+            raise SystemExit(f"unknown option {tok!r} (see -help)")
+        if _FLAGS[name]:
+            if i + 1 >= len(argv):
+                raise SystemExit(f"option {tok} requires a value")
+            opts[name] = argv[i + 1]
+            i += 2
+        else:
+            opts[name] = True
+            i += 1
+    return opts
+
+
+def cmd_make_ufi(opts: dict) -> int:
+    from urmap_tpu.index import build_index
+    from urmap_tpu.io import SeqDB
+
+    fasta = str(opts["make_ufi"])
+    out = opts.get("output")
+    if not out:
+        raise SystemExit("-make_ufi requires -output <index dir>")
+    t0 = time.monotonic()
+    print(f"urmap-tpu v{__version__}: building index for {fasta}", file=sys.stderr)
+    db = SeqDB.from_fasta(fasta)
+    kw = {}
+    if "wordlength" in opts:
+        kw["k"] = int(str(opts["wordlength"]))
+    if "slot_bits" in opts:
+        kw["slot_bits"] = int(str(opts["slot_bits"]))
+    else:
+        kw["slot_bits"] = IndexConfig.auto_slot_bits(db.total_len)
+        if opts.get("veryfast"):
+            # -veryfast in the reference trades index size for speed
+            # [RECALL]; here: more slots → shorter collision chains
+            kw["slot_bits"] = min(kw["slot_bits"] + 2, 30)
+    if "maxpos" in opts:
+        kw["max_positions_per_slot"] = int(str(opts["maxpos"]))
+    cfg = IndexConfig(**kw)
+    idx = build_index(db, cfg)
+    idx.save(str(out))
+    el = time.monotonic() - t0
+    print(f"indexed {db.total_len:,} bases ({db.num_seqs} seqs) → "
+          f"{idx.num_positions:,} positions, 2^{cfg.slot_bits} slots, "
+          f"k={cfg.k} in {el:.1f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_map(opts: dict) -> int:
+    from urmap_tpu.index import UfiIndex
+    from urmap_tpu.io import FastqReader
+    from urmap_tpu.io import sam as samio
+    from urmap_tpu.map import Mapper
+    from urmap_tpu.map.cigar import cigars_for_result
+    from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+    fq = str(opts["map"])
+    ufi = opts.get("ufi")
+    samout = opts.get("samout")
+    if not ufi:
+        raise SystemExit("-map requires -ufi <index dir>")
+    if not samout:
+        raise SystemExit("-map requires -samout <out.sam>")
+    reverse = opts.get("reverse")
+    quiet = bool(opts.get("quiet"))
+
+    mkw = {}
+    if "batch" in opts:
+        mkw["batch_size"] = int(str(opts["batch"]))
+    if "maxreadlen" in opts:
+        mkw["max_read_len"] = int(str(opts["maxreadlen"]))
+    mcfg = MapConfig(**mkw)
+
+    t0 = time.monotonic()
+    index = UfiIndex.load(str(ufi))
+    if not quiet:
+        print(f"urmap-tpu v{__version__}: loaded index "
+              f"({index.num_positions:,} positions, k={index.config.k}) "
+              f"in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    mapper = Mapper(index, mcfg)
+    metrics = MetricsLogger(str(opts["metrics"]) if "metrics" in opts else None)
+    progress = Progress("reads") if not quiet else None
+    cmdline = "urmap-tpu " + " ".join(sys.argv[1:])
+
+    n_reads = n_mapped = 0
+    t_map0 = time.monotonic()
+    with open(str(samout), "w") as out:
+        out.write(samio.sam_header(index.seqdb, cmdline))
+        reader = FastqReader(fq, str(reverse) if reverse else None,
+                             batch_size=mcfg.batch_size,
+                             max_read_len=mcfg.max_read_len)
+        if reader.paired:
+            from urmap_tpu.map.pair import PairedMapper
+            pmapper = PairedMapper(mapper)
+            for fwd, rev in reader:
+                recs, stats = pmapper.map_pairs_to_sam(fwd, rev)
+                out.write("\n".join(recs) + "\n")
+                n_reads += stats["reads"]
+                n_mapped += stats["mapped"]
+                if progress:
+                    progress.update(stats["reads"])
+                metrics.log(**stats)
+        else:
+            for batch in reader:
+                res = mapper.map_codes(batch.codes, batch.lengths)
+                strand_codes = revcomp_strand_codes(batch.codes, res)
+                cigars, nms = cigars_for_result(
+                    index.seqdb.codes, strand_codes, res, mapper.sc)
+                recs = samio.records_single_end(
+                    batch, res, cigars, nms, index.seqdb)
+                out.write("\n".join(recs) + "\n")
+                n_reads += len(batch)
+                n_mapped += int(res.mapped.sum())
+                if progress:
+                    progress.update(len(batch))
+                metrics.log(reads=len(batch), mapped=int(res.mapped.sum()))
+    el = time.monotonic() - t_map0
+    pct = 100.0 * n_mapped / max(n_reads, 1)
+    if progress:
+        progress.done()
+    print(f"{n_reads:,} reads, {n_mapped:,} mapped ({pct:.2f}%), "
+          f"{el:.1f}s ({n_reads / max(el, 1e-9):,.0f} reads/s)", file=sys.stderr)
+    metrics.close()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    opts = parse_args(sys.argv[1:] if argv is None else argv)
+    if opts.get("help") or not opts:
+        print(USAGE.format(v=__version__))
+        return 0
+    if opts.get("version"):
+        print(f"urmap-tpu v{__version__}")
+        return 0
+    if "make_ufi" in opts:
+        return cmd_make_ufi(opts)
+    if "map" in opts:
+        return cmd_map(opts)
+    raise SystemExit("nothing to do: need -make_ufi or -map (see -help)")

@@ -1,0 +1,121 @@
+"""Host-side CIGAR generation (numpy).
+
+The device pipeline returns scores and start positions only; CIGAR strings
+are produced on the host (SURVEY.md §2.9 note: traceback on host):
+
+  - ungapped winners (the vast majority of short reads): "{len}M" directly;
+  - gapped winners: recompute the banded affine DP at the single winning
+    locus with full traceback. Row-vectorized numpy; the per-read matrix is
+    tiny (L × (L+pad)).
+
+Semantics identical to map/dp.py and the oracle: alignment starts exactly
+at POS (no leading deletion), full read, affine gaps, free end; traceback
+prefers M, then I, then D on ties; leading/trailing I → soft clip S.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from urmap_tpu.config import ScoreConfig
+
+NEG = -(1 << 28)
+
+
+def traceback(genome: np.ndarray, read: np.ndarray, start: int,
+              sc: ScoreConfig, pad: int = 48) -> tuple[str, int, int]:
+    """Returns (cigar, score, nm) for the alignment of the full read
+    starting at genome position ``start``. nm = edit distance (SAM NM)."""
+    g = genome[start : start + len(read) + pad].astype(np.int16)
+    r = read.astype(np.int16)
+    G, L = len(g), len(r)
+    H = np.full((L + 1, G + 1), NEG, np.int32)
+    E = np.full((L + 1, G + 1), NEG, np.int32)
+    F = np.full((L + 1, G + 1), NEG, np.int32)
+    open_, ext = sc.gap_open, sc.gap_extend
+    H[0, 0] = 0
+    j1 = np.arange(1, G + 1)
+    for i in range(1, L + 1):
+        E[i] = np.maximum(H[i - 1] + open_, E[i - 1] + ext)
+        sub = np.where(g == r[i - 1], sc.match, sc.mismatch).astype(np.int32)
+        diag = np.full(G + 1, NEG, np.int32)
+        diag[1:] = H[i - 1, :-1] + sub
+        T = np.maximum(diag, E[i])
+        # F[i, j] = max_{k<j}(T[k] - (k+1)*ext) + open + j*ext
+        runmax = np.maximum.accumulate(T - np.arange(1, G + 2) * ext)
+        F[i, 1:] = runmax[:-1] + open_ + j1 * ext
+        H[i] = np.maximum(T, F[i])
+    jend = int(np.argmax(H[L]))
+    score = int(H[L, jend])
+
+    ops: list[str] = []
+    i, j = L, jend
+    state = "H"
+    while i > 0 or j > 0:
+        if state == "H":
+            if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + (
+                sc.match if g[j - 1] == r[i - 1] else sc.mismatch
+            ):
+                ops.append("M" if g[j - 1] == r[i - 1] else "X")
+                i -= 1; j -= 1
+            elif i > 0 and H[i, j] == E[i, j]:
+                state = "E"
+            elif j > 0 and H[i, j] == F[i, j]:
+                state = "F"
+            else:  # pragma: no cover
+                raise AssertionError(f"traceback failed at ({i},{j})")
+        elif state == "E":
+            ops.append("I")
+            if H[i - 1, j] + open_ == E[i, j]:
+                state = "H"
+            i -= 1
+        else:  # F
+            ops.append("D")
+            if H[i, j - 1] + open_ == F[i, j]:
+                state = "H"
+            j -= 1
+    ops.reverse()
+    s, e = 0, len(ops)
+    while s < e and ops[s] == "I":
+        ops[s] = "S"; s += 1
+    while e > s and ops[e - 1] == "I":
+        ops[e - 1] = "S"; e -= 1
+    nm = sum(1 for op in ops if op in "XID")
+    cigar_ops = ["M" if op == "X" else op for op in ops]
+    out: list[str] = []
+    prev, run = None, 0
+    for op in cigar_ops:
+        if op == prev:
+            run += 1
+        else:
+            if prev is not None:
+                out.append(f"{run}{prev}")
+            prev, run = op, 1
+    out.append(f"{run}{prev}")
+    return "".join(out), score, nm
+
+
+def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
+                      result, sc: ScoreConfig) -> tuple[list[str], list[int]]:
+    """CIGAR + NM per read for a MapResult. ``reads_codes`` must be
+    strand-applied (rc already taken for strand==1 reads)."""
+    cigars: list[str] = []
+    nms: list[int] = []
+    match, mis = sc.match, sc.mismatch
+    for i in range(len(result.mapped)):
+        L = int(result.lengths[i])
+        if not result.mapped[i]:
+            cigars.append("*"); nms.append(0)
+            continue
+        if not result.gapped[i]:
+            cigars.append(f"{L}M")
+            seg = genome[int(result.pos[i]) : int(result.pos[i]) + L]
+            nms.append(int(np.sum(seg != reads_codes[i][:L])))
+            continue
+        cigar, score, nm = traceback(
+            genome, reads_codes[i][:L], int(result.pos[i]), sc)
+        if score != int(result.score[i]):  # pragma: no cover - consistency
+            raise AssertionError(
+                f"traceback score {score} != device score {result.score[i]}")
+        cigars.append(cigar); nms.append(nm)
+    return cigars, nms

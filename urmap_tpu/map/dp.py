@@ -1,0 +1,140 @@
+"""Banded semi-global affine-gap DP, batched over candidates (jnp).
+
+This is the verification/extension stage (reference's banded X-drop DP,
+SURVEY.md §2.9) re-designed for TPU: instead of one scalar DP per read with
+early exit, thousands of independent (read, candidate-window) DPs run as one
+fixed-shape vectorized computation — rows advance with `lax.scan`, the band
+lives on the last (lane) axis, and the within-row deletion chain is a
+max-plus prefix scan in log2(W) shift/max steps.
+
+Semantics (must exactly match tests/oracle/oracle.semiglobal_scan):
+  - the read is aligned in full (semi-global); gaps are affine
+    (open = first base, extend = each further base);
+  - the alignment may start at any offset d0 ∈ [-hw, +hw] from the
+    candidate start (free start within band) and end freely;
+  - the true start offset is tracked through the DP by packing
+    (score, d0) into one int32: packed = score * S + (d0 + hw), S = W + 1.
+    All max() choices then tie-break toward larger d0, deterministically.
+
+Scores are returned per candidate; CIGARs are recomputed host-side only
+for the winning gapped alignments (map/cigar.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from urmap_tpu.config import ScoreConfig
+
+NEG = -(1 << 20)
+
+
+def _shift_right(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+
+def _shift_left(x, s, fill):
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def _exclusive_runmax(x, fill):
+    """y[..., b] = max(x[..., :b]) (fill for b=0), in log2 steps."""
+    y = _shift_right(x, 1, fill)
+    s = 1
+    while s < x.shape[-1]:
+        y = jnp.maximum(y, _shift_right(y, s, fill))
+        s <<= 1
+    return y
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "sc"))
+def banded_semiglobal(genome, cand_starts, reads, lengths, *,
+                      hw: int, sc: ScoreConfig):
+    """Batched banded DP.
+
+    Args:
+      genome: uint8[G] genome codes (HBM-resident).
+      cand_starts: int32[N] global candidate start positions (where read
+        base 0 is expected). Invalid candidates may hold any value — the
+        caller masks their scores.
+      reads: uint8[N, L] strand-applied read codes (padded).
+      lengths: int32[N] true read lengths.
+      hw: band half-width (static).
+      sc: ScoreConfig (static).
+
+    Returns:
+      scores: int32[N] best alignment score (full read, len==0 → 0).
+      d0: int32[N] alignment start offset in [-hw, hw]; POS = cand + d0.
+      ungapped: int32[N] ungapped score at that POS (match/mismatch only);
+        ungapped == score ⇒ an M-only CIGAR is co-optimal.
+    """
+    N, L = reads.shape
+    W = 2 * hw + 1
+    S = W + 1  # packing stride
+    NEGP = jnp.int32(NEG * S)
+    open_s = jnp.int32(sc.gap_open * S)
+    ext_s = jnp.int32(sc.gap_extend * S)
+    match_s = jnp.int32(sc.match * S)
+    mis_s = jnp.int32(sc.mismatch * S)
+
+    G = genome.shape[0]
+    wlen = L + 2 * hw
+    # windows[n, :] = genome[cand - hw : cand + L + hw], clipped into range
+    # (clipped cells read boundary codes — separators are N, auto-mismatch)
+    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32), axis=0)
+
+    b_idx = jnp.arange(W, dtype=jnp.int32)
+    # F-scan constants: F[b] = runmax_{k<b}(T[k] - (k+1)*ext) + open + b*ext
+    f_pre = (b_idx + 1) * ext_s
+    f_post = open_s + b_idx * ext_s
+
+    H0 = jnp.broadcast_to(b_idx, (N, W)).astype(jnp.int32)  # score 0, d0 = b - hw
+    E0 = jnp.full((N, W), NEGP, jnp.int32)
+    lengths_col = lengths[:, None]
+
+    def row(carry, i):
+        H, E, final = carry
+        sub = jnp.where(
+            jax.lax.dynamic_slice_in_dim(windows, i, W, axis=1)
+            == reads[:, i][:, None],
+            match_s, mis_s,
+        )
+        diag = H + sub
+        E = jnp.maximum(_shift_left(H, 1, NEGP) + open_s,
+                        _shift_left(E, 1, NEGP) + ext_s)
+        T = jnp.maximum(diag, E)
+        F = _exclusive_runmax(T - f_pre, NEGP) + f_post
+        H = jnp.maximum(T, F)
+        final = jnp.where(i + 1 == lengths_col, H, final)
+        return (H, E, final), None
+
+    # scan over read rows; `windows` row slice moves with i so the band
+    # stays centered on the candidate diagonal
+    def row_fn(carry, i):
+        return row(carry, i)
+
+    (H, E, final), _ = jax.lax.scan(
+        row_fn, (H0, E0, H0), jnp.arange(L, dtype=jnp.int32))
+
+    packed = jnp.max(final, axis=-1)
+    scores = jnp.floor_divide(packed, S)
+    b0 = packed - scores * S
+    d0 = b0.astype(jnp.int32) - hw
+
+    # ungapped rescore at POS = cand + d0 (for the M-only CIGAR fast path)
+    pos = cand_starts + d0
+    gidx = pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    gcodes = jnp.take(genome, jnp.clip(gidx, 0, G - 1).astype(jnp.int32), axis=0)
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths_col
+    ungapped = jnp.sum(
+        jnp.where(in_read,
+                  jnp.where(gcodes == reads, sc.match, sc.mismatch),
+                  0).astype(jnp.int32),
+        axis=-1)
+    return scores.astype(jnp.int32), d0, ungapped

@@ -1,0 +1,99 @@
+"""Seed extraction, index gather, and diagonal voting (jnp, fixed shapes).
+
+The reference's per-read scalar loop (word extract → hash → fetch position
+list → vote diagonals, SURVEY.md §2.8) becomes three batched stages:
+
+  1. extract_seed_slots: Q seed words per read at evenly spaced offsets
+     covering [0, len-k], hashed to index slots — one gather-free pass of
+     shift/or ops over the padded read block.
+  2. gather_candidates: CSR gather — positions[offsets[slot] : +P] per
+     seed, converted to candidate alignment starts (pos − seed_offset).
+  3. vote_top_candidates: per read, sort all Q·P candidate starts, count
+     exact-diagonal votes via batched binary search, keep the top-V
+     distinct candidates by vote count.
+
+Everything is masked rather than ragged: invalid seeds/candidates carry
+SENTINEL and lose every comparison downstream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from urmap_tpu.hashing import words_to_slots
+
+SENTINEL = jnp.int32(0x7FFFFFF0)  # invalid candidate start (sorts last)
+
+
+def seed_offsets(lengths, k: int, q: int):
+    """int32[N, Q] seed start offsets: floor(i*(len-k)/(Q-1)), 0 if len<k."""
+    span = jnp.maximum(lengths.astype(jnp.int32) - k, 0)
+    qi = jnp.arange(q, dtype=jnp.int32)
+    if q == 1:
+        return jnp.zeros((lengths.shape[0], 1), jnp.int32)
+    return (qi[None, :] * span[:, None]) // (q - 1)
+
+
+def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
+    """reads uint8[N, L], lengths int32[N] →
+    (slots uint32[N, Q], offs int32[N, Q], valid bool[N, Q])."""
+    n, L = reads.shape
+    offs = seed_offsets(lengths, k, q)
+    idx = offs[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    codes = jnp.take_along_axis(
+        reads, idx.reshape(n, q * k), axis=1).reshape(n, q, k)
+    valid = jnp.all(codes < 4, axis=-1) & (lengths >= k)[:, None]
+    lo = jnp.zeros((n, q), jnp.uint32)
+    hi = jnp.zeros((n, q), jnp.uint32)
+    lo_bases = min(k, 16)
+    for i in range(k):
+        c32 = (codes[:, :, i] & 3).astype(jnp.uint32)
+        if i < k - lo_bases:
+            hi = (hi << 2) | c32
+        else:
+            lo = (lo << 2) | c32
+    slots = words_to_slots(lo, hi, slot_bits)
+    return slots, offs, valid
+
+
+def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
+    """CSR gather: per (read, seed), up to P genome positions → candidate
+    alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid)."""
+    slots_i = slots.astype(jnp.int32)
+    start = jnp.take(offsets, slots_i, axis=0)
+    cnt = jnp.take(offsets, slots_i + 1, axis=0) - start
+    j = jnp.arange(p, dtype=jnp.int32)
+    pidx = start[:, :, None] + j[None, None, :]
+    npos = positions.shape[0]
+    pos = jnp.take(positions, jnp.clip(pidx, 0, max(npos - 1, 0)), axis=0)
+    ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
+    cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
+    cand = jnp.where(ok, cand, SENTINEL)
+    n, q, _ = cand.shape
+    return cand.reshape(n, q * p)
+
+
+def vote_top_candidates(cand, *, v: int):
+    """cand int32[N, M] → (top_cand int32[N, V], votes int32[N, V]).
+
+    Votes = number of seeds that proposed the exact same candidate start.
+    Only run heads (first occurrence) are eligible, so the top-V are
+    distinct. votes == 0 marks empty lanes (cand == SENTINEL there).
+    """
+    sorted_c = jnp.sort(cand, axis=-1)
+
+    def row_counts(row):
+        left = jnp.searchsorted(row, row, side="left")
+        right = jnp.searchsorted(row, row, side="right")
+        return left, right
+
+    left, right = jax.vmap(row_counts)(sorted_c)
+    m = cand.shape[-1]
+    is_head = left == jnp.arange(m, dtype=left.dtype)[None, :]
+    votes = (right - left).astype(jnp.int32)
+    key = jnp.where(is_head & (sorted_c != SENTINEL), votes, 0)
+    top_votes, top_idx = jax.lax.top_k(key, v)
+    top_cand = jnp.take_along_axis(sorted_c, top_idx, axis=-1)
+    top_cand = jnp.where(top_votes > 0, top_cand, SENTINEL)
+    return top_cand, top_votes
