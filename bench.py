@@ -1,0 +1,141 @@
+"""Headline benchmark: single-chip mapping throughput (reads/s).
+
+No genome data exists in this environment (SURVEY.md §4.2), so the bench
+synthesizes a random genome, builds the UFI index on-device, plants 150 bp
+reads (with SNPs) and measures end-to-end mapping throughput — device
+pipeline (seed→vote→DP→select) plus host CIGAR + SAM record formatting,
+i.e. the same work the reference's ``-map`` command does per read.
+
+Prints ONE JSON line. ``vs_baseline`` is measured against 1.0e6 reads/s —
+the order of URMAP's published multi-core host throughput (Edgar 2020,
+PeerJ 8:e9338 reports ~10× BWA-MEM; exact table TODO in BASELINE.md since
+the reference mount is empty).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent XLA compilation cache: first-ever compile of the sort/map
+# programs is minutes on the experimental axon platform; subsequent runs
+# must not pay it again.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_urmap_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+BASELINE_READS_PER_SEC = 1.0e6
+
+
+def synth_reads(rng, db, n, length, snp_rate=0.01):
+    """Vectorized planted reads: codes uint8[n, length], truth positions."""
+    from urmap_tpu import alphabet
+
+    ref_len = int(db.lengths[0])
+    start = int(db.starts[0])
+    pos = rng.integers(0, ref_len - length, size=n).astype(np.int64) + start
+    idx = pos[:, None] + np.arange(length)[None, :]
+    codes = db.codes[idx].copy()
+    # SNPs
+    mask = rng.random(codes.shape) < snp_rate
+    codes[mask] = (codes[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
+    # strands
+    strand = rng.integers(0, 2, size=n).astype(np.int8)
+    rc = alphabet.COMP_CODE[codes[:, ::-1]]
+    codes = np.where(strand[:, None] == 1, rc, codes)
+    return codes.astype(np.uint8), pos, strand
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=200_000)
+    ap.add_argument("--genome-mbp", type=float, default=16.0)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--no-sam", action="store_true",
+                    help="skip host CIGAR/SAM formatting (device-only rate)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from urmap_tpu import alphabet
+    from urmap_tpu.config import IndexConfig, MapConfig
+    from urmap_tpu.index.build import build_index
+    from urmap_tpu.io.fasta import SeqDB
+    from urmap_tpu.io.fastq import ReadBatch
+    from urmap_tpu.io import sam as samio
+    from urmap_tpu.map.cigar import cigars_for_result
+    from urmap_tpu.map.pipeline import Mapper, revcomp_strand_codes
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    glen = int(args.genome_mbp * 1e6)
+
+    t0 = time.monotonic()
+    gseq = rng.integers(0, 4, size=glen).astype(np.uint8)
+    db = SeqDB.from_seqs(["chr1"], [gseq])
+    icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
+    index = build_index(db, icfg)
+    t_index = time.monotonic() - t0
+
+    codes, truth_pos, truth_strand = synth_reads(
+        rng, db, args.reads, args.read_len)
+    lengths = np.full(args.reads, args.read_len, np.int32)
+
+    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
+    mapper = Mapper(index, mcfg)
+
+    # warmup / compile
+    wb = min(args.batch, args.reads)
+    mapper.map_codes(codes[:wb], lengths[:wb])
+
+    sink = io.StringIO()
+    t1 = time.monotonic()
+    n_mapped = n_correct = 0
+    for s in range(0, args.reads, args.batch):
+        bc = codes[s : s + args.batch]
+        bl = lengths[s : s + args.batch]
+        res = mapper.map_codes(bc, bl)
+        n_mapped += int(res.mapped.sum())
+        n_correct += int(((res.pos == truth_pos[s : s + args.batch])
+                          & res.mapped).sum())
+        if not args.no_sam:
+            strand_codes = revcomp_strand_codes(bc, res)
+            cigars, nms = cigars_for_result(db.codes, strand_codes, res,
+                                            mapper.sc)
+            names = [f"r{s + i}" for i in range(len(bc))]
+            seqs = [alphabet.decode(bc[i][: bl[i]]).encode()
+                    for i in range(len(bc))]
+            quals = [b"I" * int(bl[i]) for i in range(len(bc))]
+            batch = ReadBatch(codes=bc, lengths=bl, names=names,
+                              seqs=seqs, quals=quals)
+            sink.write("\n".join(samio.records_single_end(
+                batch, res, cigars, nms, db)))
+    elapsed = time.monotonic() - t1
+    rps = args.reads / elapsed
+
+    print(json.dumps({
+        "metric": "map_reads_per_sec_150bp_se",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "device": str(dev),
+        "reads": args.reads,
+        "genome_mbp": args.genome_mbp,
+        "mapped_frac": round(n_mapped / args.reads, 4),
+        "correct_frac": round(n_correct / args.reads, 4),
+        "index_build_s": round(t_index, 2),
+        "map_s": round(elapsed, 2),
+        "sam_formatting": not args.no_sam,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

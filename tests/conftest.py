@@ -14,6 +14,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_urmap_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import jax
+
+# The environment's sitecustomize registers the axon TPU plugin and sets
+# jax_platforms before conftest runs, so the env var alone doesn't win;
+# re-point the config at CPU before the backend initializes.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,63 @@
+"""Sharded (mesh) mapping path vs the single-device pipeline.
+
+Runs on the 8-virtual-device CPU backend (conftest.py) — proves the
+psum-combined CSR lookup and all_gather'd DP sharding are equivalent to
+the replicated pipeline, per SURVEY.md §4.2's mesh-shape-agnostic rule.
+"""
+
+import numpy as np
+import pytest
+
+from tests.utils import make_seqdb, plant_read
+from urmap_tpu.config import IndexConfig, MapConfig
+from urmap_tpu.index.build import build_index
+from urmap_tpu.map.pipeline import Mapper
+
+
+def _problem(rng, n_reads=48):
+    db = make_seqdb(rng, [120_000])
+    index = build_index(db, IndexConfig(slot_bits=16))
+    reads = [plant_read(rng, db, length=100,
+                        n_snps=int(rng.integers(0, 4)))
+             for _ in range(n_reads)]
+    codes = np.stack([np.pad(r.codes, (0, 120 - len(r.codes)),
+                             constant_values=5) for r in reads])
+    lengths = np.full(n_reads, 100, np.int32)
+    return db, index, reads, codes, lengths
+
+
+@pytest.mark.parametrize("data,index_ax", [(1, 8), (2, 4), (8, 1)])
+def test_sharded_matches_single(rng, data, index_ax):
+    import jax
+
+    from urmap_tpu.dist.sharded import ShardedMapper, make_mesh
+
+    if len(jax.devices()) < data * index_ax:
+        pytest.skip("need 8 devices")
+    db, index, reads, codes, lengths = _problem(rng)
+    mcfg = MapConfig(max_read_len=120, batch_size=16)
+
+    single = Mapper(index, mcfg).map_codes(codes, lengths)
+    mesh = make_mesh(data * index_ax, data=data, index=index_ax)
+    sharded = ShardedMapper(index, mesh, mcfg).map_codes(codes, lengths)
+
+    np.testing.assert_array_equal(single.mapped, sharded.mapped)
+    np.testing.assert_array_equal(single.pos, sharded.pos)
+    np.testing.assert_array_equal(single.strand, sharded.strand)
+    np.testing.assert_array_equal(single.score, sharded.score)
+    np.testing.assert_array_equal(single.mapq, sharded.mapq)
+    # and both agree with the planted truth for nearly all reads
+    ok = sum(1 for i, r in enumerate(reads)
+             if sharded.mapped[i] and int(sharded.pos[i]) == r.gpos
+             and int(sharded.strand[i]) == r.strand)
+    assert ok >= len(reads) - 2
+
+
+def test_dryrun_multichip():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

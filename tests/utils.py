@@ -76,6 +76,44 @@ def plant_read(rng, db: SeqDB, *, length: int = 150, strand: int | None = None,
                        n_snps=n_planted, indels=indels)
 
 
+def plant_pair(rng, db: SeqDB, *, length: int = 100, frag: int = 300,
+               n_snps: int = 0, r1_fwd: bool | None = None,
+               snp_every: int | None = None):
+    """Plant an FR pair: fragment of ``frag`` bases; R1/R2 from its two
+    ends. Returns (r1, r2, frag_start) with reads as sequenced (R1 fwd +
+    R2 rc of the fragment ends when r1_fwd, else swapped).
+    ``snp_every``: mutate every Nth base of R2 (to defeat seeding and
+    exercise mate rescue)."""
+    ref = int(rng.integers(0, db.num_seqs))
+    local = int(rng.integers(0, int(db.lengths[ref]) - frag - 8))
+    gpos = int(db.starts[ref]) + local
+    left = db.codes[gpos : gpos + length].copy()
+    right = db.codes[gpos + frag - length : gpos + frag].copy()
+
+    def snp(codes, n):
+        for o in rng.choice(len(codes), size=n, replace=False):
+            codes[o] = (codes[o] + int(rng.integers(1, 4))) % 4
+        return codes
+
+    left = snp(left, n_snps) if n_snps else left
+    right = snp(right, n_snps) if n_snps else right
+    if r1_fwd is None:
+        r1_fwd = bool(rng.integers(0, 2))
+    if r1_fwd:
+        r1c, r1p, r1s = left, gpos, 0
+        r2c, r2p, r2s = alphabet.revcomp(right), gpos + frag - length, 1
+    else:
+        r1c, r1p, r1s = alphabet.revcomp(right), gpos + frag - length, 1
+        r2c, r2p, r2s = left, gpos, 0
+    if snp_every:
+        # mutate the as-sequenced R2 at a regular grid
+        for o in range(snp_every // 2, len(r2c), snp_every):
+            r2c[o] = (r2c[o] + int(rng.integers(1, 4))) % 4
+    r1 = PlantedRead(codes=r1c.astype(np.uint8), gpos=r1p, strand=r1s)
+    r2 = PlantedRead(codes=r2c.astype(np.uint8), gpos=r2p, strand=r2s)
+    return r1, r2, gpos
+
+
 def write_fastq(path, reads: list[PlantedRead], prefix="r"):
     with open(path, "w") as f:
         for i, r in enumerate(reads):

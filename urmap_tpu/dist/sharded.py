@@ -1,0 +1,254 @@
+"""Sharded mapping: UFI tables split over a device mesh (shard_map).
+
+The reference is a single-node pthreads program (SURVEY.md §2.13); its only
+parallelism is data parallelism over reads. This module adds the TPU-native
+distributed dimension designed in SURVEY.md §5.7/§3.3:
+
+  mesh axes ("data", "index"):
+    * data  — batch parallelism over reads (the reference's thread fan-out,
+      re-expressed as sharding of the [B, L] read block).
+    * index — the model-parallel analog: the UFI CSR tables are sharded by
+      hash-slot range, so a genome index larger than one chip's HBM spans
+      the mesh. Every index shard answers lookups for the slots it owns and
+      the partial candidate sets are combined with one int32 ``psum``
+      (each (read, seed) slot is owned by exactly one shard, so masked
+      partials sum to the full candidate set — no all_to_all capacity
+      bounds, no overflow lane).
+
+  The banded-DP verification stage is *compute*-sharded over the same
+  "index" axis (each shard verifies 1/S of the candidate DPs,
+  ``all_gather`` rejoins the scores), so adding index shards scales the
+  dominant FLOP stage, not just memory.
+
+Collectives are XLA-lowered (`psum`, `all_gather`) and mesh-shape-agnostic:
+the same program runs on an 8-virtual-device CPU mesh (tests), one real
+chip, or a multi-host slice (dist/multihost.py wires the global mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
+from urmap_tpu.index.store import UfiIndex
+from urmap_tpu.map.dp import banded_semiglobal
+from urmap_tpu.map.pipeline import MapResult, revcomp_batch
+from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
+                                gather_candidates, vote_top_candidates)
+from urmap_tpu.map.select import select_hits
+
+
+def make_mesh(n_devices: int | None = None, *, data: int | None = None,
+              index: int | None = None) -> Mesh:
+    """("data", "index") mesh over the first n devices. Defaults put most
+    devices on the index axis (HBM capacity + DP-stage scaling); data
+    parallelism across hosts is the cheaper axis to widen later."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if data is None and index is None:
+        index = _largest_pow2_divisor(n)
+        data = n // index
+    elif data is None:
+        data = n // index  # type: ignore[operator]
+    elif index is None:
+        index = n // data
+    assert data * index == n, f"mesh {data}x{index} != {n} devices"
+    arr = np.asarray(devs[:n]).reshape(data, index)
+    return Mesh(arr, ("data", "index"))
+
+
+def _largest_pow2_divisor(n: int) -> int:
+    p = 1
+    while n % (p * 2) == 0:
+        p *= 2
+    return p
+
+
+@dataclass
+class ShardedTables:
+    """Host-side stacked per-shard tables, ready for device_put.
+
+    offsets: int32[S, sps + 1] local CSR offsets per shard (slot range
+      [s*sps, (s+1)*sps), global slot space padded up to S*sps).
+    positions: int32[S, pmax] local position arrays, padded with 0 past
+      each shard's count (dead lanes are masked by the offsets).
+    """
+
+    num_shards: int
+    slots_per_shard: int
+    offsets: np.ndarray
+    positions: np.ndarray
+
+
+def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
+    """Split the global CSR by hash-slot range into ``num_shards`` shards."""
+    cfg = index.config
+    S = num_shards
+    sps = -(-cfg.num_slots // S)
+    goff = index.offsets.astype(np.int64)
+    pos = index.positions.astype(np.int32)
+
+    off_l = []
+    pos_l = []
+    pmax = 0
+    for s in range(S):
+        lo = min(s * sps, cfg.num_slots)
+        hi = min((s + 1) * sps, cfg.num_slots)
+        o = goff[lo : hi + 1] - goff[lo]
+        if hi - lo < sps:  # pad tail shard's slot range with empty slots
+            o = np.concatenate([o, np.full(sps - (hi - lo), o[-1], np.int64)])
+        off_l.append(o.astype(np.int32))
+        p = pos[goff[lo] : goff[hi]]
+        pmax = max(pmax, p.shape[0])
+        pos_l.append(p)
+    pmax = max(pmax, 1)
+    positions = np.zeros((S, pmax), np.int32)
+    for s, p in enumerate(pos_l):
+        positions[s, : p.shape[0]] = p
+    return ShardedTables(num_shards=S, slots_per_shard=sps,
+                         offsets=np.stack(off_l), positions=positions)
+
+
+def _sharded_step(offsets, positions, genome, reads, lengths, *,
+                  icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
+                  sps: int, n_index: int):
+    """Per-device body under shard_map. Shapes are the local blocks:
+    offsets [1, sps+1], positions [1, pmax], reads [b, L], lengths [b]."""
+    offsets = offsets[0]
+    positions = positions[0]
+    b, L = reads.shape
+    q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
+    my = jax.lax.axis_index("index")
+    my_base = my.astype(jnp.int32) * jnp.int32(sps)
+
+    rc = revcomp_batch(reads, lengths)
+    reads2 = jnp.concatenate([reads, rc], axis=0)
+    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+
+    slots, offs, valid = extract_seed_slots(
+        reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
+    rel = slots.astype(jnp.int32) - my_base
+    owned = valid & (rel >= 0) & (rel < sps)
+    rel = jnp.clip(rel, 0, sps - 1)
+    cand = gather_candidates(offsets, positions, rel.astype(jnp.uint32),
+                             offs, owned, p=p)            # [2b, q*p]
+
+    # exactly one shard owns each (read, seed): psum the masked partials
+    hit = cand != SENTINEL
+    summed = jax.lax.psum(jnp.where(hit, cand, 0), "index")
+    n_hit = jax.lax.psum(hit.astype(jnp.int32), "index")
+    cand_all = jnp.where(n_hit > 0, summed, SENTINEL)
+
+    top_cand, _votes = vote_top_candidates(cand_all, v=v)  # [2b, V]
+
+    # ---- DP stage, compute-sharded over "index" ----
+    flat_cand = top_cand.reshape(-1)                       # [2b*V]
+    flat_reads = jnp.repeat(reads2, v, axis=0)
+    flat_lens = jnp.repeat(lengths2, v, axis=0)
+    n = flat_cand.shape[0]
+    chunk = -(-n // n_index)
+    npad = chunk * n_index
+    if npad != n:
+        flat_cand = jnp.pad(flat_cand, (0, npad - n),
+                            constant_values=int(SENTINEL))
+        flat_reads = jnp.pad(flat_reads, ((0, npad - n), (0, 0)))
+        flat_lens = jnp.pad(flat_lens, (0, npad - n))
+    start = my.astype(jnp.int32) * jnp.int32(chunk)
+    my_cand = jax.lax.dynamic_slice_in_dim(flat_cand, start, chunk)
+    my_reads = jax.lax.dynamic_slice_in_dim(flat_reads, start, chunk, axis=0)
+    my_lens = jax.lax.dynamic_slice_in_dim(flat_lens, start, chunk)
+    sc_, d0_, ung_ = banded_semiglobal(
+        genome, jnp.where(my_cand == SENTINEL, 0, my_cand),
+        my_reads, my_lens, hw=mcfg.band_halfwidth, sc=sc)
+    scores = jax.lax.all_gather(sc_, "index", tiled=True)[:n]
+    d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
+    ungapped = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
+
+    def fold(x):
+        x = x.reshape(2, b, v)
+        return jnp.concatenate([x[0], x[1]], axis=1)       # [b, 2V]
+
+    cand_f = fold(top_cand)
+    scores_f = fold(scores)
+    d0_f = fold(d0)
+    ung_f = fold(ungapped)
+    strands = jnp.concatenate([
+        jnp.zeros((b, v), jnp.int32), jnp.ones((b, v), jnp.int32)], axis=1)
+    pos = cand_f + d0_f
+    valid_c = cand_f != SENTINEL
+    return select_hits(pos, scores_f, strands, valid_c, lengths, ung_f,
+                       mc=mcfg, k=icfg.k)
+
+
+def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
+                        sc: ScoreConfig, sps: int):
+    """Jitted fn(offsets, positions, genome, reads, lengths) → out dict,
+    sharded per the mesh. Genome is replicated; CSR tables live on the
+    "index" axis; reads/outputs on "data"."""
+    n_index = mesh.shape["index"]
+    body = functools.partial(_sharded_step, icfg=icfg, mcfg=mcfg, sc=sc,
+                             sps=sps, n_index=n_index)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("index", None), P("index", None), P(),
+                  P("data", None), P("data")),
+        out_specs={k: P("data") for k in
+                   ("mapped", "pos", "strand", "score", "second", "mapq",
+                    "gapped")},
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedMapper:
+    """Host wrapper mirroring map.pipeline.Mapper for a sharded mesh."""
+
+    def __init__(self, index: UfiIndex, mesh: Mesh,
+                 mcfg: MapConfig | None = None, sc: ScoreConfig | None = None):
+        self.index = index
+        self.mesh = mesh
+        self.icfg = index.config
+        self.mcfg = mcfg or MapConfig()
+        self.sc = sc or ScoreConfig()
+        n_index = mesh.shape["index"]
+        st = shard_index_tables(index, n_index)
+        self._sps = st.slots_per_shard
+
+        def put(x, spec):
+            return jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, spec))
+
+        self.offsets = put(st.offsets, P("index", None))
+        self.positions = put(st.positions, P("index", None))
+        self.genome = put(np.asarray(index.seqdb.codes), P())
+        self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
+                                       self._sps)
+
+    def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        from urmap_tpu import alphabet
+
+        B = codes.shape[0]
+        n_data = self.mesh.shape["data"]
+        bs = max(self.mcfg.batch_size, n_data)
+        bs = -(-bs // n_data) * n_data
+        outs = []
+        for s in range(0, B, bs):
+            c = codes[s : s + bs]
+            ln = lengths[s : s + bs]
+            if c.shape[0] < bs:
+                pad = bs - c.shape[0]
+                c = np.concatenate(
+                    [c, np.full((pad, c.shape[1]), alphabet.READ_N, np.uint8)])
+                ln = np.concatenate([ln, np.zeros(pad, np.int32)])
+            out = self._fn(self.offsets, self.positions, self.genome,
+                           jnp.asarray(c), jnp.asarray(ln.astype(np.int32)))
+            outs.append(out)
+        merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:B]
+                  for k in outs[0]}
+        return MapResult.from_device(merged, np.asarray(lengths)[:B])

@@ -1,0 +1,316 @@
+"""Paired-end pairing + mate rescue (SURVEY.md §2.11).
+
+The reference pairs mates inside its per-read scalar loop; here pairing is
+one fixed-shape batched stage on top of the shared candidate pipeline:
+
+  1. Both mates of the whole batch ride one candidates_batch_device call
+     (reads concatenated, [2B] rows).
+  2. Concordance scoring over the V1×V2 candidate cross-product: FR
+     orientation, fragment length (TLEN) inside the configured window,
+     pair score = s1 + s2. Best and distinct-locus second-best pair are
+     selected with vectorized argmax.
+  3. Mate rescue for pairs with exactly one confidently mapped mate and
+     no concordant pair: the expected mate window (rescue_window bases,
+     derived from the anchor's strand and the fragment window) is scanned
+     for the best ungapped offset via a one-hot depthwise cross-
+     correlation (MXU/VPU-friendly — no per-offset scalar loop), then the
+     winning offset is verified by the same banded affine DP as every
+     other candidate.
+
+MAPQ for proper pairs uses the pair-score gap (best vs distinct-locus
+second pair); discordant/single mates keep the single-end formula.
+PARITY-TODO (config.py): the reference's exact pairing/rescue/MAPQ
+constants are unverified (empty reference mount, SURVEY.md §0).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from urmap_tpu import alphabet
+from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
+from urmap_tpu.map.dp import NEG, banded_semiglobal
+from urmap_tpu.map.pipeline import (MapResult, candidates_batch_device,
+                                    revcomp_batch)
+from urmap_tpu.map.seed import SENTINEL
+from urmap_tpu.map.select import select_hits
+
+# Rescued mates get at most this MAPQ (their placement is inferred from
+# the anchor, not independently seeded). PARITY-TODO.
+RESCUE_MAPQ_CAP = 30
+
+
+def _take(x, idx):
+    return jnp.take_along_axis(x, idx[:, None], axis=-1)[:, 0]
+
+
+def _pair_cross(c1, c2, l1, l2, mc: MapConfig):
+    """Concordant-pair scoring over the candidate cross-product.
+
+    c1/c2: candidate dicts (pos/score/strand/valid [B, C]).
+    Returns dict with best pair indices/scores and distinct-second score.
+    """
+    B, C = c1["pos"].shape
+    neg = jnp.int32(NEG)
+    s1 = jnp.where(c1["valid"], c1["score"], neg)[:, :, None]   # [B, C, 1]
+    s2 = jnp.where(c2["valid"], c2["score"], neg)[:, None, :]   # [B, 1, C]
+    p1 = c1["pos"][:, :, None]
+    p2 = c2["pos"][:, None, :]
+    st1 = c1["strand"][:, :, None]
+    st2 = c2["strand"][:, None, :]
+    L1 = l1[:, None, None]
+    L2 = l2[:, None, None]
+
+    fwd1 = st1 == 0
+    pf = jnp.where(fwd1, p1, p2)
+    pr = jnp.where(fwd1, p2, p1)
+    Lr = jnp.where(fwd1, L2, L1)
+    tlen = pr + Lr - pf
+    ok = ((st1 != st2) & c1["valid"][:, :, None] & c2["valid"][:, None, :]
+          & (pf <= pr) & (tlen >= mc.min_fragment_len)
+          & (tlen <= mc.max_fragment_len))
+    pscore = jnp.where(ok, s1 + s2, neg)
+
+    flat = pscore.reshape(B, C * C)
+    flat_pf = pf.reshape(B, C * C)
+    best_idx = jnp.argmax(flat, axis=-1)
+    best = _take(flat, best_idx)
+    best_pf = _take(flat_pf, best_idx)
+    i1 = best_idx // C
+    i2 = best_idx % C
+
+    radius = jnp.int32(mc.max_read_len)
+    distinct = (jnp.abs(flat_pf - best_pf[:, None]) > radius) & (flat > neg)
+    second = jnp.max(jnp.where(distinct, flat, neg), axis=-1)
+    return {"i1": i1, "i2": i2, "score": best, "second": second,
+            "has": best > neg // 2}
+
+
+def _rescue_scan(genome, anchor_pos, anchor_strand, anchor_len, other_codes,
+                 other_len, *, mc: MapConfig, sc: ScoreConfig):
+    """Windowed rescue: best ungapped offset by one-hot depthwise
+    correlation, verified by banded DP. other_codes must already be
+    strand-applied to the EXPECTED mate orientation (revcomp of the
+    as-sequenced read when the anchor is forward)."""
+    B, L = other_codes.shape
+    W = mc.rescue_window
+    O = W - L + 1
+    G = genome.shape[0]
+
+    slack = mc.band_halfwidth + 8
+    # anchor fwd → mate (rc) right of it; anchor rc → mate (fwd) left of it
+    win_start = jnp.where(
+        anchor_strand == 0,
+        anchor_pos + mc.min_fragment_len - other_len - slack,
+        anchor_pos + anchor_len - mc.max_fragment_len - slack,
+    ).astype(jnp.int32)
+    widx = win_start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    win = jnp.take(genome, jnp.clip(widx, 0, G - 1), axis=0)     # [B, W]
+
+    def onehot(codes):
+        return (codes[..., None] == jnp.arange(4, dtype=codes.dtype)
+                ).astype(jnp.bfloat16)
+
+    oh_win = onehot(win)                                          # [B, W, 4]
+    oh_read = onehot(other_codes)                                 # [B, L, 4]
+    lhs = oh_win.transpose(0, 2, 1).reshape(1, B * 4, W)
+    rhs = oh_read.transpose(0, 2, 1).reshape(B * 4, 1, L)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=B * 4,
+        preferred_element_type=jnp.float32,
+    )                                                              # [1, B*4, O]
+    counts = out.reshape(B, 4, O).sum(axis=1)                      # [B, O]
+    best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
+    cand = win_start + best_off
+
+    score, d0, ungapped = banded_semiglobal(
+        genome, cand, other_codes, other_len,
+        hw=mc.band_halfwidth, sc=sc)
+    return {"pos": cand + d0, "score": score, "ungapped": ungapped}
+
+
+def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
+                     mcfg: MapConfig, sc: ScoreConfig):
+    """Full paired-end device step → per-mate output dicts + pair flags."""
+    B, L = r1.shape
+    reads = jnp.concatenate([r1, r2], axis=0)
+    lens = jnp.concatenate([l1, l2], axis=0)
+    c = candidates_batch_device(tables, reads, lens, icfg=icfg, mcfg=mcfg,
+                                sc=sc)
+    c1 = {k: v[:B] for k, v in c.items()}
+    c2 = {k: v[B:] for k, v in c.items()}
+
+    # single-end selection per mate (fallback + anchors)
+    se1 = select_hits(c1["pos"], c1["score"], c1["strand"], c1["valid"],
+                      l1, c1["ungapped"], mc=mcfg, k=icfg.k)
+    se2 = select_hits(c2["pos"], c2["score"], c2["strand"], c2["valid"],
+                      l2, c2["ungapped"], mc=mcfg, k=icfg.k)
+
+    pair = _pair_cross(c1, c2, l1, l2, mcfg)
+    neg = jnp.int32(NEG)
+
+    def min_score(lengths):
+        return jnp.ceil(mcfg.min_score_frac
+                        * lengths.astype(jnp.float32)).astype(jnp.int32)
+
+    p_s1 = _take(c1["score"], pair["i1"])
+    p_s2 = _take(c2["score"], pair["i2"])
+    proper = (pair["has"] & (p_s1 >= min_score(l1)) & (p_s2 >= min_score(l2))
+              & (l1 >= icfg.k) & (l2 >= icfg.k))
+
+    pair_gap = (pair["score"] - pair["second"]).astype(jnp.float32)
+    pair_mapq = jnp.clip(jnp.round(mcfg.mapq_scale * pair_gap),
+                         0, mcfg.max_mapq).astype(jnp.int32)
+    pair_mapq = jnp.where(pair["second"] <= neg // 2, mcfg.max_mapq,
+                          pair_mapq)
+
+    # ---- mate rescue (anchored on the better-mapped single-end mate) ----
+    a1 = se1["mapped"] & ~se2["mapped"] & ~proper      # mate1 anchors mate2
+    a2 = se2["mapped"] & ~se1["mapped"] & ~proper      # mate2 anchors mate1
+    any_anchor = a1 | a2
+    anchor_pos = jnp.where(a1, se1["pos"], se2["pos"])
+    anchor_strand = jnp.where(a1, se1["strand"], se2["strand"])
+    anchor_len = jnp.where(a1, l1, l2)
+    other_len = jnp.where(a1, l2, l1)
+    # expected orientation of the rescued mate = opposite of the anchor;
+    # build the strand-applied (genome-forward) codes for the scan
+    r2rc = revcomp_batch(r2, l2)
+    r1rc = revcomp_batch(r1, l1)
+    other_as_seq = jnp.where(a1[:, None], r2, r1)
+    other_rc = jnp.where(a1[:, None], r2rc, r1rc)
+    exp_strand = 1 - anchor_strand
+    other_codes = jnp.where((exp_strand == 1)[:, None], other_rc,
+                            other_as_seq)
+    resc = _rescue_scan(tables["genome"],
+                        jnp.where(any_anchor, anchor_pos, 0),
+                        anchor_strand, anchor_len, other_codes, other_len,
+                        mc=mcfg, sc=sc)
+    resc_ok = any_anchor & (resc["score"] >= min_score(other_len)) \
+        & (other_len >= icfg.k)
+    anchor_mapq = jnp.where(a1, se1["mapq"], se2["mapq"])
+    resc_mapq = jnp.minimum(anchor_mapq, RESCUE_MAPQ_CAP)
+
+    # ---- final per-mate fields ----
+    def mate_out(se, cm, idx, is_first):
+        """Choose paired candidate when proper, else rescue, else single."""
+        p_pos = _take(cm["pos"], idx)
+        p_strand = _take(cm["strand"], idx)
+        p_score = _take(cm["score"], idx)
+        p_ung = _take(cm["ungapped"], idx)
+        rescued = resc_ok & (a1 if not is_first else a2)
+        mapped = proper | se["mapped"] | rescued
+        pos = jnp.where(proper, p_pos,
+                        jnp.where(rescued, resc["pos"], se["pos"]))
+        strand = jnp.where(proper, p_strand,
+                           jnp.where(rescued, exp_strand, se["strand"]))
+        score = jnp.where(proper, p_score,
+                          jnp.where(rescued, resc["score"], se["score"]))
+        gapped = jnp.where(proper, p_ung < p_score,
+                           jnp.where(rescued,
+                                     resc["ungapped"] < resc["score"],
+                                     se["gapped"]))
+        mapq = jnp.where(proper, jnp.maximum(se["mapq"], pair_mapq),
+                         jnp.where(rescued, resc_mapq, se["mapq"]))
+        mapq = jnp.where(mapped, mapq, 0)
+        return {
+            "mapped": mapped,
+            "pos": pos,
+            "strand": strand,
+            "score": score,
+            "second": se["second"],
+            "mapq": mapq,
+            "gapped": mapped & gapped,
+        }
+
+    out1 = mate_out(se1, c1, pair["i1"], is_first=True)
+    out2 = mate_out(se2, c2, pair["i2"], is_first=False)
+    prop = proper | resc_ok
+    return {"m1": out1, "m2": out2, "proper": prop}
+
+
+def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
+                      sc: ScoreConfig | None = None):
+    sc = sc or ScoreConfig()
+    fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc)
+    return jax.jit(fn)
+
+
+@dataclass
+class PairResult:
+    m1: MapResult
+    m2: MapResult
+    proper: np.ndarray  # bool[B]
+
+
+class PairedMapper:
+    """Host wrapper over the single-end Mapper for paired batches."""
+
+    def __init__(self, mapper):
+        self.mapper = mapper
+        self.index = mapper.index
+        self.mcfg = mapper.mcfg
+        self.sc = mapper.sc
+        self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc)
+
+    def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
+        B = codes1.shape[0]
+        bs = self.mcfg.batch_size
+        outs = []
+        for s in range(0, B, bs):
+            c1, l1 = _pad_block(codes1[s:s + bs], lengths1[s:s + bs], bs)
+            c2, l2 = _pad_block(codes2[s:s + bs], lengths2[s:s + bs], bs)
+            out = self._fn(self.mapper.tables, jnp.asarray(c1),
+                           jnp.asarray(l1), jnp.asarray(c2), jnp.asarray(l2))
+            outs.append(jax.tree.map(np.asarray, out))
+        n = min(B, len(lengths1))
+
+        def cat(key, sub):
+            return np.concatenate([o[sub][key] for o in outs])[:n] \
+                if sub else np.concatenate([o[key] for o in outs])[:n]
+
+        m1 = {k: cat(k, "m1") for k in outs[0]["m1"]}
+        m2 = {k: cat(k, "m2") for k in outs[0]["m2"]}
+        return PairResult(
+            m1=MapResult.from_device(m1, np.asarray(lengths1)[:n]),
+            m2=MapResult.from_device(m2, np.asarray(lengths2)[:n]),
+            proper=np.concatenate([o["proper"] for o in outs])[:n],
+        )
+
+    def map_pairs_to_sam(self, fwd_batch, rev_batch):
+        """ReadBatch pair → (SAM record lines, stats dict)."""
+        from urmap_tpu.io import sam as samio
+        from urmap_tpu.map.cigar import cigars_for_result
+        from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+        res = self.map_pair_codes(fwd_batch.codes, fwd_batch.lengths,
+                                  rev_batch.codes, rev_batch.lengths)
+        genome = self.index.seqdb.codes
+        sc1 = revcomp_strand_codes(fwd_batch.codes, res.m1)
+        sc2 = revcomp_strand_codes(rev_batch.codes, res.m2)
+        cig1, nm1 = cigars_for_result(genome, sc1, res.m1, self.sc)
+        cig2, nm2 = cigars_for_result(genome, sc2, res.m2, self.sc)
+        recs = samio.records_paired(fwd_batch, rev_batch, res,
+                                    cig1, nm1, cig2, nm2, self.index.seqdb)
+        stats = {
+            "reads": 2 * len(fwd_batch),
+            "mapped": int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),
+            "proper_pairs": int(res.proper.sum()),
+        }
+        return recs, stats
+
+
+def _pad_block(codes, lengths, bs):
+    if codes.shape[0] == bs:
+        return codes, lengths.astype(np.int32)
+    pad = bs - codes.shape[0]
+    codes = np.concatenate(
+        [codes, np.full((pad, codes.shape[1]), alphabet.READ_N, np.uint8)])
+    lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+    return codes, lengths.astype(np.int32)

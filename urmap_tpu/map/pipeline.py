@@ -68,9 +68,14 @@ class MapResult:
         )
 
 
-def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
-                     mcfg: MapConfig, sc: ScoreConfig):
-    """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
+def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
+                            mcfg: MapConfig, sc: ScoreConfig):
+    """Seed → vote → banded DP for one batch; both strands.
+
+    Returns a dict of per-read candidate arrays [B, 2V] (fwd candidates in
+    columns [:V], rc in [V:]): pos (DP start-tracked), score, strand,
+    valid, ungapped. Shared by single-end select and paired-end pairing.
+    """
     B, L = reads.shape
     q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
 
@@ -103,10 +108,22 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     strands = jnp.concatenate([
         jnp.zeros((B, v), jnp.int32), jnp.ones((B, v), jnp.int32)], axis=1)
 
-    pos = cand_f + d0_f
-    valid_c = cand_f != SENTINEL
-    return select_hits(pos, scores_f, strands, valid_c, lengths, ung_f,
-                       mc=mcfg, k=icfg.k)
+    return {
+        "pos": cand_f + d0_f,
+        "score": scores_f,
+        "strand": strands,
+        "valid": cand_f != SENTINEL,
+        "ungapped": ung_f,
+    }
+
+
+def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
+                     mcfg: MapConfig, sc: ScoreConfig):
+    """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
+    c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
+                                mcfg=mcfg, sc=sc)
+    return select_hits(c["pos"], c["score"], c["strand"], c["valid"],
+                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
 
 
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
