@@ -1,0 +1,134 @@
+"""Native C++ IO codecs vs the pure-Python reference paths.
+
+The native FASTQ parser and SAM formatter (io/native/codecs.cpp) must be
+byte-for-byte interchangeable with io/fastq.py + io/sam.py — these tests
+run both on identical inputs and diff the results.
+"""
+
+import numpy as np
+import pytest
+
+from tests.utils import make_seqdb, plant_pair, plant_read, write_fastq
+from urmap_tpu.config import IndexConfig, MapConfig
+from urmap_tpu.index.build import build_index
+from urmap_tpu.io import sam as samio
+from urmap_tpu.io import sam_native
+from urmap_tpu.io.fastq import FastqReader
+from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_fast
+from urmap_tpu.map.pair import PairedMapper
+from urmap_tpu.map.pipeline import Mapper, revcomp_strand_codes
+
+pytestmark = pytest.mark.skipif(not sam_native.available(),
+                                reason="native codecs unavailable")
+
+
+def _write_weird_fastq(path):
+    """Exercise parser edges: comments in headers, /1 suffixes, CRLF,
+    lowercase and N bases, no trailing newline."""
+    recs = [
+        ("plain", "ACGTACGTACGTACGTACGTACGT"),
+        ("with/1", "acgtacgtACGTNNacgt"),
+        ("spaced desc here", "ACGTNACGTA"),
+        ("crlf", "TTTTCCCCGGGGAAAA"),
+    ]
+    with open(path, "wb") as f:
+        for i, (name, seq) in enumerate(recs):
+            q = chr(33 + (i % 40)) * len(seq)
+            if name == "crlf":
+                f.write(f"@{name}\r\n{seq}\r\n+\r\n{q}".encode())  # no \n
+            else:
+                f.write(f"@{name}\n{seq}\n+x comment\n{q}\n".encode())
+    return recs
+
+
+def test_native_fastq_parse_matches_python(tmp_path):
+    path = str(tmp_path / "r.fq")
+    _write_weird_fastq(path)
+    nat = list(FastqReader(path, batch_size=16, max_read_len=20,
+                           native=True))
+    py = list(FastqReader(path, batch_size=16, max_read_len=20,
+                          native=False))
+    assert len(nat) == len(py) == 1
+    nb, pb = nat[0], py[0]
+    assert nb.names == pb.names
+    assert nb.seqs == pb.seqs
+    assert nb.quals == pb.quals
+    np.testing.assert_array_equal(nb.codes, pb.codes)
+    np.testing.assert_array_equal(nb.lengths, pb.lengths)
+
+
+def test_native_fastq_malformed(tmp_path):
+    path = str(tmp_path / "bad.fq")
+    with open(path, "w") as f:
+        f.write("@ok\nACGT\n+\nIIII\nnot_a_header\nACGT\n+\nIIII\n")
+    reader = FastqReader(path, batch_size=16, max_read_len=20, native=True)
+    with pytest.raises(ValueError, match="malformed|truncated"):
+        list(reader)
+
+
+def _se_problem(rng, tmp_path):
+    db = make_seqdb(rng, [80_000])
+    index = build_index(db, IndexConfig(slot_bits=16))
+    reads = [plant_read(rng, db, length=100, n_snps=i % 3,
+                        dels=(2 if i % 5 == 0 else 0))
+             for i in range(32)]
+    path = str(tmp_path / "se.fq")
+    write_fastq(path, reads)
+    return db, index, path
+
+
+def _canon(text: str) -> list[str]:
+    return sorted(line for line in text.strip().splitlines() if line)
+
+
+def test_native_sam_single_end_matches_python(rng, tmp_path):
+    db, index, path = _se_problem(rng, tmp_path)
+    mcfg = MapConfig(max_read_len=120, batch_size=32)
+    mapper = Mapper(index, mcfg)
+
+    (batch,) = list(FastqReader(path, batch_size=32, max_read_len=120,
+                                native=True))
+    res = mapper.map_codes(batch.codes, batch.lengths)
+    strand_codes = revcomp_strand_codes(batch.codes, res)
+
+    cigars, nms = cigars_for_result(db.codes, strand_codes, res, mapper.sc)
+    py_recs = samio.records_single_end(batch, res, cigars, nms, db)
+
+    cig, nm, _span = cigars_nm_fast(db.codes, strand_codes, res, mapper.sc)
+    # fast-path CIGAR/NM must agree with the per-read reference path
+    for i in range(len(batch)):
+        if res.mapped[i]:
+            assert cig[i] == cigars[i], i
+            assert int(nm[i]) == nms[i], i
+    nat = sam_native.format_single_end(batch, res, cig, nm, db)
+    assert _canon(nat.decode()) == _canon("\n".join(py_recs))
+
+
+def test_native_sam_paired_matches_python(rng, tmp_path):
+    db = make_seqdb(rng, [120_000])
+    index = build_index(db, IndexConfig(slot_bits=16))
+    mcfg = MapConfig(max_read_len=120, batch_size=16)
+    pm = PairedMapper(Mapper(index, mcfg))
+    pairs = [plant_pair(rng, db, length=100,
+                        frag=int(rng.integers(150, 900)),
+                        n_snps=int(rng.integers(0, 3)))
+             for _ in range(14)]
+    # one rescue pair + one unmappable mate
+    pairs.append(plant_pair(rng, db, length=100, frag=400, snp_every=15))
+    p1 = str(tmp_path / "r1.fq")
+    p2 = str(tmp_path / "r2.fq")
+    write_fastq(p1, [p[0] for p in pairs], prefix="p")
+    write_fastq(p2, [p[1] for p in pairs], prefix="p")
+
+    (pair_batches,) = list(FastqReader(p1, p2, batch_size=16,
+                                       max_read_len=120, native=True))
+    b1, b2 = pair_batches
+    res = pm.map_pair_codes(b1.codes, b1.lengths, b2.codes, b2.lengths)
+    py_recs, _stats = pm.map_pairs_to_sam(b1, b2)
+
+    sc1 = revcomp_strand_codes(b1.codes, res.m1)
+    sc2 = revcomp_strand_codes(b2.codes, res.m2)
+    c1, e1, sp1 = cigars_nm_fast(db.codes, sc1, res.m1, pm.sc)
+    c2, e2, sp2 = cigars_nm_fast(db.codes, sc2, res.m2, pm.sc)
+    nat = sam_native.format_paired(b1, b2, res, c1, e1, sp1, c2, e2, sp2, db)
+    assert _canon(nat.decode()) == _canon("\n".join(py_recs))

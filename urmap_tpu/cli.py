@@ -111,8 +111,9 @@ def cmd_map(opts: dict) -> int:
     from urmap_tpu.index import UfiIndex
     from urmap_tpu.io import FastqReader
     from urmap_tpu.io import sam as samio
+    from urmap_tpu.io import sam_native
     from urmap_tpu.map import Mapper
-    from urmap_tpu.map.cigar import cigars_for_result
+    from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_fast
     from urmap_tpu.map.pipeline import revcomp_strand_codes
 
     fq = str(opts["map"])
@@ -144,19 +145,40 @@ def cmd_map(opts: dict) -> int:
     progress = Progress("reads") if not quiet else None
     cmdline = "urmap-tpu " + " ".join(sys.argv[1:])
 
+    genome = index.seqdb.codes
     n_reads = n_mapped = 0
     t_map0 = time.monotonic()
-    with open(str(samout), "w") as out:
-        out.write(samio.sam_header(index.seqdb, cmdline))
+    with open(str(samout), "wb") as out:
+        out.write(samio.sam_header(index.seqdb, cmdline).encode("ascii"))
         reader = FastqReader(fq, str(reverse) if reverse else None,
                              batch_size=mcfg.batch_size,
                              max_read_len=mcfg.max_read_len)
+        native = reader.native and sam_native.available()
         if reader.paired:
             from urmap_tpu.map.pair import PairedMapper
             pmapper = PairedMapper(mapper)
             for fwd, rev in reader:
-                recs, stats = pmapper.map_pairs_to_sam(fwd, rev)
-                out.write("\n".join(recs) + "\n")
+                if native:
+                    res = pmapper.map_pair_codes(fwd.codes, fwd.lengths,
+                                                 rev.codes, rev.lengths)
+                    sc1 = revcomp_strand_codes(fwd.codes, res.m1)
+                    sc2 = revcomp_strand_codes(rev.codes, res.m2)
+                    c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1,
+                                                 mapper.sc)
+                    c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2,
+                                                 mapper.sc)
+                    out.write(sam_native.format_paired(
+                        fwd, rev, res, c1, e1, sp1, c2, e2, sp2,
+                        index.seqdb))
+                    stats = {
+                        "reads": 2 * len(fwd),
+                        "mapped": int(res.m1.mapped.sum())
+                        + int(res.m2.mapped.sum()),
+                        "proper_pairs": int(res.proper.sum()),
+                    }
+                else:
+                    recs, stats = pmapper.map_pairs_to_sam(fwd, rev)
+                    out.write(("\n".join(recs) + "\n").encode("ascii"))
                 n_reads += stats["reads"]
                 n_mapped += stats["mapped"]
                 if progress:
@@ -166,11 +188,17 @@ def cmd_map(opts: dict) -> int:
             for batch in reader:
                 res = mapper.map_codes(batch.codes, batch.lengths)
                 strand_codes = revcomp_strand_codes(batch.codes, res)
-                cigars, nms = cigars_for_result(
-                    index.seqdb.codes, strand_codes, res, mapper.sc)
-                recs = samio.records_single_end(
-                    batch, res, cigars, nms, index.seqdb)
-                out.write("\n".join(recs) + "\n")
+                if native:
+                    cig, nm, _span = cigars_nm_fast(genome, strand_codes,
+                                                    res, mapper.sc)
+                    out.write(sam_native.format_single_end(
+                        batch, res, cig, nm, index.seqdb))
+                else:
+                    cigars, nms = cigars_for_result(
+                        genome, strand_codes, res, mapper.sc)
+                    recs = samio.records_single_end(
+                        batch, res, cigars, nms, index.seqdb)
+                    out.write(("\n".join(recs) + "\n").encode("ascii"))
                 n_reads += len(batch)
                 n_mapped += int(res.mapped.sum())
                 if progress:

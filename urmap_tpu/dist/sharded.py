@@ -200,7 +200,7 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                   P("data", None), P("data")),
         out_specs={k: P("data") for k in
                    ("mapped", "pos", "strand", "score", "second", "mapq",
-                    "gapped")},
+                    "gapped", "ungapped")},
         check_vma=False,
     )
     return jax.jit(fn)

@@ -73,6 +73,126 @@ class _FastqStream:
         return name, seq.strip(), qual.strip()
 
 
+class NativeReadBatch:
+    """Zero-copy batch over a raw FASTQ chunk parsed by the C++ codec.
+
+    Device-facing arrays (codes, lengths) are materialized; names/seqs/
+    quals stay as (offset, len) spans into ``buf`` so the native SAM
+    formatter never touches Python objects. The list properties exist
+    only for compatibility with the Python formatting paths and tests.
+    """
+
+    __slots__ = ("buf", "codes", "lengths", "name_off", "name_len",
+                 "seq_off", "seq_len", "qual_off", "_names", "_seqs",
+                 "_quals")
+
+    def __init__(self, buf, codes, lengths, name_off, name_len, seq_off,
+                 seq_len, qual_off):
+        self.buf = buf
+        self.codes = codes
+        self.lengths = lengths
+        self.name_off = name_off
+        self.name_len = name_len
+        self.seq_off = seq_off
+        self.seq_len = seq_len
+        self.qual_off = qual_off
+        self._names = self._seqs = self._quals = None
+
+    def __len__(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def names(self) -> list[str]:
+        if self._names is None:
+            b = self.buf
+            self._names = [
+                bytes(b[o : o + l]).decode("ascii")
+                for o, l in zip(self.name_off, self.name_len)]
+        return self._names
+
+    @property
+    def seqs(self) -> list[bytes]:
+        if self._seqs is None:
+            b = self.buf
+            self._seqs = [bytes(b[o : o + l])
+                          for o, l in zip(self.seq_off, self.seq_len)]
+        return self._seqs
+
+    @property
+    def quals(self) -> list[bytes]:
+        if self._quals is None:
+            b = self.buf
+            self._quals = [bytes(b[o : o + l])
+                           for o, l in zip(self.qual_off, self.seq_len)]
+        return self._quals
+
+
+class _NativeFastqStream:
+    """Chunked reader: refills a byte buffer from the (possibly gzip)
+    file and batch-parses it with urmap_parse_fastq."""
+
+    CHUNK = 8 << 20
+
+    def __init__(self, path: str, codec):
+        self.path = path
+        self._codec = codec
+        self._f = _open_maybe_gzip(path)
+        self._buf = b""
+        self._eof = False
+
+    def close(self) -> None:
+        self._f.close()
+
+    def next_batch(self, n: int, max_len: int) -> NativeReadBatch | None:
+        import ctypes
+
+        need = n * (2 * max_len + 256)
+        while not self._eof and len(self._buf) < need:
+            chunk = self._f.read(max(self.CHUNK, need))
+            if not chunk:
+                self._eof = True
+                break
+            self._buf = self._buf + chunk if self._buf else chunk
+        if not self._buf:
+            return None
+
+        buf = self._buf
+        codes = np.empty((n, max_len), np.uint8)
+        lengths = np.empty(n, np.int32)
+        name_off = np.empty(n, np.int64)
+        name_len = np.empty(n, np.int32)
+        seq_off = np.empty(n, np.int64)
+        seq_len = np.empty(n, np.int32)
+        qual_off = np.empty(n, np.int64)
+        consumed = ctypes.c_int64(0)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(t)
+
+        from urmap_tpu.io.native import p_i32, p_i64, p_u8
+
+        rec = self._codec.urmap_parse_fastq(
+            buf, len(buf), max_len, n, ptr(codes, p_u8),
+            ptr(lengths, p_i32), ptr(name_off, p_i64),
+            ptr(name_len, p_i32), ptr(seq_off, p_i64),
+            ptr(seq_len, p_i32), ptr(qual_off, p_i64),
+            ctypes.byref(consumed))
+        if rec < 0:
+            raise ValueError(
+                f"{self.path}: malformed FASTQ at byte {consumed.value}")
+        if rec == 0:
+            if self._eof and consumed.value == 0:
+                if self._buf.strip():
+                    raise ValueError(f"{self.path}: truncated FASTQ record")
+                return None
+            raise ValueError(f"{self.path}: truncated FASTQ record")
+        self._buf = buf[consumed.value:]
+        r = int(rec)
+        return NativeReadBatch(buf, codes[:r], lengths[:r], name_off[:r],
+                               name_len[:r], seq_off[:r], seq_len[:r],
+                               qual_off[:r])
+
+
 class FastqReader:
     """Yields ReadBatch (single-end) or (ReadBatch, ReadBatch) pairs.
 
@@ -83,17 +203,33 @@ class FastqReader:
     """
 
     def __init__(self, path: str, reverse_path: str | None = None, *,
-                 batch_size: int = 2048, max_read_len: int = 160):
+                 batch_size: int = 2048, max_read_len: int = 160,
+                 native: bool = True):
         self.batch_size = batch_size
         self.max_read_len = max_read_len
-        self._fwd = _FastqStream(path)
-        self._rev = _FastqStream(reverse_path) if reverse_path else None
+        codec = None
+        if native:
+            from urmap_tpu.io import native as native_mod
+            codec = native_mod.lib()
+        self.native = codec is not None
+        if self.native:
+            self._fwd = _NativeFastqStream(path, codec)
+            self._rev = (_NativeFastqStream(reverse_path, codec)
+                         if reverse_path else None)
+        else:
+            self._fwd = _FastqStream(path)
+            self._rev = _FastqStream(reverse_path) if reverse_path else None
 
     @property
     def paired(self) -> bool:
         return self._rev is not None
 
-    def _collect(self, stream: _FastqStream, n: int) -> ReadBatch | None:
+    def _collect(self, stream, n: int):
+        if self.native:
+            return stream.next_batch(n, self.max_read_len)
+        return self._collect_py(stream, n)
+
+    def _collect_py(self, stream: _FastqStream, n: int) -> ReadBatch | None:
         names: list[str] = []
         seqs: list[bytes] = []
         quals: list[bytes] = []
@@ -133,9 +269,22 @@ class FastqReader:
                     return
                 if fwd is None or rev is None or len(fwd) != len(rev):
                     raise ValueError("paired FASTQ files out of sync (unequal record counts)")
-                for i, (a, b) in enumerate(zip(fwd.names, rev.names)):
-                    if a != b:
-                        raise ValueError(f"paired FASTQ name mismatch: {a!r} vs {b!r} (record {i})")
+                if self.native:
+                    # cheap desync guard: first + last name of each batch
+                    for i in (0, len(fwd) - 1):
+                        a = bytes(fwd.buf[fwd.name_off[i]:
+                                          fwd.name_off[i] + fwd.name_len[i]])
+                        b = bytes(rev.buf[rev.name_off[i]:
+                                          rev.name_off[i] + rev.name_len[i]])
+                        if a != b:
+                            raise ValueError(
+                                f"paired FASTQ name mismatch: {a!r} vs {b!r}")
+                else:
+                    for i, (a, b) in enumerate(zip(fwd.names, rev.names)):
+                        if a != b:
+                            raise ValueError(
+                                f"paired FASTQ name mismatch: {a!r} vs {b!r}"
+                                f" (record {i})")
                 yield fwd, rev
         finally:
             self.close()

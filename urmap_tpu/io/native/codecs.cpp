@@ -1,0 +1,235 @@
+// Native IO codecs: FASTQ batch parsing and SAM record formatting.
+//
+// TPU-native analog of the reference mapper's C++ sequence-IO layer
+// (SURVEY.md §2.5 FASTQ reader, §2.12 SAM writer): the device pipeline
+// consumes fixed-shape uint8 code blocks and produces per-read field
+// arrays, so the host hot loops are (a) FASTQ text -> padded code batch
+// and (b) field arrays -> SAM record text. Both are pure byte-crunching
+// with no Python object churn; exposed as a C ABI for ctypes.
+//
+// Build: urmap_tpu/io/native/__init__.py shells out to g++ -O3 -shared.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+namespace {
+
+// char -> 2-bit code tables (alphabet.py: A=0 C=1 G=2 T/U=3, read N = 5)
+constexpr uint8_t READ_N = 5;
+
+struct CharTable {
+  uint8_t t[256];
+  CharTable() {
+    memset(t, READ_N, sizeof(t));
+    t[(int)'A'] = t[(int)'a'] = 0;
+    t[(int)'C'] = t[(int)'c'] = 1;
+    t[(int)'G'] = t[(int)'g'] = 2;
+    t[(int)'T'] = t[(int)'t'] = 3;
+    t[(int)'U'] = t[(int)'u'] = 3;
+  }
+};
+const CharTable kCharTable;
+
+const char kCodeToChar[6] = {'A', 'C', 'G', 'T', 'N', 'N'};
+const char kCompChar[6] = {'T', 'G', 'C', 'A', 'N', 'N'};
+
+inline const char* find_nl(const char* p, const char* end) {
+  return static_cast<const char*>(memchr(p, '\n', end - p));
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse up to max_records FASTQ records from buf[0:n).
+//
+// Outputs (caller-allocated):
+//   codes      uint8[max_records * max_len]   2-bit codes, READ_N padded
+//   lengths    int32[max_records]             stored (truncated) length
+//   name_off/name_len  int64/int32[max_records]  QNAME span in buf
+//   seq_off/seq_len    int64/int32[max_records]  raw sequence span
+//   qual_off           int64[max_records]        quality span (len==seq_len)
+//
+// Returns number of records parsed; *consumed is set to the byte offset
+// just past the last complete record (resume point for the next chunk).
+// A record is only emitted if all four of its lines are complete in buf.
+// Returns -1 on malformed input (*consumed = offset of the bad record).
+int64_t urmap_parse_fastq(const char* buf, int64_t n, int32_t max_len,
+                          int64_t max_records, uint8_t* codes,
+                          int32_t* lengths, int64_t* name_off,
+                          int32_t* name_len, int64_t* seq_off,
+                          int32_t* seq_len, int64_t* qual_off,
+                          int64_t* consumed) {
+  const char* p = buf;
+  const char* end = buf + n;
+  int64_t rec = 0;
+  *consumed = 0;
+  while (rec < max_records && p < end) {
+    const char* rec_start = p;
+    // @name line
+    const char* l1 = find_nl(p, end);
+    if (!l1) break;
+    if (*p != '@') { *consumed = rec_start - buf; return -1; }
+    const char* nm = p + 1;
+    const char* nm_end = nm;
+    while (nm_end < l1 && *nm_end != ' ' && *nm_end != '\t' &&
+           *nm_end != '\r')
+      ++nm_end;
+    // strip /1 or /2 pair suffix (io/fastq.py convention)
+    int32_t nlen = (int32_t)(nm_end - nm);
+    if (nlen > 2 && nm_end[-2] == '/' &&
+        (nm_end[-1] == '1' || nm_end[-1] == '2'))
+      nlen -= 2;
+    // sequence line
+    const char* s = l1 + 1;
+    const char* l2 = s < end ? find_nl(s, end) : nullptr;
+    if (!l2) break;
+    const char* sq_end = l2;
+    if (sq_end > s && sq_end[-1] == '\r') --sq_end;
+    // + line
+    const char* pl = l2 + 1;
+    const char* l3 = pl < end ? find_nl(pl, end) : nullptr;
+    if (!l3) break;
+    if (*pl != '+') { *consumed = rec_start - buf; return -1; }
+    // quality line
+    const char* q = l3 + 1;
+    const char* l4 = q < end ? find_nl(q, end) : nullptr;
+    const char* q_end;
+    if (!l4) {
+      // final record may lack trailing newline; require full quality run
+      if (end - q < sq_end - s) break;
+      q_end = q + (sq_end - s);
+      p = end;
+    } else {
+      q_end = l4;
+      if (q_end > q && q_end[-1] == '\r') --q_end;
+      if (q_end - q != sq_end - s) { *consumed = rec_start - buf; return -1; }
+      p = l4 + 1;
+    }
+    int64_t slen = sq_end - s;
+    int32_t keep = slen < max_len ? (int32_t)slen : max_len;
+    uint8_t* row = codes + rec * max_len;
+    for (int32_t i = 0; i < keep; ++i)
+      row[i] = kCharTable.t[(uint8_t)s[i]];
+    if (keep < max_len) memset(row + keep, READ_N, max_len - keep);
+    lengths[rec] = keep;
+    name_off[rec] = nm - buf;
+    name_len[rec] = nlen;
+    seq_off[rec] = s - buf;
+    seq_len[rec] = (int32_t)slen;
+    qual_off[rec] = q - buf;
+    *consumed = p - buf;
+    ++rec;
+  }
+  return rec;
+}
+
+// Format one batch of SAM records into out (caller-allocated, cap bytes).
+//
+// Per-read inputs (arrays of length n):
+//   flag int32; ref_id int32 (-1 => RNAME '*'); pos1 int64 (1-based);
+//   mapq int32; mate_ref int32 / mate_pos1 int64 (-1/0 => '*'/0 fields,
+//   -2 => '='); tlen int64; score int32 (AS tag; INT32_MIN => omit);
+//   nm int32 (NM tag; <0 => omit); rev int32 (1 => emit seq/qual
+//   reverse-complemented / reversed).
+// Text inputs: the FASTQ buffer (for names/seq/qual via offsets), the
+// concatenated CIGAR strings + offsets, and the concatenated reference
+// label bytes + offsets (label i = labels[label_off[i]:label_off[i+1]]).
+//
+// Returns bytes written, or -1 if cap is too small (caller doubles).
+int64_t urmap_format_sam(
+    int64_t n, const char* fq, const int64_t* name_off,
+    const int32_t* name_len, const int64_t* seq_off, const int32_t* seq_len,
+    const int64_t* qual_off, const char* cig, const int64_t* cig_off,
+    const char* labels, const int64_t* label_off, const int32_t* flag,
+    const int32_t* ref_id, const int64_t* pos1, const int32_t* mapq,
+    const int32_t* mate_ref, const int64_t* mate_pos1, const int64_t* tlen,
+    const int32_t* score, const int32_t* nm, const int32_t* rev, char* out,
+    int64_t cap) {
+  char* o = out;
+  char* oend = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t slen = seq_len[i];
+    // worst-case record bound: fixed fields ~ 96 + name + cigar + 2*seq
+    int64_t need = 96 + name_len[i] + (cig_off[i + 1] - cig_off[i]) +
+                   2 * (int64_t)slen + 64;
+    if (oend - o < need) return -1;
+    // QNAME FLAG
+    memcpy(o, fq + name_off[i], name_len[i]);
+    o += name_len[i];
+    *o++ = '\t';
+    o += sprintf(o, "%d\t", flag[i]);
+    // RNAME POS MAPQ
+    if (ref_id[i] < 0) {
+      *o++ = '*'; *o++ = '\t'; *o++ = '0'; *o++ = '\t';
+      o += sprintf(o, "%d\t", mapq[i]);
+    } else {
+      int64_t lo = label_off[ref_id[i]], hi = label_off[ref_id[i] + 1];
+      memcpy(o, labels + lo, hi - lo);
+      o += hi - lo;
+      *o++ = '\t';
+      o += sprintf(o, "%lld\t%d\t", (long long)pos1[i], mapq[i]);
+    }
+    // CIGAR
+    int64_t clo = cig_off[i], chi = cig_off[i + 1];
+    if (chi > clo) {
+      memcpy(o, cig + clo, chi - clo);
+      o += chi - clo;
+    } else {
+      *o++ = '*';
+    }
+    *o++ = '\t';
+    // RNEXT PNEXT TLEN
+    if (mate_ref[i] == -2) {
+      *o++ = '='; *o++ = '\t';
+      o += sprintf(o, "%lld\t%lld\t", (long long)mate_pos1[i],
+                   (long long)tlen[i]);
+    } else if (mate_ref[i] < 0) {
+      *o++ = '*'; *o++ = '\t'; *o++ = '0'; *o++ = '\t'; *o++ = '0';
+      *o++ = '\t';
+    } else {
+      int64_t lo = label_off[mate_ref[i]], hi = label_off[mate_ref[i] + 1];
+      memcpy(o, labels + lo, hi - lo);
+      o += hi - lo;
+      *o++ = '\t';
+      o += sprintf(o, "%lld\t%lld\t", (long long)mate_pos1[i],
+                   (long long)tlen[i]);
+    }
+    // SEQ QUAL
+    const char* s = fq + seq_off[i];
+    const char* q = fq + qual_off[i];
+    if (rev[i]) {
+      for (int32_t j = slen - 1; j >= 0; --j)
+        *o++ = kCompChar[kCharTable.t[(uint8_t)s[j]]];
+      *o++ = '\t';
+      for (int32_t j = slen - 1; j >= 0; --j) *o++ = q[j];
+    } else {
+      memcpy(o, s, slen);
+      o += slen;
+      *o++ = '\t';
+      memcpy(o, q, slen);
+      o += slen;
+    }
+    // tags
+    if (score[i] != INT32_MIN) o += sprintf(o, "\tAS:i:%d", score[i]);
+    if (nm[i] >= 0) o += sprintf(o, "\tNM:i:%d", nm[i]);
+    *o++ = '\n';
+  }
+  return o - out;
+}
+
+// M-only CIGAR fast path: "{len}M" for every read; returns strings via
+// the same concatenated-buffer convention. (Gapped reads overwrite their
+// entry host-side before formatting.)
+void urmap_cigars_all_match(int64_t n, const int32_t* lengths, char* cig,
+                            int64_t* cig_off) {
+  char* o = cig;
+  cig_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    o += sprintf(o, "%dM", lengths[i]);
+    cig_off[i + 1] = o - cig;
+  }
+}
+
+}  // extern "C"

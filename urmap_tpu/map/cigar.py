@@ -95,6 +95,43 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
     return "".join(out), score, nm
 
 
+def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
+                   sc: ScoreConfig):
+    """Vectorized CIGAR/NM for a MapResult (native-writer fast path).
+
+    M-only winners (the vast majority) get "{L}M" and an NM derived from
+    the device ungapped score — mm = (L·match − ung)/(match − mismatch) —
+    with no genome gather; only gapped winners run the Python traceback.
+
+    Returns (cigars object-array[n], nm int32[n], ref_span int32[n]);
+    unmapped entries hold ("", -1, 0).
+    """
+    n = len(result.mapped)
+    L = result.lengths.astype(np.int64)
+    mapped = result.mapped.astype(bool)
+    gapped = result.gapped.astype(bool)
+    denom = sc.match - sc.mismatch
+    assert result.ungapped is not None, "device output lacks 'ungapped'"
+    ung = result.ungapped.astype(np.int64)
+    m_only = mapped & ~gapped
+    nm = np.where(m_only, (L * sc.match - ung) // denom, -1).astype(np.int32)
+    span = np.where(m_only, L, 0).astype(np.int32)
+    cig = np.where(m_only, np.char.add(L.astype("U6"), "M"), "").astype(object)
+    if gapped.any():
+        from urmap_tpu.io.sam import ref_consumed
+        for i in np.nonzero(mapped & gapped)[0]:
+            li = int(L[i])
+            c, score, e = traceback(genome, strand_codes[i][:li],
+                                    int(result.pos[i]), sc)
+            if score != int(result.score[i]):  # pragma: no cover
+                raise AssertionError(
+                    f"traceback score {score} != device {result.score[i]}")
+            cig[i] = c
+            nm[i] = e
+            span[i] = ref_consumed(c)
+    return cig, nm, span
+
+
 def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
                       result, sc: ScoreConfig) -> tuple[list[str], list[int]]:
     """CIGAR + NM per read for a MapResult. ``reads_codes`` must be

@@ -216,6 +216,9 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                            jnp.where(rescued,
                                      resc["ungapped"] < resc["score"],
                                      se["gapped"]))
+        ung = jnp.where(proper, p_ung,
+                        jnp.where(rescued, resc["ungapped"],
+                                  se["ungapped"]))
         mapq = jnp.where(proper, jnp.maximum(se["mapq"], pair_mapq),
                          jnp.where(rescued, resc_mapq, se["mapq"]))
         mapq = jnp.where(mapped, mapq, 0)
@@ -227,6 +230,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
             "second": se["second"],
             "mapq": mapq,
             "gapped": mapped & gapped,
+            "ungapped": ung,
         }
 
     out1 = mate_out(se1, c1, pair["i1"], is_first=True)

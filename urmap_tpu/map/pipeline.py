@@ -53,6 +53,7 @@ class MapResult:
     mapq: np.ndarray     # int32
     gapped: np.ndarray   # bool: CIGAR needs traceback (else all-M)
     lengths: np.ndarray  # int32
+    ungapped: np.ndarray | None = None  # int32 M-only rescore at pos
 
     @classmethod
     def from_device(cls, out: dict, lengths) -> "MapResult":
@@ -65,6 +66,8 @@ class MapResult:
             mapq=np.asarray(out["mapq"]),
             gapped=np.asarray(out["gapped"]),
             lengths=np.asarray(lengths),
+            ungapped=(np.asarray(out["ungapped"])
+                      if "ungapped" in out else None),
         )
 
 
@@ -137,10 +140,15 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
 def revcomp_strand_codes(codes: np.ndarray, result: MapResult) -> np.ndarray:
     """Host helper: strand-applied read codes (rc rows reversed-complemented
     in place of the original) for CIGAR recomputation / verification."""
+    sel = np.asarray(result.mapped & (result.strand == 1))
+    if not sel.any():
+        return codes
     out = codes.copy()
-    for i in np.nonzero(result.mapped & (result.strand == 1))[0]:
-        L = int(result.lengths[i])
-        out[i, :L] = alphabet.revcomp(codes[i, :L])
+    sub = codes[sel]
+    lens = np.asarray(result.lengths)[sel][:, None]
+    i = np.arange(codes.shape[1])[None, :]
+    idx = np.where(i < lens, lens - 1 - i, i)
+    out[sel] = _COMP[np.take_along_axis(sub, idx, axis=1)]
     return out
 
 

@@ -67,4 +67,5 @@ def select_hits(pos, scores, strands, valid, lengths, ungapped, *, mc: MapConfig
         "second": second,
         "mapq": mapq,
         "gapped": mapped & (best_ung < best_score),
+        "ungapped": best_ung,
     }
