@@ -81,7 +81,10 @@ def main(argv=None):
     gseq = rng.integers(0, 4, size=glen).astype(np.uint8)
     db = SeqDB.from_seqs(["chr1"], [gseq])
     icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
-    index = build_index(db, icfg)
+    # host build: bit-identical to the device build, and this platform's
+    # remote XLA compiles are uncached — don't pay the sort compile on
+    # every bench run (the map program is the headline)
+    index = build_index(db, icfg, backend="host")
     t_index = time.monotonic() - t0
 
     codes, truth_pos, truth_strand = synth_reads(

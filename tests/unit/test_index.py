@@ -94,3 +94,16 @@ def test_separator_blocks_cross_sequence_words(rng):
     for p, r in zip(idx.positions, ref_id):
         local = int(p) - int(db.starts[r])
         assert 0 <= local <= int(db.lengths[r]) - cfg.k
+
+
+def test_host_build_matches_device(rng):
+    from tests.utils import make_seqdb
+    from urmap_tpu.config import IndexConfig
+    from urmap_tpu.index.build import build_index
+
+    db = make_seqdb(rng, [30_000, 10_000])
+    cfg = IndexConfig(slot_bits=14, max_positions_per_slot=8)
+    a = build_index(db, cfg, backend="device")
+    b = build_index(db, cfg, backend="host")
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    np.testing.assert_array_equal(a.positions, b.positions)

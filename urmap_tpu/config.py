@@ -91,6 +91,15 @@ class MapConfig:
     # (match=+1 ⇒ perfect read of length L scores L).
     # PARITY-TODO: reference's min identity / score threshold.
     min_score_frac: float = 0.4
+    # Gapped-DP trigger: a read enters the banded DP only when its best
+    # ungapped candidate has more than this many mismatches (the
+    # reference verifies ungapped first and extends gapped only when
+    # needed, SURVEY.md §3.2). PARITY-TODO: reference's trigger rule.
+    dp_trigger_mismatches: int = 3
+    # DP lane budget: at most batch_size // dp_capacity_frac reads per
+    # batch run the gapped DP (fixed XLA shapes; overflow reads keep
+    # their ungapped result and are counted in stats).
+    dp_capacity_frac: int = 4
     # MAPQ ceiling. PARITY-TODO: reference's exact MAPQ formula & cap
     # (SURVEY.md §0.1 item 3).
     max_mapq: int = 42

@@ -1,0 +1,180 @@
+"""Multi-host wiring: process init, per-host input sharding, SAM merge,
+and batch-watermark restart (SURVEY.md §2.13, §5.3, §5.4).
+
+The reference is single-node; its restart story is "rerun from scratch"
+and its output is one stream behind a mutex. The TPU build runs the same
+program on every host of a slice (SPMD over DCN):
+
+  * each host parses a disjoint byte range of the FASTQ (record-aligned),
+  * maps its batches on its local devices (or its slice of the global
+    mesh via dist/sharded.py),
+  * appends SAM records to a per-host shard file, committing a watermark
+    line after every durable batch append,
+  * host 0 concatenates shards in rank order after a barrier — output is
+    deterministic by construction (batch k of shard r is a pure function
+    of the input bytes).
+
+Restart = rerun with -resume: each host fast-forwards its byte range to
+the watermark and truncates a half-written tail. No in-flight elasticity
+(the mesh is fixed per run) — documented limitation matching reference
+semantics (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+__all__ = [
+    "maybe_init_distributed", "process_index", "process_count",
+    "fastq_byte_ranges", "ShardWriter", "merge_shards", "barrier",
+]
+
+
+def maybe_init_distributed() -> None:
+    """jax.distributed.initialize when launched as a multi-process job
+    (coordinator env vars present); harmless no-op otherwise."""
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def _align_to_record(f, pos: int, limit: int) -> int:
+    """Scan forward from byte ``pos`` to the start of a FASTQ record.
+
+    A line starting with '@' is a header (not a quality line) iff the
+    line after its next line starts with '+'. Quality lines can also
+    start with '@', so the 4-line phase must be confirmed structurally.
+    """
+    if pos == 0:
+        return 0
+    f.seek(pos)
+    f.readline()  # discard partial line
+    while True:
+        start = f.tell()
+        if start >= limit:
+            return limit
+        l1 = f.readline()
+        if not l1:
+            return start
+        if l1.startswith(b"@"):
+            f.readline()
+            l3 = f.readline()
+            if l3.startswith(b"+"):
+                return start
+            f.seek(start)
+            f.readline()
+
+
+def fastq_byte_ranges(path: str, n: int) -> list[tuple[int, int]]:
+    """Split a (plain, uncompressed) FASTQ into n record-aligned byte
+    ranges. Gzip inputs can't be range-split — caller shards by file or
+    round-robin batch instead."""
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        cuts = [0]
+        for i in range(1, n):
+            cuts.append(_align_to_record(f, i * size // n, size))
+        cuts.append(size)
+    # monotonicity (tiny files may collapse ranges to empty)
+    for i in range(1, len(cuts)):
+        cuts[i] = max(cuts[i], cuts[i - 1])
+    return [(cuts[i], cuts[i + 1]) for i in range(n)]
+
+
+@dataclass
+class Watermark:
+    batches: int = 0
+    bytes_out: int = 0
+    reads: int = 0
+
+    def to_json(self) -> str:
+        return json.dumps({"batches": self.batches,
+                           "bytes_out": self.bytes_out,
+                           "reads": self.reads})
+
+
+class ShardWriter:
+    """Append-only per-host SAM shard with a durable batch watermark.
+
+    Layout: ``<out>.shard<rank>`` + ``<out>.shard<rank>.wm`` (one JSON
+    line, rewritten after each batch). On resume, the shard is truncated
+    to the last committed byte offset and ``batches`` tells the caller
+    how many input batches to skip.
+    """
+
+    def __init__(self, out_path: str, rank: int, resume: bool = False):
+        self.path = f"{out_path}.shard{rank}"
+        self.wm_path = self.path + ".wm"
+        self.wm = Watermark()
+        mode = "r+b" if (resume and os.path.exists(self.path)) else "wb"
+        if mode == "r+b" and os.path.exists(self.wm_path):
+            with open(self.wm_path) as f:
+                d = json.load(f)
+            self.wm = Watermark(**d)
+            self._f = open(self.path, "r+b")
+            self._f.truncate(self.wm.bytes_out)
+            self._f.seek(self.wm.bytes_out)
+        else:
+            self._f = open(self.path, "wb")
+        self.skip_batches = self.wm.batches
+
+    def append_batch(self, data: bytes, n_reads: int) -> None:
+        self._f.write(data)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self.wm.batches += 1
+        self.wm.bytes_out += len(data)
+        self.wm.reads += n_reads
+        tmp = self.wm_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(self.wm.to_json())
+        os.replace(tmp, self.wm_path)
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def merge_shards(out_path: str, n_shards: int, header: bytes,
+                 cleanup: bool = True) -> None:
+    """Rank-ordered concatenation of shard files into the final SAM."""
+    with open(out_path, "wb") as out:
+        out.write(header)
+        for r in range(n_shards):
+            shard = f"{out_path}.shard{r}"
+            with open(shard, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 24)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            if cleanup:
+                os.remove(shard)
+                wm = shard + ".wm"
+                if os.path.exists(wm):
+                    os.remove(wm)
+
+
+def barrier(name: str = "urmap") -> None:
+    """Cross-host barrier (no-op single-process)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -38,10 +38,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index.store import UfiIndex
 from urmap_tpu.map.dp import banded_semiglobal
-from urmap_tpu.map.pipeline import MapResult, revcomp_batch
-from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
-                                gather_candidates, vote_top_candidates)
-from urmap_tpu.map.select import select_hits
+from urmap_tpu.map.pipeline import MapResult, map_batch_device
+from urmap_tpu.map.seed import SENTINEL, gather_candidates
 
 
 def make_mesh(n_devices: int | None = None, *, data: int | None = None,
@@ -119,71 +117,54 @@ def _sharded_step(offsets, positions, genome, reads, lengths, *,
                   icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
                   sps: int, n_index: int):
     """Per-device body under shard_map. Shapes are the local blocks:
-    offsets [1, sps+1], positions [1, pmax], reads [b, L], lengths [b]."""
+    offsets [1, sps+1], positions [1, pmax], reads [b, L], lengths [b].
+
+    Reuses the single-device pipeline (map/pipeline.py) with two mesh-
+    aware runners plugged in: the CSR gather answers only locally-owned
+    hash slots and psum-combines partials, and the gapped-DP bucket is
+    chunked across the "index" axis and rejoined with all_gather."""
     offsets = offsets[0]
     positions = positions[0]
-    b, L = reads.shape
-    q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
+    p = mcfg.positions_per_seed
     my = jax.lax.axis_index("index")
     my_base = my.astype(jnp.int32) * jnp.int32(sps)
 
-    rc = revcomp_batch(reads, lengths)
-    reads2 = jnp.concatenate([reads, rc], axis=0)
-    lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+    def gather_runner(slots, offs, valid):
+        rel = slots.astype(jnp.int32) - my_base
+        owned = valid & (rel >= 0) & (rel < sps)
+        rel = jnp.clip(rel, 0, sps - 1)
+        cand = gather_candidates(offsets, positions, rel.astype(jnp.uint32),
+                                 offs, owned, p=p)
+        # exactly one shard owns each (read, seed): psum masked partials
+        hit = cand != SENTINEL
+        summed = jax.lax.psum(jnp.where(hit, cand, 0), "index")
+        n_hit = jax.lax.psum(hit.astype(jnp.int32), "index")
+        return jnp.where(n_hit > 0, summed, SENTINEL)
 
-    slots, offs, valid = extract_seed_slots(
-        reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
-    rel = slots.astype(jnp.int32) - my_base
-    owned = valid & (rel >= 0) & (rel < sps)
-    rel = jnp.clip(rel, 0, sps - 1)
-    cand = gather_candidates(offsets, positions, rel.astype(jnp.uint32),
-                             offs, owned, p=p)            # [2b, q*p]
+    def dp_runner(flat_cand, flat_reads, flat_lens):
+        n = flat_cand.shape[0]
+        chunk = -(-n // n_index)
+        npad = chunk * n_index
+        if npad != n:
+            flat_cand = jnp.pad(flat_cand, (0, npad - n))
+            flat_reads = jnp.pad(flat_reads, ((0, npad - n), (0, 0)))
+            flat_lens = jnp.pad(flat_lens, (0, npad - n))
+        start = my.astype(jnp.int32) * jnp.int32(chunk)
+        my_cand = jax.lax.dynamic_slice_in_dim(flat_cand, start, chunk)
+        my_reads = jax.lax.dynamic_slice_in_dim(flat_reads, start, chunk,
+                                                axis=0)
+        my_lens = jax.lax.dynamic_slice_in_dim(flat_lens, start, chunk)
+        s_, d0_, ung_ = banded_semiglobal(
+            genome, my_cand, my_reads, my_lens,
+            hw=mcfg.band_halfwidth, sc=sc)
+        s = jax.lax.all_gather(s_, "index", tiled=True)[:n]
+        d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
+        ung = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
+        return s, d0, ung
 
-    # exactly one shard owns each (read, seed): psum the masked partials
-    hit = cand != SENTINEL
-    summed = jax.lax.psum(jnp.where(hit, cand, 0), "index")
-    n_hit = jax.lax.psum(hit.astype(jnp.int32), "index")
-    cand_all = jnp.where(n_hit > 0, summed, SENTINEL)
-
-    top_cand, _votes = vote_top_candidates(cand_all, v=v)  # [2b, V]
-
-    # ---- DP stage, compute-sharded over "index" ----
-    flat_cand = top_cand.reshape(-1)                       # [2b*V]
-    flat_reads = jnp.repeat(reads2, v, axis=0)
-    flat_lens = jnp.repeat(lengths2, v, axis=0)
-    n = flat_cand.shape[0]
-    chunk = -(-n // n_index)
-    npad = chunk * n_index
-    if npad != n:
-        flat_cand = jnp.pad(flat_cand, (0, npad - n),
-                            constant_values=int(SENTINEL))
-        flat_reads = jnp.pad(flat_reads, ((0, npad - n), (0, 0)))
-        flat_lens = jnp.pad(flat_lens, (0, npad - n))
-    start = my.astype(jnp.int32) * jnp.int32(chunk)
-    my_cand = jax.lax.dynamic_slice_in_dim(flat_cand, start, chunk)
-    my_reads = jax.lax.dynamic_slice_in_dim(flat_reads, start, chunk, axis=0)
-    my_lens = jax.lax.dynamic_slice_in_dim(flat_lens, start, chunk)
-    sc_, d0_, ung_ = banded_semiglobal(
-        genome, jnp.where(my_cand == SENTINEL, 0, my_cand),
-        my_reads, my_lens, hw=mcfg.band_halfwidth, sc=sc)
-    scores = jax.lax.all_gather(sc_, "index", tiled=True)[:n]
-    d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
-    ungapped = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
-
-    def fold(x):
-        x = x.reshape(2, b, v)
-        return jnp.concatenate([x[0], x[1]], axis=1)       # [b, 2V]
-
-    cand_f = fold(top_cand)
-    scores_f = fold(scores)
-    d0_f = fold(d0)
-    ung_f = fold(ungapped)
-    strands = jnp.concatenate([
-        jnp.zeros((b, v), jnp.int32), jnp.ones((b, v), jnp.int32)], axis=1)
-    pos = cand_f + d0_f
-    valid_c = cand_f != SENTINEL
-    return select_hits(pos, scores_f, strands, valid_c, lengths, ung_f,
-                       mc=mcfg, k=icfg.k)
+    return map_batch_device({"genome": genome}, reads, lengths,
+                            icfg=icfg, mcfg=mcfg, sc=sc,
+                            dp_runner=dp_runner, gather_runner=gather_runner)
 
 
 def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
@@ -200,7 +181,7 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                   P("data", None), P("data")),
         out_specs={k: P("data") for k in
                    ("mapped", "pos", "strand", "score", "second", "mapq",
-                    "gapped", "ungapped")},
+                    "gapped", "ungapped", "dp_ran")},
         check_vma=False,
     )
     return jax.jit(fn)

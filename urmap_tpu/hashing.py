@@ -74,6 +74,48 @@ def words_to_slots(lo, hi, slot_bits: int):
     return hash_words(lo, hi) & jnp.uint32((1 << slot_bits) - 1)
 
 
+def extract_words_np(codes: np.ndarray, k: int):
+    """Host (numpy) twin of extract_words — identical outputs, uint32
+    wraparound semantics. Used by the host index-build backend."""
+    if not 1 <= k <= MAX_K:
+        raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
+    n = codes.shape[0] - k + 1
+    if n <= 0:
+        raise ValueError(f"sequence shorter than k={k}")
+    lo = np.zeros(n, np.uint32)
+    hi = np.zeros(n, np.uint32)
+    valid = np.ones(n, np.bool_)
+    lo_bases = min(k, 16)
+    for i in range(k):
+        c = codes[i : i + n]
+        valid &= c < 4
+        c32 = (c & 3).astype(np.uint32)
+        if i < k - lo_bases:
+            hi = (hi << np.uint32(2)) | c32
+        else:
+            lo = (lo << np.uint32(2)) | c32
+    return lo, hi, valid
+
+
+def hash_words_np(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Host twin of hash_words (bit-identical)."""
+    lo = lo.astype(np.uint32)
+    hi = hi.astype(np.uint32)
+    with np.errstate(over="ignore"):
+        h = lo * np.uint32(0x9E3779B1)
+        h ^= hi * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x7FEB352D)
+        h ^= h >> np.uint32(15)
+        h *= np.uint32(0x846CA68B)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def words_to_slots_np(lo, hi, slot_bits: int) -> np.ndarray:
+    return hash_words_np(lo, hi) & np.uint32((1 << slot_bits) - 1)
+
+
 def kmer_to_word(codes: np.ndarray) -> tuple[int, int]:
     """Host helper: one k-mer code array → (lo, hi) ints (tests/tools)."""
     k = len(codes)

@@ -77,16 +77,40 @@ def _cap_slots(slots: np.ndarray, pos: np.ndarray, num_slots: int, cap: int):
     return slots, pos, offsets64.astype(np.int32)
 
 
+def _host_sorted_slots(codes: np.ndarray, k: int, slot_bits: int):
+    """Host (numpy) build path: same (slot, pos) pairs as the device
+    path, sorted by (slot, pos). Used when the device compile cost isn't
+    worth it (small genomes, benchmarks, environments where XLA compiles
+    are remote/uncached)."""
+    from urmap_tpu.hashing import extract_words_np, words_to_slots_np
+
+    lo, hi, valid = extract_words_np(codes, k)
+    slots = words_to_slots_np(lo, hi, slot_bits)
+    pos = np.nonzero(valid)[0].astype(np.uint32)
+    slots = slots[valid]
+    order = np.argsort(slots, kind="stable")  # stable ⇒ pos ascending
+    return slots[order], pos[order]
+
+
 def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
-                chunk: int = DEFAULT_CHUNK) -> UfiIndex:
+                chunk: int = DEFAULT_CHUNK,
+                backend: str = "device") -> UfiIndex:
     """Build the UFI index for a SeqDB. ``cfg=None`` auto-sizes slot_bits
-    from the genome length."""
+    from the genome length. ``backend``: "device" (XLA sort pipeline) or
+    "host" (numpy twin — bit-identical output)."""
     if cfg is None:
         cfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(seqdb.total_len))
     codes = seqdb.codes
     n_words = codes.shape[0] - cfg.k + 1
     if n_words <= 0:
         raise ValueError("genome shorter than k")
+
+    if backend == "host":
+        slots, pos = _host_sorted_slots(codes, cfg.k, cfg.slot_bits)
+        slots, pos, offsets = _cap_slots(slots, pos, cfg.num_slots,
+                                         cfg.max_positions_per_slot)
+        return UfiIndex(config=cfg, offsets=offsets,
+                        positions=pos.astype(np.uint32), seqdb=seqdb)
 
     runs: list[tuple[np.ndarray, np.ndarray]] = []
     start = 0

@@ -23,7 +23,7 @@ import numpy as np
 
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
-from urmap_tpu.map.dp import banded_semiglobal
+from urmap_tpu.map.dp import NEG, banded_semiglobal
 from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
                                 gather_candidates, vote_top_candidates)
 from urmap_tpu.map.select import select_hits
@@ -71,16 +71,40 @@ class MapResult:
         )
 
 
-def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
-                            mcfg: MapConfig, sc: ScoreConfig):
-    """Seed → vote → banded DP for one batch; both strands.
+def _ungapped_scores(genome, cand, reads, lengths, sc: ScoreConfig):
+    """Ungapped match/mismatch score of each read placed at its candidate
+    start. cand int32[N], reads uint8[N, L], lengths int32[N] → int32[N]."""
+    G = genome.shape[0]
+    N, L = reads.shape
+    gidx = cand[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    g = jnp.take(genome, jnp.clip(gidx, 0, G - 1).astype(jnp.int32), axis=0)
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    return jnp.sum(
+        jnp.where(in_read,
+                  jnp.where(g == reads, sc.match, sc.mismatch),
+                  0).astype(jnp.int32), axis=-1)
 
-    Returns a dict of per-read candidate arrays [B, 2V] (fwd candidates in
-    columns [:V], rc in [V:]): pos (DP start-tracked), score, strand,
-    valid, ungapped. Shared by single-end select and paired-end pairing.
+
+def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
+                            mcfg: MapConfig, sc: ScoreConfig,
+                            dp_runner=None, gather_runner=None):
+    """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
+
+    The reference verifies candidates ungapped first and only runs the
+    gapped DP when the diagonal has too many mismatches (SURVEY.md §3.2);
+    here that becomes a fixed-capacity bucket: the top
+    ``B // dp_capacity_frac`` reads flagged by the trigger run the banded
+    DP on all their candidates, everyone else keeps the (identical when
+    gap-free) ungapped score. Kills ~95% of DP work on typical data.
+
+    Returns a dict of per-read candidate arrays [B, 2V] (fwd candidates
+    in columns [:V], rc in [V:]): pos, score, strand, valid, ungapped,
+    plus per-read dp_ran / dp_overflow [B]. ``dp_runner`` lets the
+    sharded path split the DP lanes across the mesh (dist/sharded.py).
     """
     B, L = reads.shape
     q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
+    neg = jnp.int32(NEG)
 
     rc = revcomp_batch(reads, lengths)
     reads2 = jnp.concatenate([reads, rc], axis=0)          # [2B, L]
@@ -88,45 +112,117 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
     slots, offs, valid = extract_seed_slots(
         reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
-    cand = gather_candidates(
-        tables["offsets"], tables["positions"], slots, offs, valid, p=p)
-    top_cand, votes = vote_top_candidates(cand, v=v)        # [2B, V]
+    if gather_runner is None:
+        cand = gather_candidates(
+            tables["offsets"], tables["positions"], slots, offs, valid, p=p)
+    else:
+        cand = gather_runner(slots, offs, valid)
+    top_cand, _votes = vote_top_candidates(cand, v=v)       # [2B, V]
 
+    # ---- ungapped verification of every candidate ----
     flat_cand = top_cand.reshape(-1)                         # [2B*V]
     flat_reads = jnp.repeat(reads2, v, axis=0)
     flat_lens = jnp.repeat(lengths2, v, axis=0)
-    scores, d0, ungapped = banded_semiglobal(
+    ung = _ungapped_scores(
         tables["genome"], jnp.where(flat_cand == SENTINEL, 0, flat_cand),
-        flat_reads, flat_lens, hw=mcfg.band_halfwidth, sc=sc)
+        flat_reads, flat_lens, sc).reshape(2 * B, v)
 
-    # fold strands back: candidates for read b are rows b (fwd) and B+b (rc)
     def fold(x):
         x = x.reshape(2, B, v)
         return jnp.concatenate([x[0], x[1]], axis=1)        # [B, 2V]
 
     cand_f = fold(top_cand)
-    scores_f = fold(scores.reshape(2 * B, v))
-    d0_f = fold(d0.reshape(2 * B, v))
-    ung_f = fold(ungapped.reshape(2 * B, v))
+    ung_f = fold(ung)
+    valid_c = cand_f != SENTINEL
     strands = jnp.concatenate([
         jnp.zeros((B, v), jnp.int32), jnp.ones((B, v), jnp.int32)], axis=1)
 
+    ung_masked = jnp.where(valid_c, ung_f, neg)
+    best_ung = jnp.max(ung_masked, axis=-1)
+
+    # ---- gapped-DP bucket rounds ----
+    # A while_loop serves D = B/dp_capacity_frac flagged reads per round
+    # until none remain: clean batches pay one small DP, pathological
+    # batches still get full coverage (static shapes throughout; the
+    # round count is the only runtime-variable quantity, and it is
+    # identical on every "index" mesh shard — the inputs to ``need_dp``
+    # are psum-combined and replicated — so collectives inside dp_runner
+    # stay in lockstep).
+    trigger = (lengths * sc.match
+               - mcfg.dp_trigger_mismatches * (sc.match - sc.mismatch))
+    need_dp = (best_ung > neg) & (best_ung < trigger) & (lengths >= icfg.k)
+    D = max(B // mcfg.dp_capacity_frac, 1)
+    if dp_runner is None:
+        def dp_runner(c, r, ln):
+            return banded_semiglobal(tables["genome"], c, r, ln,
+                                     hw=mcfg.band_halfwidth, sc=sc)
+
+    def unfold(x):                                           # [2D*V] → [D, 2V]
+        x = x.reshape(2, D, v)
+        return jnp.concatenate([x[0], x[1]], axis=1)
+
+    def round_cond(state):
+        _, _, _, served = state
+        return jnp.any(need_dp & ~served)
+
+    def round_body(state):
+        scores_f, pos_f, ungapped_f, served = state
+        key = (need_dp & ~served).astype(jnp.int32)
+        sel, idx = jax.lax.top_k(key, D)                     # read rows
+        do = sel > 0                                         # [D]
+
+        sub_cand = cand_f[idx]                               # [D, 2V]
+        sub_reads2 = jnp.concatenate([reads2[idx], reads2[B + idx]], axis=0)
+        sub_lens = lengths[idx]
+        sub_lens2 = jnp.concatenate([sub_lens, sub_lens], axis=0)
+        sub_cand2 = jnp.concatenate(
+            [sub_cand[:, :v], sub_cand[:, v:]], axis=0)      # [2D, V]
+        dflat_cand = sub_cand2.reshape(-1)                   # [2D*V]
+        dflat_reads = jnp.repeat(sub_reads2, v, axis=0)
+        dflat_lens = jnp.repeat(sub_lens2, v, axis=0)
+        dp_s, dp_d0, dp_ung = dp_runner(
+            jnp.where(dflat_cand == SENTINEL, 0, dflat_cand),
+            dflat_reads, dflat_lens)
+        dp_s = unfold(dp_s)
+        dp_d0 = unfold(dp_d0)
+        dp_ung = unfold(dp_ung)
+
+        sub_valid = sub_cand != SENTINEL
+        upd = do[:, None] & sub_valid
+        scores_f = scores_f.at[idx].set(
+            jnp.where(upd, dp_s, scores_f[idx]))
+        pos_f = pos_f.at[idx].set(
+            jnp.where(upd, sub_cand + dp_d0, pos_f[idx]))
+        ungapped_f = ungapped_f.at[idx].set(
+            jnp.where(upd, dp_ung, ungapped_f[idx]))
+        served = served.at[idx].set(served[idx] | do)
+        return scores_f, pos_f, ungapped_f, served
+
+    scores_f, pos_f, ungapped_f, served = jax.lax.while_loop(
+        round_cond, round_body,
+        (ung_masked, cand_f, ung_masked, jnp.zeros((B,), jnp.bool_)))
+
     return {
-        "pos": cand_f + d0_f,
+        "pos": pos_f,
         "score": scores_f,
         "strand": strands,
-        "valid": cand_f != SENTINEL,
-        "ungapped": ung_f,
+        "valid": valid_c,
+        "ungapped": ungapped_f,
+        "dp_ran": served,
     }
 
 
 def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
-                     mcfg: MapConfig, sc: ScoreConfig):
+                     mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
+                     gather_runner=None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
-                                mcfg=mcfg, sc=sc)
-    return select_hits(c["pos"], c["score"], c["strand"], c["valid"],
-                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
+                                mcfg=mcfg, sc=sc, dp_runner=dp_runner,
+                                gather_runner=gather_runner)
+    out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
+                      lengths, c["ungapped"], mc=mcfg, k=icfg.k)
+    out["dp_ran"] = c["dp_ran"]
+    return out
 
 
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,

@@ -80,18 +80,24 @@ def vote_top_candidates(cand, *, v: int):
     Votes = number of seeds that proposed the exact same candidate start.
     Only run heads (first occurrence) are eligible, so the top-V are
     distinct. votes == 0 marks empty lanes (cand == SENTINEL there).
+
+    Run lengths come from one sort + two O(log M) cumulative scans (no
+    per-element binary search — a vmapped searchsorted here was ~30× the
+    cost of the whole rest of the pipeline on TPU).
     """
+    n, m = cand.shape
     sorted_c = jnp.sort(cand, axis=-1)
-
-    def row_counts(row):
-        left = jnp.searchsorted(row, row, side="left")
-        right = jnp.searchsorted(row, row, side="right")
-        return left, right
-
-    left, right = jax.vmap(row_counts)(sorted_c)
-    m = cand.shape[-1]
-    is_head = left == jnp.arange(m, dtype=left.dtype)[None, :]
-    votes = (right - left).astype(jnp.int32)
+    idx = jnp.arange(m, dtype=jnp.int32)[None, :]
+    is_head = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.bool_),
+         sorted_c[:, 1:] != sorted_c[:, :-1]], axis=-1)
+    # next_head[i] = position of the first head strictly after i
+    headpos = jnp.where(is_head, idx, m)
+    next_head = jax.lax.cummin(
+        jnp.concatenate([headpos[:, 1:], jnp.full((n, 1), m, jnp.int32)],
+                        axis=-1),
+        axis=1, reverse=True)
+    votes = (next_head - idx).astype(jnp.int32)  # run length, at heads
     key = jnp.where(is_head & (sorted_c != SENTINEL), votes, 0)
     top_votes, top_idx = jax.lax.top_k(key, v)
     top_cand = jnp.take_along_axis(sorted_c, top_idx, axis=-1)
