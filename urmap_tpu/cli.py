@@ -36,7 +36,12 @@ Index build:
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
-      [-log <file>] [-metrics <file.jsonl>] [-quiet]
+      [-log <file>] [-metrics <file.jsonl>] [-quiet] [-resume]
+
+Multi-host: launch the same -map command on every host of the slice
+(JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
+deterministically on rank 0. -resume restarts a run from the last
+durable batch watermark.
 
 Other: -version, -help
 """
@@ -46,7 +51,7 @@ _FLAGS = {
     "make_ufi": True, "output": True, "wordlength": True, "slot_bits": True,
     "maxpos": True, "veryfast": False,
     "map": True, "ufi": True, "samout": True, "reverse": True,
-    "threads": True, "batch": True, "maxreadlen": True,
+    "threads": True, "batch": True, "maxreadlen": True, "resume": False,
     "log": True, "metrics": True, "quiet": False,
     "version": False, "help": False,
 }
@@ -145,71 +150,99 @@ def cmd_map(opts: dict) -> int:
     progress = Progress("reads") if not quiet else None
     cmdline = "urmap-tpu " + " ".join(sys.argv[1:])
 
+    # Multi-host SPMD: every process runs this same command; batches are
+    # round-robined by rank, each rank appends to its own watermarked
+    # shard, and rank 0 merges in rank order (dist/multihost.py).
+    from urmap_tpu.dist import multihost as mh
+
+    mh.maybe_init_distributed()
+    rank, nproc = mh.process_index(), mh.process_count()
+    resume = bool(opts.get("resume"))
+
     genome = index.seqdb.codes
     n_reads = n_mapped = 0
     t_map0 = time.monotonic()
-    with open(str(samout), "wb") as out:
-        out.write(samio.sam_header(index.seqdb, cmdline).encode("ascii"))
-        reader = FastqReader(fq, str(reverse) if reverse else None,
-                             batch_size=mcfg.batch_size,
-                             max_read_len=mcfg.max_read_len)
-        native = reader.native and sam_native.available()
-        if reader.paired:
-            from urmap_tpu.map.pair import PairedMapper
-            pmapper = PairedMapper(mapper)
-            for fwd, rev in reader:
-                if native:
-                    res = pmapper.map_pair_codes(fwd.codes, fwd.lengths,
-                                                 rev.codes, rev.lengths)
-                    sc1 = revcomp_strand_codes(fwd.codes, res.m1)
-                    sc2 = revcomp_strand_codes(rev.codes, res.m2)
-                    c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1,
-                                                 mapper.sc)
-                    c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2,
-                                                 mapper.sc)
-                    out.write(sam_native.format_paired(
-                        fwd, rev, res, c1, e1, sp1, c2, e2, sp2,
-                        index.seqdb))
-                    stats = {
-                        "reads": 2 * len(fwd),
-                        "mapped": int(res.m1.mapped.sum())
-                        + int(res.m2.mapped.sum()),
-                        "proper_pairs": int(res.proper.sum()),
-                    }
-                else:
-                    recs, stats = pmapper.map_pairs_to_sam(fwd, rev)
-                    out.write(("\n".join(recs) + "\n").encode("ascii"))
-                n_reads += stats["reads"]
-                n_mapped += stats["mapped"]
-                if progress:
-                    progress.update(stats["reads"])
-                metrics.log(**stats)
+    writer = mh.ShardWriter(str(samout), rank, resume=resume)
+    if writer.skip_batches and not quiet:
+        print(f"resuming: shard {rank} already has "
+              f"{writer.skip_batches} batches ({writer.wm.reads:,} reads)",
+              file=sys.stderr)
+    reader = FastqReader(fq, str(reverse) if reverse else None,
+                         batch_size=mcfg.batch_size,
+                         max_read_len=mcfg.max_read_len)
+    native = reader.native and sam_native.available()
+    pmapper = None
+    if reader.paired:
+        from urmap_tpu.map.pair import PairedMapper
+        pmapper = PairedMapper(mapper)
+
+    def map_one(item):
+        """Map one batch (or pair of batches) → (sam bytes, stats)."""
+        if pmapper is not None:
+            fwd, rev = item
+            res = pmapper.map_pair_codes(fwd.codes, fwd.lengths,
+                                         rev.codes, rev.lengths)
+            stats = {"reads": 2 * len(fwd),
+                     "mapped": int(res.m1.mapped.sum())
+                     + int(res.m2.mapped.sum()),
+                     "proper_pairs": int(res.proper.sum())}
+            if native:
+                sc1 = revcomp_strand_codes(fwd.codes, res.m1)
+                sc2 = revcomp_strand_codes(rev.codes, res.m2)
+                c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1, mapper.sc)
+                c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2, mapper.sc)
+                data = sam_native.format_paired(
+                    fwd, rev, res, c1, e1, sp1, c2, e2, sp2, index.seqdb)
+            else:
+                recs = pmapper.format_py(fwd, rev, res)
+                data = ("\n".join(recs) + "\n").encode("ascii")
+            return data, stats
+        batch = item
+        res = mapper.map_codes(batch.codes, batch.lengths)
+        strand_codes = revcomp_strand_codes(batch.codes, res)
+        stats = {"reads": len(batch), "mapped": int(res.mapped.sum())}
+        if native:
+            cig, nm, _span = cigars_nm_fast(genome, strand_codes, res,
+                                            mapper.sc)
+            data = sam_native.format_single_end(batch, res, cig, nm,
+                                                index.seqdb)
         else:
-            for batch in reader:
-                res = mapper.map_codes(batch.codes, batch.lengths)
-                strand_codes = revcomp_strand_codes(batch.codes, res)
-                if native:
-                    cig, nm, _span = cigars_nm_fast(genome, strand_codes,
-                                                    res, mapper.sc)
-                    out.write(sam_native.format_single_end(
-                        batch, res, cig, nm, index.seqdb))
-                else:
-                    cigars, nms = cigars_for_result(
-                        genome, strand_codes, res, mapper.sc)
-                    recs = samio.records_single_end(
-                        batch, res, cigars, nms, index.seqdb)
-                    out.write(("\n".join(recs) + "\n").encode("ascii"))
-                n_reads += len(batch)
-                n_mapped += int(res.mapped.sum())
-                if progress:
-                    progress.update(len(batch))
-                metrics.log(reads=len(batch), mapped=int(res.mapped.sum()))
+            cigars, nms = cigars_for_result(genome, strand_codes, res,
+                                            mapper.sc)
+            recs = samio.records_single_end(batch, res, cigars, nms,
+                                            index.seqdb)
+            data = ("\n".join(recs) + "\n").encode("ascii")
+        return data, stats
+
+    my_batch_no = 0
+    for batch_no, item in enumerate(reader):
+        if batch_no % nproc != rank:
+            continue
+        my_batch_no += 1
+        if my_batch_no <= writer.skip_batches:
+            continue
+        data, stats = map_one(item)
+        writer.append_batch(data, stats["reads"])
+        n_reads += stats["reads"]
+        n_mapped += stats["mapped"]
+        if progress:
+            progress.update(stats["reads"])
+        metrics.log(**stats)
+    writer.close()
+
+    mh.barrier("map-done")
+    if rank == 0:
+        mh.merge_shards(str(samout), nproc,
+                        samio.sam_header(index.seqdb, cmdline).encode("ascii"))
+    mh.barrier("merge-done")
+
     el = time.monotonic() - t_map0
     pct = 100.0 * n_mapped / max(n_reads, 1)
     if progress:
         progress.done()
     print(f"{n_reads:,} reads, {n_mapped:,} mapped ({pct:.2f}%), "
-          f"{el:.1f}s ({n_reads / max(el, 1e-9):,.0f} reads/s)", file=sys.stderr)
+          f"{el:.1f}s ({n_reads / max(el, 1e-9):,.0f} reads/s)",
+          file=sys.stderr)
     metrics.close()
     return 0
 

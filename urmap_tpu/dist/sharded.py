@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index.store import UfiIndex
-from urmap_tpu.map.dp import banded_semiglobal
+from urmap_tpu.map.dp import banded_dispatch
 from urmap_tpu.map.pipeline import MapResult, map_batch_device
 from urmap_tpu.map.seed import SENTINEL, gather_candidates
 
@@ -154,7 +154,7 @@ def _sharded_step(offsets, positions, genome, reads, lengths, *,
         my_reads = jax.lax.dynamic_slice_in_dim(flat_reads, start, chunk,
                                                 axis=0)
         my_lens = jax.lax.dynamic_slice_in_dim(flat_lens, start, chunk)
-        s_, d0_, ung_ = banded_semiglobal(
+        s_, d0_, ung_ = banded_dispatch(
             genome, my_cand, my_reads, my_lens,
             hw=mcfg.band_halfwidth, sc=sc)
         s = jax.lax.all_gather(s_, "index", tiled=True)[:n]

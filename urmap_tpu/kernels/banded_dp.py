@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: batched banded semi-global affine DP.
+
+The flagship compute kernel (SURVEY.md §2.9 / BASELINE north-star:
+"banded X-drop extension DP as a Pallas wavefront kernel over VMEM
+tiles"). Bit-identical semantics to map/dp.py's jnp reference — same
+(score, d0) int32 packing, same tie-breaks — verified by
+tests/unit/test_pallas_dp.py against the jnp version and the oracle.
+
+Layout: the band (W = 2·hw+1 positions) lives on the SUBLANE axis and
+candidates on the LANE axis, so each DP step is a handful of VPU ops on
+[W, R] tiles entirely in VMEM; the L-step recurrence never touches HBM.
+The genome windows are pre-gathered by XLA ([N, L+2hw] uint8 — a few MB
+for a DP bucket) and streamed in per grid block; the jnp version's
+per-step HBM round-trip of the whole carry (the reason it was ~40× off
+roofline) disappears.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from urmap_tpu.config import ScoreConfig
+from urmap_tpu.map.dp import NEG
+
+DEFAULT_BLOCK_R = 256
+
+
+def _shift_up(x, w, b_idx, fill):
+    """y[b] = x[b+1] (y[w-1] = fill) along the sublane (band) axis."""
+    rolled = pltpu.roll(x, shift=w - 1, axis=0)   # circular: == shift by -1
+    return jnp.where(b_idx == w - 1, fill, rolled)
+
+
+def _shift_down(x, s, b_idx, fill):
+    """y[b] = x[b-s] (y[:s] = fill) along the sublane (band) axis."""
+    rolled = pltpu.roll(x, shift=s, axis=0)
+    return jnp.where(b_idx < s, fill, rolled)
+
+
+def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
+                 wp: int, lp: int):
+    """wp/lp: sublane-padded row counts of the window / read slabs.
+
+    Mosaic requires sublane slice starts to be 8-aligned, so the moving
+    genome window is kept as a loop-carried slab rotated by a STATIC
+    shift of 1 per step; the kernel always reads rows [0:W) / [0:1)."""
+    W = 2 * hw + 1
+    S = W + 1
+    # plain Python ints: embedded as literals (captured jnp scalars are
+    # rejected by pallas_call)
+    NEGP = NEG * S
+    open_s = sc.gap_open * S
+    ext_s = sc.gap_extend * S
+    match_s = sc.match * S
+    mis_s = sc.mismatch * S
+
+    def kernel(win_ref, read_ref, len_ref, out_ref):
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, (W, block_r), 0)
+        f_pre = (b_idx + 1) * ext_s
+        f_post = open_s + b_idx * ext_s
+        lens = len_ref[0:1, :]                       # [1, R]
+
+        H0 = b_idx                                   # packed (0, d0=b-hw)
+        E0 = jnp.full((W, block_r), NEGP, jnp.int32)
+
+        def step(i, carry):
+            H, E, final, wslab, rslab = carry
+            win = wslab[0:W, :]                      # [W, R] uint8
+            rd = rslab[0:1, :]                       # [1, R]
+            sub = jnp.where(win == rd, match_s, mis_s)
+            diag = H + sub
+            E = jnp.maximum(_shift_up(H, W, b_idx, NEGP) + open_s,
+                            _shift_up(E, W, b_idx, NEGP) + ext_s)
+            T = jnp.maximum(diag, E)
+            # exclusive running max along the band (deletion chain)
+            y = _shift_down(T - f_pre, 1, b_idx, NEGP)
+            s = 1
+            while s < W:
+                y = jnp.maximum(y, _shift_down(y, s, b_idx, NEGP))
+                s <<= 1
+            H = jnp.maximum(T, y + f_post)
+            final = jnp.where(i + 1 == lens, H, final)
+            wslab = pltpu.roll(wslab, wp - 1, axis=0)   # row r+1 → row r
+            rslab = pltpu.roll(rslab, lp - 1, axis=0)
+            return H, E, final, wslab, rslab
+
+        # int32 slabs: Mosaic's sublane rotate doesn't lower for int8
+        _, _, final, _, _ = jax.lax.fori_loop(
+            0, L, step, (H0, E0, H0,
+                         win_ref[:].astype(jnp.int32),
+                         read_ref[:].astype(jnp.int32)))
+        out_ref[0, :] = jnp.max(final, axis=0)
+
+    return kernel, W, S
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
+                                             "interpret"))
+def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
+                             hw: int, sc: ScoreConfig,
+                             block_r: int = DEFAULT_BLOCK_R,
+                             interpret: bool = False):
+    """Drop-in twin of map.dp.banded_semiglobal (same signature/returns)."""
+    N, L = reads.shape
+    G = genome.shape[0]
+    wlen = L + 2 * hw
+
+    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
+                       axis=0)                                  # [N, wlen]
+
+    R = block_r
+    npad = -(-N // R) * R
+    wp = -(-wlen // 32) * 32   # int8 sublane tile alignment
+    lp = -(-L // 32) * 32
+    win_t = jnp.pad(windows, ((0, npad - N), (0, wp - wlen))).T  # [wp, Np]
+    reads_t = jnp.pad(reads, ((0, npad - N), (0, lp - L))).T     # [lp, Np]
+    lens_p = jnp.pad(lengths, (0, npad - N)).reshape(1, npad)    # [1, Np]
+
+    kernel, W, S = _make_kernel(L, hw, sc, R, wp, lp)
+    packed = pl.pallas_call(
+        kernel,
+        grid=(npad // R,),
+        in_specs=[
+            pl.BlockSpec((wp, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        interpret=interpret,
+    )(win_t, reads_t, lens_p)
+    packed = packed[0, :N]
+
+    scores = jnp.floor_divide(packed, S)
+    b0 = packed - scores * S
+    d0 = b0.astype(jnp.int32) - hw
+
+    # ungapped rescore at POS = cand + d0 (M-only CIGAR fast path), same
+    # as the jnp version
+    pos = cand_starts + d0
+    gidx = pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
+    gcodes = jnp.take(genome, jnp.clip(gidx, 0, G - 1).astype(jnp.int32),
+                      axis=0)
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
+    ungapped = jnp.sum(
+        jnp.where(in_read,
+                  jnp.where(gcodes == reads, sc.match, sc.mismatch),
+                  0).astype(jnp.int32), axis=-1)
+    return scores.astype(jnp.int32), d0, ungapped

@@ -31,6 +31,31 @@ from urmap_tpu.config import ScoreConfig
 
 NEG = -(1 << 20)
 
+_ON_TPU: bool | None = None
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. the axon PJRT
+    plugin, whose platform name differs but whose device_kind is TPU)."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        dev = jax.devices()[0]
+        _ON_TPU = ("tpu" in dev.platform.lower()
+                   or "TPU" in getattr(dev, "device_kind", ""))
+    return _ON_TPU
+
+
+def banded_dispatch(genome, cand_starts, reads, lengths, *, hw: int,
+                    sc: ScoreConfig, use_pallas: bool = True):
+    """banded_semiglobal, via the Pallas kernel on TPU backends."""
+    if use_pallas and on_tpu():
+        from urmap_tpu.kernels.banded_dp import banded_semiglobal_pallas
+
+        return banded_semiglobal_pallas(genome, cand_starts, reads,
+                                        lengths, hw=hw, sc=sc)
+    return banded_semiglobal(genome, cand_starts, reads, lengths,
+                             hw=hw, sc=sc)
+
 
 def _shift_right(x, s, fill):
     pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)

@@ -34,7 +34,7 @@ import numpy as np
 
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
-from urmap_tpu.map.dp import NEG, banded_semiglobal
+from urmap_tpu.map.dp import NEG, banded_dispatch
 from urmap_tpu.map.pipeline import (MapResult, candidates_batch_device,
                                     revcomp_batch)
 from urmap_tpu.map.seed import SENTINEL
@@ -130,7 +130,7 @@ def _rescue_scan(genome, anchor_pos, anchor_strand, anchor_len, other_codes,
     best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
     cand = win_start + best_off
 
-    score, d0, ungapped = banded_semiglobal(
+    score, d0, ungapped = banded_dispatch(
         genome, cand, other_codes, other_len,
         hw=mc.band_halfwidth, sc=sc)
     return {"pos": cand + d0, "score": score, "ungapped": ungapped}
@@ -287,21 +287,25 @@ class PairedMapper:
             proper=np.concatenate([o["proper"] for o in outs])[:n],
         )
 
-    def map_pairs_to_sam(self, fwd_batch, rev_batch):
-        """ReadBatch pair → (SAM record lines, stats dict)."""
+    def format_py(self, fwd_batch, rev_batch, res: "PairResult") -> list[str]:
+        """Pure-Python SAM records for an already-mapped pair batch."""
         from urmap_tpu.io import sam as samio
         from urmap_tpu.map.cigar import cigars_for_result
         from urmap_tpu.map.pipeline import revcomp_strand_codes
 
-        res = self.map_pair_codes(fwd_batch.codes, fwd_batch.lengths,
-                                  rev_batch.codes, rev_batch.lengths)
         genome = self.index.seqdb.codes
         sc1 = revcomp_strand_codes(fwd_batch.codes, res.m1)
         sc2 = revcomp_strand_codes(rev_batch.codes, res.m2)
         cig1, nm1 = cigars_for_result(genome, sc1, res.m1, self.sc)
         cig2, nm2 = cigars_for_result(genome, sc2, res.m2, self.sc)
-        recs = samio.records_paired(fwd_batch, rev_batch, res,
+        return samio.records_paired(fwd_batch, rev_batch, res,
                                     cig1, nm1, cig2, nm2, self.index.seqdb)
+
+    def map_pairs_to_sam(self, fwd_batch, rev_batch):
+        """ReadBatch pair → (SAM record lines, stats dict)."""
+        res = self.map_pair_codes(fwd_batch.codes, fwd_batch.lengths,
+                                  rev_batch.codes, rev_batch.lengths)
+        recs = self.format_py(fwd_batch, rev_batch, res)
         stats = {
             "reads": 2 * len(fwd_batch),
             "mapped": int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),

@@ -23,7 +23,7 @@ import numpy as np
 
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
-from urmap_tpu.map.dp import NEG, banded_semiglobal
+from urmap_tpu.map.dp import NEG, banded_dispatch
 from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
                                 gather_candidates, vote_top_candidates)
 from urmap_tpu.map.select import select_hits
@@ -154,7 +154,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     D = max(B // mcfg.dp_capacity_frac, 1)
     if dp_runner is None:
         def dp_runner(c, r, ln):
-            return banded_semiglobal(tables["genome"], c, r, ln,
+            return banded_dispatch(tables["genome"], c, r, ln,
                                      hw=mcfg.band_halfwidth, sc=sc)
 
     def unfold(x):                                           # [2D*V] → [D, 2V]
