@@ -98,28 +98,61 @@ def main(argv=None):
     wb = min(args.batch, args.reads)
     mapper.map_codes(codes[:wb], lengths[:wb])
 
-    sink = io.StringIO()
-    t1 = time.monotonic()
+    from urmap_tpu.io import sam_native
+    from urmap_tpu.io.fastq import FastqReader
+    from urmap_tpu.map.cigar import cigars_nm_fast
+
+    use_native = sam_native.available()
+    # materialize a real FASTQ (untimed) — the timed loop drives the
+    # actual product path: native parser → device map → native SAM
+    fq_path = "/tmp/urmap_bench.fq"
+    code_to_char = np.frombuffer(b"ACGTNN", np.uint8)
+    qual_row = b"I" * args.read_len
+    with open(fq_path, "wb") as f:
+        chunk = []
+        for i in range(args.reads):
+            seq = code_to_char[codes[i]].tobytes()
+            chunk.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual_row))
+            if len(chunk) == 50000:
+                f.write(b"".join(chunk)); chunk = []
+        f.write(b"".join(chunk))
+
+    sink = io.BytesIO()
     n_mapped = n_correct = 0
-    for s in range(0, args.reads, args.batch):
-        bc = codes[s : s + args.batch]
-        bl = lengths[s : s + args.batch]
-        res = mapper.map_codes(bc, bl)
+
+    def finish(s, batch, handle):
+        nonlocal n_mapped, n_correct
+        res = mapper.finish_batch(handle, batch.lengths)
         n_mapped += int(res.mapped.sum())
-        n_correct += int(((res.pos == truth_pos[s : s + args.batch])
+        n_correct += int(((res.pos == truth_pos[s : s + len(batch)])
                           & res.mapped).sum())
-        if not args.no_sam:
-            strand_codes = revcomp_strand_codes(bc, res)
+        if args.no_sam:
+            return
+        strand_codes = revcomp_strand_codes(batch.codes, res)
+        if use_native:
+            cig, nm, _sp = cigars_nm_fast(db.codes, strand_codes, res,
+                                          mapper.sc)
+            sink.write(sam_native.format_single_end(batch, res, cig, nm,
+                                                    db))
+        else:
             cigars, nms = cigars_for_result(db.codes, strand_codes, res,
                                             mapper.sc)
-            names = [f"r{s + i}" for i in range(len(bc))]
-            seqs = [alphabet.decode(bc[i][: bl[i]]).encode()
-                    for i in range(len(bc))]
-            quals = [b"I" * int(bl[i]) for i in range(len(bc))]
-            batch = ReadBatch(codes=bc, lengths=bl, names=names,
-                              seqs=seqs, quals=quals)
-            sink.write("\n".join(samio.records_single_end(
-                batch, res, cigars, nms, db)))
+            sink.write(("\n".join(samio.records_single_end(
+                batch, res, cigars, nms, db)) + "\n").encode())
+
+    t1 = time.monotonic()
+    pending = None
+    s = 0
+    reader = FastqReader(fq_path, batch_size=args.batch,
+                         max_read_len=args.read_len)
+    for batch in reader:
+        handle = mapper.start_batch(batch.codes, batch.lengths)
+        if pending:
+            finish(*pending)
+        pending = (s, batch, handle)
+        s += len(batch)
+    if pending:
+        finish(*pending)
     elapsed = time.monotonic() - t1
     rps = args.reads / elapsed
 

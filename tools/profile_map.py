@@ -45,8 +45,6 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import functools
-
     import jax.numpy as jnp
 
     from bench import synth_reads
@@ -54,16 +52,17 @@ def main():
     from urmap_tpu.index.build import build_index
     from urmap_tpu.io.fasta import SeqDB
     from urmap_tpu.map import seed as seedmod
-    from urmap_tpu.map.dp import banded_semiglobal
-    from urmap_tpu.map.pipeline import (make_map_batch_fn, revcomp_batch)
+    from urmap_tpu.map.dp import banded_dispatch
+    from urmap_tpu.map.pipeline import (_ungapped_scores, make_map_batch_fn,
+                                        revcomp_batch)
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
     db = SeqDB.from_seqs(["chr1"], [rng.integers(0, 4, size=glen).astype(np.uint8)])
     icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
     t0 = time.monotonic()
-    index = build_index(db, icfg)
-    print(f"index build: {time.monotonic() - t0:.1f}s")
+    index = build_index(db, icfg, backend="host")
+    print(f"index build (host): {time.monotonic() - t0:.1f}s")
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
     sc = ScoreConfig()
 
@@ -104,16 +103,30 @@ def main():
 
     top_cand, votes = s_vote(cand)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def s_dp(top_cand, reads2, lens2):
+    @jax.jit
+    def s_ung(top_cand, reads2, lens2):
         flat_cand = top_cand.reshape(-1)
         flat_reads = jnp.repeat(reads2, v, axis=0)
         flat_lens = jnp.repeat(lens2, v, axis=0)
-        return banded_semiglobal(
+        return _ungapped_scores(
+            tables["genome"],
+            jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
+            flat_reads, flat_lens, sc)
+
+    ung = s_ung(top_cand, reads2, lens2)
+
+    D = max(B // mcfg.dp_capacity_frac, 1)
+
+    def s_dp(top_cand, reads2, lens2):
+        flat_cand = top_cand[:2 * D].reshape(-1)
+        flat_reads = jnp.repeat(reads2[:2 * D], v, axis=0)
+        flat_lens = jnp.repeat(lens2[:2 * D], v, axis=0)
+        return banded_dispatch(
             tables["genome"],
             jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
             flat_reads, flat_lens, hw=mcfg.band_halfwidth, sc=sc)
 
+    s_dp = jax.jit(s_dp)
     dp_out = s_dp(top_cand, reads2, lens2)
 
     full = make_map_batch_fn(icfg, mcfg, sc)
@@ -124,7 +137,8 @@ def main():
         "seed extract": lambda: s_seed(reads2, lens2),
         "csr gather": lambda: s_gather(slots, offs, valid),
         "vote top-V": lambda: s_vote(cand),
-        "banded DP": lambda: s_dp(top_cand, reads2, lens2),
+        "ungapped verify": lambda: s_ung(top_cand, reads2, lens2),
+        "DP bucket(1rnd)": lambda: s_dp(top_cand, reads2, lens2),
         "FULL step": lambda: full(tables, reads, lens),
     }
     print(f"batch={B} reads, 2 strands, q={q} p={p} v={v} "

@@ -176,12 +176,19 @@ def cmd_map(opts: dict) -> int:
         from urmap_tpu.map.pair import PairedMapper
         pmapper = PairedMapper(mapper)
 
-    def map_one(item):
-        """Map one batch (or pair of batches) → (sam bytes, stats)."""
+    def start_one(item):
+        """Async-dispatch one batch (or batch pair) to the device."""
         if pmapper is not None:
             fwd, rev = item
-            res = pmapper.map_pair_codes(fwd.codes, fwd.lengths,
-                                         rev.codes, rev.lengths)
+            return pmapper.start_batch(fwd.codes, fwd.lengths,
+                                       rev.codes, rev.lengths)
+        return mapper.start_batch(item.codes, item.lengths)
+
+    def finish_one(item, handle):
+        """Sync the device result and format SAM → (bytes, stats)."""
+        if pmapper is not None:
+            fwd, rev = item
+            res = pmapper.finish_batch(handle, fwd.lengths, rev.lengths)
             stats = {"reads": 2 * len(fwd),
                      "mapped": int(res.m1.mapped.sum())
                      + int(res.m2.mapped.sum()),
@@ -198,7 +205,7 @@ def cmd_map(opts: dict) -> int:
                 data = ("\n".join(recs) + "\n").encode("ascii")
             return data, stats
         batch = item
-        res = mapper.map_codes(batch.codes, batch.lengths)
+        res = mapper.finish_batch(handle, batch.lengths)
         strand_codes = revcomp_strand_codes(batch.codes, res)
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum())}
         if native:
@@ -214,20 +221,35 @@ def cmd_map(opts: dict) -> int:
             data = ("\n".join(recs) + "\n").encode("ascii")
         return data, stats
 
+    def drain(pending):
+        item, handle = pending
+        data, stats = finish_one(item, handle)
+        writer.append_batch(data, stats["reads"])
+        nonlocal_state["reads"] += stats["reads"]
+        nonlocal_state["mapped"] += stats["mapped"]
+        if progress:
+            progress.update(stats["reads"])
+        metrics.log(**stats)
+
+    # double-buffered loop: batch i+1 computes on device while the host
+    # formats/writes batch i (SURVEY.md Phase 5 overlap)
+    nonlocal_state = {"reads": 0, "mapped": 0}
     my_batch_no = 0
+    pending = None
     for batch_no, item in enumerate(reader):
         if batch_no % nproc != rank:
             continue
         my_batch_no += 1
         if my_batch_no <= writer.skip_batches:
             continue
-        data, stats = map_one(item)
-        writer.append_batch(data, stats["reads"])
-        n_reads += stats["reads"]
-        n_mapped += stats["mapped"]
-        if progress:
-            progress.update(stats["reads"])
-        metrics.log(**stats)
+        handle = start_one(item)
+        if pending is not None:
+            drain(pending)
+        pending = (item, handle)
+    if pending is not None:
+        drain(pending)
+    n_reads = nonlocal_state["reads"]
+    n_mapped = nonlocal_state["mapped"]
     writer.close()
 
     mh.barrier("map-done")

@@ -263,28 +263,49 @@ class PairedMapper:
         self.sc = mapper.sc
         self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc)
 
+    def start_batch(self, codes1, lengths1, codes2, lengths2):
+        """Async dispatch of one (≤batch_size) pair batch."""
+        B = codes1.shape[0]
+        bs = self.mcfg.batch_size
+        assert B <= bs
+        c1, l1 = _pad_block(codes1, lengths1, bs)
+        c2, l2 = _pad_block(codes2, lengths2, bs)
+        out = self._fn(self.mapper.tables, jnp.asarray(c1), jnp.asarray(l1),
+                       jnp.asarray(c2), jnp.asarray(l2))
+        return out, B
+
+    def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
+        out, B = handle
+        m1 = {k: np.asarray(v)[:B] for k, v in out["m1"].items()}
+        m2 = {k: np.asarray(v)[:B] for k, v in out["m2"].items()}
+        return PairResult(
+            m1=MapResult.from_device(m1, np.asarray(lengths1)[:B]),
+            m2=MapResult.from_device(m2, np.asarray(lengths2)[:B]),
+            proper=np.asarray(out["proper"])[:B],
+        )
+
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
         B = codes1.shape[0]
         bs = self.mcfg.batch_size
         outs = []
         for s in range(0, B, bs):
-            c1, l1 = _pad_block(codes1[s:s + bs], lengths1[s:s + bs], bs)
-            c2, l2 = _pad_block(codes2[s:s + bs], lengths2[s:s + bs], bs)
-            out = self._fn(self.mapper.tables, jnp.asarray(c1),
-                           jnp.asarray(l1), jnp.asarray(c2), jnp.asarray(l2))
-            outs.append(jax.tree.map(np.asarray, out))
-        n = min(B, len(lengths1))
+            h = self.start_batch(codes1[s:s + bs], lengths1[s:s + bs],
+                                 codes2[s:s + bs], lengths2[s:s + bs])
+            outs.append(self.finish_batch(h, lengths1[s:s + bs],
+                                          lengths2[s:s + bs]))
+        if len(outs) == 1:
+            return outs[0]
 
-        def cat(key, sub):
-            return np.concatenate([o[sub][key] for o in outs])[:n] \
-                if sub else np.concatenate([o[key] for o in outs])[:n]
+        def cat_result(results, lengths):
+            fields = {f: np.concatenate([getattr(r, f) for r in results])
+                      for f in ("mapped", "pos", "strand", "score", "second",
+                                "mapq", "gapped", "ungapped")}
+            return MapResult(lengths=np.asarray(lengths)[:B], **fields)
 
-        m1 = {k: cat(k, "m1") for k in outs[0]["m1"]}
-        m2 = {k: cat(k, "m2") for k in outs[0]["m2"]}
         return PairResult(
-            m1=MapResult.from_device(m1, np.asarray(lengths1)[:n]),
-            m2=MapResult.from_device(m2, np.asarray(lengths2)[:n]),
-            proper=np.concatenate([o["proper"] for o in outs])[:n],
+            m1=cat_result([o.m1 for o in outs], lengths1),
+            m2=cat_result([o.m2 for o in outs], lengths2),
+            proper=np.concatenate([o.proper for o in outs])[:B],
         )
 
     def format_py(self, fwd_batch, rev_batch, res: "PairResult") -> list[str]:

@@ -262,23 +262,41 @@ class Mapper:
         self.tables = index.device_tables()
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc)
 
+    def start_batch(self, codes: np.ndarray, lengths: np.ndarray):
+        """Dispatch one (≤batch_size) batch; returns an async handle.
+        JAX dispatch is asynchronous — the device computes while the
+        host formats the previous batch (double buffering, SURVEY.md
+        Phase 5)."""
+        B = codes.shape[0]
+        bs = self.mcfg.batch_size
+        assert B <= bs, f"batch {B} > configured batch_size {bs}"
+        if B < bs:
+            codes = np.concatenate(
+                [codes,
+                 np.full((bs - B, codes.shape[1]), alphabet.READ_N,
+                         np.uint8)])
+            lengths = np.concatenate([lengths, np.zeros(bs - B, np.int32)])
+        out = self._fn(self.tables, jnp.asarray(codes),
+                       jnp.asarray(lengths.astype(np.int32)))
+        return out, B
+
+    def finish_batch(self, handle, lengths) -> MapResult:
+        out, B = handle
+        merged = {k: np.asarray(v)[:B] for k, v in out.items()}
+        return MapResult.from_device(merged, np.asarray(lengths)[:B])
+
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         B = codes.shape[0]
-        pad = 0
         bs = self.mcfg.batch_size
-        if B % bs and B > bs:
-            pad = bs - B % bs
-        elif B < bs:
-            pad = bs - B
-        if pad:
-            codes = np.concatenate(
-                [codes, np.full((pad, codes.shape[1]), alphabet.READ_N, np.uint8)])
-            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
         outs = []
-        for s in range(0, codes.shape[0], bs):
-            out = self._fn(self.tables, jnp.asarray(codes[s : s + bs]),
-                           jnp.asarray(lengths[s : s + bs]))
-            outs.append(out)
-        merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:B]
-                  for k in outs[0]}
-        return MapResult.from_device(merged, lengths[:B])
+        for s in range(0, B, bs):
+            h = self.start_batch(codes[s : s + bs], lengths[s : s + bs])
+            outs.append(self.finish_batch(h, lengths[s : s + bs]))
+        if len(outs) == 1:
+            return outs[0]
+        merged = {}
+        first = outs[0]
+        for f in ("mapped", "pos", "strand", "score", "second", "mapq",
+                  "gapped", "ungapped"):
+            merged[f] = np.concatenate([getattr(o, f) for o in outs])
+        return MapResult(lengths=np.asarray(lengths)[:B], **merged)
