@@ -1,0 +1,124 @@
+"""Mapping-accuracy evaluation: precision/recall ROC by MAPQ threshold.
+
+The URMAP paper's headline accuracy metric (Edgar 2020, PeerJ 8:e9338;
+SURVEY.md §4.1): simulate reads with known true locations and error
+profiles, map them, and report precision/recall at each MAPQ cutoff.
+A call is CORRECT if the reported POS is within ``--slop`` bases of the
+planted location on the right strand.
+
+Usage:
+    python tools/accuracy.py [--reads 20000] [--genome-mbp 4] [--cpu]
+Prints a per-MAPQ table plus one JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_urmap_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def simulate(rng, db, n, length, snp_rate, indel_rate):
+    """Planted reads with per-read random SNP count and occasional indel."""
+    from urmap_tpu import alphabet
+
+    start = int(db.starts[0])
+    ref_len = int(db.lengths[0])
+    codes = np.full((n, length), alphabet.READ_N, np.uint8)
+    truth_pos = np.zeros(n, np.int64)
+    truth_strand = np.zeros(n, np.int8)
+    for i in range(n):
+        p = int(rng.integers(0, ref_len - length - 16))
+        gp = start + p
+        frag = db.codes[gp : gp + length + 8].copy()
+        if rng.random() < indel_rate:
+            off = int(rng.integers(10, length - 10))
+            if rng.random() < 0.5:  # deletion 1-4
+                d = int(rng.integers(1, 5))
+                frag = np.concatenate([frag[:off], frag[off + d:]])
+            else:  # insertion 1-4
+                ins = rng.integers(0, 4, size=int(rng.integers(1, 5)))
+                frag = np.concatenate([frag[:off], ins.astype(np.uint8),
+                                       frag[off:]])
+        frag = frag[:length]
+        mut = rng.random(length) < snp_rate
+        frag[mut] = (frag[mut] + rng.integers(1, 4, size=int(mut.sum()))) % 4
+        strand = int(rng.integers(0, 2))
+        if strand:
+            frag = alphabet.revcomp(frag)
+        codes[i] = frag
+        truth_pos[i] = gp
+        truth_strand[i] = strand
+    return codes, truth_pos, truth_strand
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads", type=int, default=20_000)
+    ap.add_argument("--genome-mbp", type=float, default=4.0)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--snp-rate", type=float, default=0.01)
+    ap.add_argument("--indel-rate", type=float, default=0.10)
+    ap.add_argument("--slop", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from urmap_tpu.config import IndexConfig, MapConfig
+    from urmap_tpu.index.build import build_index
+    from urmap_tpu.io.fasta import SeqDB
+    from urmap_tpu.map.pipeline import Mapper
+
+    rng = np.random.default_rng(0)
+    glen = int(args.genome_mbp * 1e6)
+    db = SeqDB.from_seqs(
+        ["chr1"], [rng.integers(0, 4, size=glen).astype(np.uint8)])
+    index = build_index(db, IndexConfig(
+        slot_bits=IndexConfig.auto_slot_bits(db.total_len)), backend="host")
+    mapper = Mapper(index, MapConfig(max_read_len=args.read_len,
+                                     batch_size=args.batch))
+
+    codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,
+                                    args.snp_rate, args.indel_rate)
+    lengths = np.full(args.reads, args.read_len, np.int32)
+    t0 = time.monotonic()
+    res = mapper.map_codes(codes, lengths)
+    el = time.monotonic() - t0
+
+    correct = (res.mapped & (np.abs(res.pos - tpos) <= args.slop)
+               & (res.strand == tstrand))
+    print(f"{args.reads} reads ({args.snp_rate:.0%} SNP, "
+          f"{args.indel_rate:.0%} indel), {el:.1f}s")
+    print(f"{'MAPQ>=':>8} {'called':>8} {'correct':>8} "
+          f"{'precision':>10} {'recall':>8}")
+    roc = []
+    for q in (0, 1, 10, 20, 30, 40, 42):
+        called = res.mapped & (res.mapq >= q)
+        nc = int(called.sum())
+        ncor = int((called & correct).sum())
+        prec = ncor / max(nc, 1)
+        rec = ncor / args.reads
+        roc.append({"mapq": q, "called": nc, "precision": round(prec, 5),
+                    "recall": round(rec, 5)})
+        print(f"{q:>8} {nc:>8} {ncor:>8} {prec:>10.4f} {rec:>8.4f}")
+    print(json.dumps({"metric": "accuracy_roc", "roc": roc,
+                      "mapped_frac": round(float(res.mapped.mean()), 5)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
