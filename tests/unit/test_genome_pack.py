@@ -1,0 +1,105 @@
+"""Bit-parallel packed-genome helpers vs the byte-path reference."""
+
+import numpy as np
+
+from tests.utils import make_seqdb
+from urmap_tpu import genome_pack as gp
+from urmap_tpu.config import ScoreConfig
+
+
+def _byte_mismatches(genome, starts, reads, lengths):
+    """Reference: per-element byte comparison (same clip semantics as
+    map.pipeline._ungapped_scores)."""
+    G = genome.shape[0]
+    L = reads.shape[1]
+    idx = np.clip(starts[:, None] + np.arange(L)[None, :], 0, G - 1)
+    g = genome[idx]
+    in_read = np.arange(L)[None, :] < lengths[:, None]
+    return np.sum(in_read & (g != reads), axis=1).astype(np.int32)
+
+
+def test_mismatch_counts_match_byte_path(rng):
+    import jax.numpy as jnp
+
+    db = make_seqdb(rng, [5_000, 3_000])
+    genome = db.codes
+    G = genome.shape[0]
+    N, L = 128, 100
+    NW = -(-L // 16)
+    starts = np.concatenate([
+        rng.integers(0, G - L, size=N - 8),
+        np.array([0, 1, 15, 16, 17, G - L, G - 20, G - 1]),
+    ]).astype(np.int32)
+    n = starts.shape[0]
+    reads = rng.integers(0, 4, size=(n, L)).astype(np.uint8)
+    # some real windows with few mismatches, some with N bases.
+    # genome-N (code 4) must be re-coded as read-N (code 5): reads can
+    # never contain code 4 (alphabet.py invariant).
+    for i in range(0, n, 3):
+        w = np.clip(starts[i], 0, G - L)
+        frag = genome[w : w + L].copy()
+        frag[frag >= 4] = 5
+        frag[rng.integers(0, L)] = 5  # read N
+        reads[i] = frag
+    lengths = rng.integers(20, L + 1, size=n).astype(np.int32)
+
+    packed, nplane, off = gp.pack_genome(genome)
+    rp, rn = gp.pack_reads(jnp.asarray(reads), jnp.asarray(lengths), NW)
+    got = np.asarray(gp.mismatch_counts(
+        jnp.asarray(packed), jnp.asarray(nplane), off,
+        jnp.asarray(starts), rp, rn, jnp.asarray(lengths)))
+    want = _byte_mismatches(genome, starts, reads, lengths)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_gather_codes_matches_bytes(rng):
+    import jax.numpy as jnp
+
+    db = make_seqdb(rng, [4_000])
+    genome = db.codes
+    G = genome.shape[0]
+    L = 182
+    starts = np.array([0, 1, 5, 16, 33, 100, G - L, G - 50, G - 1, 777],
+                      np.int32)
+    packed, nplane, off = gp.pack_genome(genome)
+    got = np.asarray(gp.gather_codes(
+        jnp.asarray(packed), jnp.asarray(nplane), off,
+        jnp.asarray(starts), L))
+    idx = np.clip(starts[:, None] + np.arange(L)[None, :], 0, G - 1)
+    want = genome[idx]
+    # beyond-end reads differ in *which* N code they see (guard vs
+    # clipped separator), but both are N for comparison purposes;
+    # normalize codes >= 4 to 4
+    np.testing.assert_array_equal(np.minimum(got, 4), np.minimum(want, 4))
+
+
+def test_ungapped_scores_packed_equals_byte(rng):
+    """End-to-end: packed score path == _ungapped_scores on candidates."""
+    import jax.numpy as jnp
+
+    from urmap_tpu.map.pipeline import _ungapped_scores
+
+    db = make_seqdb(rng, [8_000])
+    genome = db.codes
+    G = genome.shape[0]
+    sc = ScoreConfig()
+    N, L = 64, 120
+    NW = -(-L // 16)
+    starts = rng.integers(0, G - L, size=N).astype(np.int32)
+    reads = rng.integers(0, 4, size=(N, L)).astype(np.uint8)
+    for i in range(0, N, 2):
+        reads[i] = genome[starts[i] : starts[i] + L]
+    lengths = np.full(N, L, np.int32)
+    lengths[::5] = 77
+
+    byte_scores = np.asarray(_ungapped_scores(
+        jnp.asarray(genome), jnp.asarray(starts), jnp.asarray(reads),
+        jnp.asarray(lengths), sc))
+
+    packed, nplane, off = gp.pack_genome(genome)
+    rp, rn = gp.pack_reads(jnp.asarray(reads), jnp.asarray(lengths), NW)
+    mm = np.asarray(gp.mismatch_counts(
+        jnp.asarray(packed), jnp.asarray(nplane), off,
+        jnp.asarray(starts), rp, rn, jnp.asarray(lengths)))
+    packed_scores = (lengths - mm) * sc.match + mm * sc.mismatch
+    np.testing.assert_array_equal(byte_scores, packed_scores)

@@ -37,7 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index.store import UfiIndex
-from urmap_tpu.map.dp import banded_dispatch
+from urmap_tpu.map.dp import banded_packed
 from urmap_tpu.map.pipeline import MapResult, map_batch_device
 from urmap_tpu.map.seed import SENTINEL, gather_candidates
 
@@ -113,9 +113,9 @@ def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
                          offsets=np.stack(off_l), positions=positions)
 
 
-def _sharded_step(offsets, positions, genome, reads, lengths, *,
+def _sharded_step(offsets, positions, gpacked, gnplane, reads, lengths, *,
                   icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
-                  sps: int, n_index: int):
+                  sps: int, n_index: int, base_off: int, genome_len: int):
     """Per-device body under shard_map. Shapes are the local blocks:
     offsets [1, sps+1], positions [1, pmax], reads [b, L], lengths [b].
 
@@ -141,7 +141,7 @@ def _sharded_step(offsets, positions, genome, reads, lengths, *,
         n_hit = jax.lax.psum(hit.astype(jnp.int32), "index")
         return jnp.where(n_hit > 0, summed, SENTINEL)
 
-    def dp_runner(flat_cand, flat_reads, flat_lens):
+    def dp_runner(flat_cand, flat_reads, flat_lens, flat_rp, flat_rn):
         n = flat_cand.shape[0]
         chunk = -(-n // n_index)
         npad = chunk * n_index
@@ -149,35 +149,42 @@ def _sharded_step(offsets, positions, genome, reads, lengths, *,
             flat_cand = jnp.pad(flat_cand, (0, npad - n))
             flat_reads = jnp.pad(flat_reads, ((0, npad - n), (0, 0)))
             flat_lens = jnp.pad(flat_lens, (0, npad - n))
+            flat_rp = jnp.pad(flat_rp, ((0, npad - n), (0, 0)))
+            flat_rn = jnp.pad(flat_rn, ((0, npad - n), (0, 0)))
         start = my.astype(jnp.int32) * jnp.int32(chunk)
-        my_cand = jax.lax.dynamic_slice_in_dim(flat_cand, start, chunk)
-        my_reads = jax.lax.dynamic_slice_in_dim(flat_reads, start, chunk,
-                                                axis=0)
-        my_lens = jax.lax.dynamic_slice_in_dim(flat_lens, start, chunk)
-        s_, d0_, ung_ = banded_dispatch(
-            genome, my_cand, my_reads, my_lens,
+
+        def sl(x, nd=1):
+            return jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
+
+        s_, d0_, ung_ = banded_packed(
+            gpacked, gnplane, base_off, sl(flat_cand), sl(flat_reads),
+            sl(flat_lens), sl(flat_rp), sl(flat_rn),
             hw=mcfg.band_halfwidth, sc=sc)
         s = jax.lax.all_gather(s_, "index", tiled=True)[:n]
         d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
         ung = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
         return s, d0, ung
 
-    return map_batch_device({"genome": genome}, reads, lengths,
+    tables = {"gpacked": gpacked, "gnplane": gnplane,
+              "base_off": base_off, "genome_len": genome_len}
+    return map_batch_device(tables, reads, lengths,
                             icfg=icfg, mcfg=mcfg, sc=sc,
                             dp_runner=dp_runner, gather_runner=gather_runner)
 
 
 def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
-                        sc: ScoreConfig, sps: int):
+                        sc: ScoreConfig, sps: int, base_off: int,
+                        genome_len: int):
     """Jitted fn(offsets, positions, genome, reads, lengths) → out dict,
     sharded per the mesh. Genome is replicated; CSR tables live on the
     "index" axis; reads/outputs on "data"."""
     n_index = mesh.shape["index"]
     body = functools.partial(_sharded_step, icfg=icfg, mcfg=mcfg, sc=sc,
-                             sps=sps, n_index=n_index)
+                             sps=sps, n_index=n_index, base_off=base_off,
+                             genome_len=genome_len)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("index", None), P("index", None), P(),
+        in_specs=(P("index", None), P("index", None), P(), P(),
                   P("data", None), P("data")),
         out_specs={k: P("data") for k in
                    ("mapped", "pos", "strand", "score", "second", "mapq",
@@ -205,11 +212,16 @@ class ShardedMapper:
             return jax.device_put(
                 x, jax.sharding.NamedSharding(mesh, spec))
 
+        from urmap_tpu import genome_pack as gpk
+
+        gpacked, gnplane, base_off = gpk.pack_genome(index.seqdb.codes)
         self.offsets = put(st.offsets, P("index", None))
         self.positions = put(st.positions, P("index", None))
-        self.genome = put(np.asarray(index.seqdb.codes), P())
+        self.gpacked = put(gpacked, P())
+        self.gnplane = put(gnplane, P())
         self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
-                                       self._sps)
+                                       self._sps, base_off,
+                                       index.seqdb.total_len)
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         from urmap_tpu import alphabet
@@ -227,8 +239,9 @@ class ShardedMapper:
                 c = np.concatenate(
                     [c, np.full((pad, c.shape[1]), alphabet.READ_N, np.uint8)])
                 ln = np.concatenate([ln, np.zeros(pad, np.int32)])
-            out = self._fn(self.offsets, self.positions, self.genome,
-                           jnp.asarray(c), jnp.asarray(ln.astype(np.int32)))
+            out = self._fn(self.offsets, self.positions, self.gpacked,
+                           self.gnplane, jnp.asarray(c),
+                           jnp.asarray(ln.astype(np.int32)))
             outs.append(out)
         merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:B]
                   for k in outs[0]}

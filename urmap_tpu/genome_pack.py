@@ -1,0 +1,141 @@
+"""Bit-parallel packed genome: 16 bases per uint32 word.
+
+The map pipeline's cost on TPU is XLA element-gather volume (stage
+profile: ungapped verify + DP window gathers dominate). Packing the
+genome 2 bits/base — plus a parallel 2-bit "is-N" plane with the SAME
+layout — cuts gather volume 16× and turns mismatch counting into
+XOR + popcount on the VPU:
+
+    mism+N bits = ((a^b) | ((a^b)>>1) | nA | nB) & 0x55555555
+    count       = popcount(bits & tail_mask)
+
+Layout: base g lives in bits [2*(g%16), 2*(g%16)+1] of word g//16
+(little-endian within the word), so a window starting at base s is
+aligned with one funnel shift from words s//16 ... The packed arrays are
+padded with WORD_PAD all-N words so clipped word indices past either
+end read as N (mismatch) — exactly what the byte path reads there,
+because SeqDB pads the code array with ≥64 N separators on both ends.
+
+Equality contract: for candidate starts in [0, G-1], packed mismatch
+counts are bit-identical to the byte-path _ungapped_scores (tested in
+tests/unit/test_genome_pack.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+BASES_PER_WORD = 16
+WORD_PAD = 16  # all-N guard words at each end
+_EVEN = np.uint32(0x5555_5555)
+
+
+def pack_genome(codes: np.ndarray):
+    """uint8[G] codes → (packed uint32[W], nplane uint32[W], base_offset).
+
+    base_offset: index of the word holding base 0 (= WORD_PAD); callers
+    pass starts relative to the original genome and the gather helpers
+    add it.
+    """
+    G = codes.shape[0]
+    W = -(-G // BASES_PER_WORD)
+    pad = W * BASES_PER_WORD - G
+    c = np.concatenate([codes, np.full(pad, 4, np.uint8)]).astype(np.uint32)
+    isn = (c >= 4).astype(np.uint32)
+    c &= 3
+    shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 2)
+    cw = c.reshape(W, BASES_PER_WORD)
+    nw = isn.reshape(W, BASES_PER_WORD)
+    packed = np.bitwise_or.reduce(cw << shifts[None, :], axis=1).astype(np.uint32)
+    # N plane: 01 in the base's 2-bit lane when N
+    nplane = np.bitwise_or.reduce(nw << shifts[None, :], axis=1).astype(np.uint32)
+    guard = np.full(WORD_PAD, 0x5555_5555, np.uint32)  # all-N
+    packed = np.concatenate([np.zeros(WORD_PAD, np.uint32), packed,
+                             np.zeros(WORD_PAD, np.uint32)])
+    nplane = np.concatenate([guard, nplane, guard])
+    return packed, nplane, WORD_PAD
+
+
+def pack_reads(codes, lengths, n_words: int):
+    """uint8[N, L] read codes → (packed uint32[N, n_words], nplane ...).
+
+    Bases past ``lengths`` are packed as N (callers additionally mask
+    tail words). L must be ≤ 16 * n_words.
+    """
+    N, L = codes.shape
+    c = codes.astype(jnp.uint32)
+    isn = (c >= 4).astype(jnp.uint32)
+    c = c & 3
+    pad = n_words * BASES_PER_WORD - L
+    if pad:
+        c = jnp.pad(c, ((0, 0), (0, pad)))
+        isn = jnp.pad(isn, ((0, 0), (0, pad)), constant_values=1)
+    shifts = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2)[None, None, :]
+    cw = c.reshape(N, n_words, BASES_PER_WORD)
+    nw = isn.reshape(N, n_words, BASES_PER_WORD)
+    packed = jnp.bitwise_or.reduce(cw << shifts, axis=2)
+    nplane = jnp.bitwise_or.reduce(nw << shifts, axis=2)
+    return packed.astype(jnp.uint32), nplane.astype(jnp.uint32)
+
+
+def _gather_aligned(plane, starts, n_words: int, base_off: int):
+    """Gather + funnel-align n_words packed words per row, beginning at
+    base ``starts[i]`` (may be clipped by the guard words)."""
+    W = plane.shape[0]
+    w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
+    r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
+    idx = w0[:, None] + jnp.arange(n_words + 1, dtype=jnp.int32)[None, :]
+    words = jnp.take(plane, jnp.clip(idx, 0, W - 1), axis=0)  # [N, n+1]
+    sh = (2 * r)[:, None]
+    lo = words[:, :-1] >> sh
+    hi_shift = (32 - 2 * r)[:, None].astype(jnp.uint32)
+    hi = jnp.where(sh == 0, jnp.uint32(0), words[:, 1:] << (hi_shift % 32))
+    return (lo | hi).astype(jnp.uint32)
+
+
+def mismatch_counts(gpacked, gnplane, base_off: int, starts, rpacked,
+                    rnplane, lengths):
+    """Bit-parallel ungapped mismatch count per row.
+
+    starts int32[N] (window start, genome coords, any value — guard
+    words make out-of-range read as N), rpacked/rnplane uint32[N, nw],
+    lengths int32[N]. Returns int32[N] mismatches over the first
+    ``lengths`` bases (bases past length contribute 0).
+    """
+    N, nw = rpacked.shape
+    ga = _gather_aligned(gpacked, starts, nw, base_off)
+    na = _gather_aligned(gnplane, starts, nw, base_off)
+    x = ga ^ rpacked
+    bits = ((x | (x >> jnp.uint32(1))) | na | rnplane) & jnp.uint32(_EVEN)
+    # tail mask per word: bases beyond length excluded
+    base_idx = (jnp.arange(nw, dtype=jnp.int32) * BASES_PER_WORD)[None, :]
+    rem = jnp.clip(lengths[:, None] - base_idx, 0, BASES_PER_WORD)
+    full = jnp.uint32(0xFFFF_FFFF)
+    tail = jnp.where(
+        rem >= BASES_PER_WORD, full,
+        (jnp.uint32(1) << (2 * rem).astype(jnp.uint32)) - jnp.uint32(1))
+    bits = bits & tail
+    return jnp.sum(jax_popcount(bits), axis=1).astype(jnp.int32)
+
+
+def jax_popcount(x):
+    import jax
+
+    return jax.lax.population_count(x)
+
+
+def gather_codes(gpacked, gnplane, base_off: int, starts, length: int):
+    """Unpack a byte-code window per row from the packed planes:
+    uint8[N, length] with N → code 4. Gathers length/16 words instead of
+    ``length`` bytes (the DP window feed)."""
+    nw = -(-length // BASES_PER_WORD)
+    ga = _gather_aligned(gpacked, starts, nw, base_off)   # [N, nw]
+    na = _gather_aligned(gnplane, starts, nw, base_off)
+    # unpack without gathers: word j expands to 16 consecutive base lanes
+    sh = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2)[None, None, :]
+    code = (ga[:, :, None] >> sh) & jnp.uint32(3)          # [N, nw, 16]
+    isn = (na[:, :, None] >> sh) & jnp.uint32(1)
+    out = jnp.where(isn == 1, jnp.uint32(4), code)
+    return out.reshape(ga.shape[0], nw * BASES_PER_WORD)[:, :length] \
+        .astype(jnp.uint8)

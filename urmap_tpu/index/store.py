@@ -43,13 +43,21 @@ class UfiIndex:
 
     def device_tables(self):
         """The HBM-resident mapping state: jnp arrays consumed by the
-        jitted map step. Genome codes ride along for verification gathers."""
+        jitted map step. The genome rides as bit-packed 2-bit planes
+        (genome_pack.py) — 4× smaller than byte codes and 16× cheaper
+        to gather from."""
         import jax.numpy as jnp
 
+        from urmap_tpu import genome_pack as gpk
+
+        gpacked, gnplane, base_off = gpk.pack_genome(self.seqdb.codes)
         return {
             "offsets": jnp.asarray(self.offsets, jnp.int32),
             "positions": jnp.asarray(self.positions.astype(np.int32)),
-            "genome": jnp.asarray(self.seqdb.codes),
+            "gpacked": jnp.asarray(gpacked),
+            "gnplane": jnp.asarray(gnplane),
+            "base_off": base_off,  # python int (static)
+            "genome_len": self.seqdb.total_len,
         }
 
     def save(self, path: str) -> None:

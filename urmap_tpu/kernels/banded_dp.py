@@ -101,18 +101,13 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
                                              "interpret"))
-def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
-                             hw: int, sc: ScoreConfig,
-                             block_r: int = DEFAULT_BLOCK_R,
-                             interpret: bool = False):
-    """Drop-in twin of map.dp.banded_semiglobal (same signature/returns)."""
+def pallas_from_windows(windows, reads, lengths, *, hw: int,
+                        sc: ScoreConfig, block_r: int = DEFAULT_BLOCK_R,
+                        interpret: bool = False):
+    """Kernel twin of map.dp.banded_from_windows → (scores, d0)."""
     N, L = reads.shape
-    G = genome.shape[0]
     wlen = L + 2 * hw
-
-    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
-    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
-                       axis=0)                                  # [N, wlen]
+    assert windows.shape == (N, wlen)
 
     R = block_r
     npad = -(-N // R) * R
@@ -142,6 +137,24 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
+    return scores.astype(jnp.int32), d0
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
+                                             "interpret"))
+def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
+                             hw: int, sc: ScoreConfig,
+                             block_r: int = DEFAULT_BLOCK_R,
+                             interpret: bool = False):
+    """Drop-in twin of map.dp.banded_semiglobal (same signature/returns)."""
+    N, L = reads.shape
+    G = genome.shape[0]
+    wlen = L + 2 * hw
+    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
+                       axis=0)                                  # [N, wlen]
+    scores, d0 = pallas_from_windows(windows, reads, lengths, hw=hw, sc=sc,
+                                     block_r=block_r, interpret=interpret)
 
     # ungapped rescore at POS = cand + d0 (M-only CIGAR fast path), same
     # as the jnp version
@@ -154,4 +167,4 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
         jnp.where(in_read,
                   jnp.where(gcodes == reads, sc.match, sc.mismatch),
                   0).astype(jnp.int32), axis=-1)
-    return scores.astype(jnp.int32), d0, ungapped
+    return scores, d0, ungapped

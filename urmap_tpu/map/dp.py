@@ -77,26 +77,13 @@ def _exclusive_runmax(x, fill):
     return y
 
 
-@functools.partial(jax.jit, static_argnames=("hw", "sc"))
-def banded_semiglobal(genome, cand_starts, reads, lengths, *,
-                      hw: int, sc: ScoreConfig):
-    """Batched banded DP.
+def banded_from_windows(windows, reads, lengths, *, hw: int,
+                        sc: ScoreConfig):
+    """Core banded DP over pre-gathered genome windows.
 
-    Args:
-      genome: uint8[G] genome codes (HBM-resident).
-      cand_starts: int32[N] global candidate start positions (where read
-        base 0 is expected). Invalid candidates may hold any value — the
-        caller masks their scores.
-      reads: uint8[N, L] strand-applied read codes (padded).
-      lengths: int32[N] true read lengths.
-      hw: band half-width (static).
-      sc: ScoreConfig (static).
-
-    Returns:
-      scores: int32[N] best alignment score (full read, len==0 → 0).
-      d0: int32[N] alignment start offset in [-hw, hw]; POS = cand + d0.
-      ungapped: int32[N] ungapped score at that POS (match/mismatch only);
-        ungapped == score ⇒ an M-only CIGAR is co-optimal.
+    windows uint8[N, L + 2*hw] (row n = genome[cand_n - hw : +L + hw],
+    out-of-range cells = any N code), reads uint8[N, L], lengths
+    int32[N]. Returns (scores int32[N], d0 int32[N]).
     """
     N, L = reads.shape
     W = 2 * hw + 1
@@ -106,13 +93,6 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
     ext_s = jnp.int32(sc.gap_extend * S)
     match_s = jnp.int32(sc.match * S)
     mis_s = jnp.int32(sc.mismatch * S)
-
-    G = genome.shape[0]
-    wlen = L + 2 * hw
-    # windows[n, :] = genome[cand - hw : cand + L + hw], clipped into range
-    # (clipped cells read boundary codes — separators are N, auto-mismatch)
-    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
-    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32), axis=0)
 
     b_idx = jnp.arange(W, dtype=jnp.int32)
     # F-scan constants: F[b] = runmax_{k<b}(T[k] - (k+1)*ext) + open + b*ext
@@ -151,15 +131,75 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
+    return scores.astype(jnp.int32), d0
+
+
+@functools.partial(jax.jit, static_argnames=("hw", "sc"))
+def banded_semiglobal(genome, cand_starts, reads, lengths, *,
+                      hw: int, sc: ScoreConfig):
+    """Batched banded DP (byte-genome reference path).
+
+    Args:
+      genome: uint8[G] genome codes (HBM-resident).
+      cand_starts: int32[N] global candidate start positions (where read
+        base 0 is expected). Invalid candidates may hold any value — the
+        caller masks their scores.
+      reads: uint8[N, L] strand-applied read codes (padded).
+      lengths: int32[N] true read lengths.
+      hw: band half-width (static).
+      sc: ScoreConfig (static).
+
+    Returns:
+      scores: int32[N] best alignment score (full read, len==0 → 0).
+      d0: int32[N] alignment start offset in [-hw, hw]; POS = cand + d0.
+      ungapped: int32[N] ungapped score at that POS (match/mismatch only);
+        ungapped == score ⇒ an M-only CIGAR is co-optimal.
+    """
+    N, L = reads.shape
+    G = genome.shape[0]
+    wlen = L + 2 * hw
+    # windows[n, :] = genome[cand - hw : cand + L + hw], clipped into range
+    # (clipped cells read boundary codes — separators are N, auto-mismatch)
+    widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32), axis=0)
+    scores, d0 = banded_from_windows(windows, reads, lengths, hw=hw, sc=sc)
 
     # ungapped rescore at POS = cand + d0 (for the M-only CIGAR fast path)
     pos = cand_starts + d0
     gidx = pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     gcodes = jnp.take(genome, jnp.clip(gidx, 0, G - 1).astype(jnp.int32), axis=0)
-    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths_col
+    in_read = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
     ungapped = jnp.sum(
         jnp.where(in_read,
                   jnp.where(gcodes == reads, sc.match, sc.mismatch),
                   0).astype(jnp.int32),
         axis=-1)
-    return scores.astype(jnp.int32), d0, ungapped
+    return scores, d0, ungapped
+
+
+def banded_packed(gpacked, gnplane, base_off: int, cand_starts, reads,
+                  lengths, rpacked, rnplane, *, hw: int, sc: ScoreConfig,
+                  use_pallas: bool = True):
+    """Banded DP fed from the bit-packed genome planes (genome_pack.py).
+
+    Gathers L/16-word windows instead of L bytes and rescores ungapped
+    via XOR+popcount — same results as banded_semiglobal for valid read
+    codes (no code 4 in reads; alphabet.py invariant)."""
+    from urmap_tpu import genome_pack as gpk
+
+    N, L = reads.shape
+    wlen = L + 2 * hw
+    windows = gpk.gather_codes(gpacked, gnplane, base_off,
+                               cand_starts - hw, wlen)
+    if use_pallas and on_tpu():
+        from urmap_tpu.kernels.banded_dp import pallas_from_windows
+
+        scores, d0 = pallas_from_windows(windows, reads, lengths,
+                                         hw=hw, sc=sc)
+    else:
+        scores, d0 = banded_from_windows(windows, reads, lengths,
+                                         hw=hw, sc=sc)
+    mm = gpk.mismatch_counts(gpacked, gnplane, base_off,
+                             cand_starts + d0, rpacked, rnplane, lengths)
+    ungapped = ((lengths - mm) * sc.match + mm * sc.mismatch).astype(jnp.int32)
+    return scores, d0, ungapped

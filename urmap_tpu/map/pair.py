@@ -34,7 +34,7 @@ import numpy as np
 
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
-from urmap_tpu.map.dp import NEG, banded_dispatch
+from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.pipeline import (MapResult, candidates_batch_device,
                                     revcomp_batch)
 from urmap_tpu.map.seed import SENTINEL
@@ -91,16 +91,17 @@ def _pair_cross(c1, c2, l1, l2, mc: MapConfig):
             "has": best > neg // 2}
 
 
-def _rescue_scan(genome, anchor_pos, anchor_strand, anchor_len, other_codes,
+def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
                  other_len, *, mc: MapConfig, sc: ScoreConfig):
     """Windowed rescue: best ungapped offset by one-hot depthwise
     correlation, verified by banded DP. other_codes must already be
     strand-applied to the EXPECTED mate orientation (revcomp of the
     as-sequenced read when the anchor is forward)."""
+    from urmap_tpu import genome_pack as gpk
+
     B, L = other_codes.shape
     W = mc.rescue_window
     O = W - L + 1
-    G = genome.shape[0]
 
     slack = mc.band_halfwidth + 8
     # anchor fwd → mate (rc) right of it; anchor rc → mate (fwd) left of it
@@ -109,8 +110,8 @@ def _rescue_scan(genome, anchor_pos, anchor_strand, anchor_len, other_codes,
         anchor_pos + mc.min_fragment_len - other_len - slack,
         anchor_pos + anchor_len - mc.max_fragment_len - slack,
     ).astype(jnp.int32)
-    widx = win_start[:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
-    win = jnp.take(genome, jnp.clip(widx, 0, G - 1), axis=0)     # [B, W]
+    win = gpk.gather_codes(tables["gpacked"], tables["gnplane"],
+                           tables["base_off"], win_start, W)     # [B, W]
 
     def onehot(codes):
         return (codes[..., None] == jnp.arange(4, dtype=codes.dtype)
@@ -128,10 +129,13 @@ def _rescue_scan(genome, anchor_pos, anchor_strand, anchor_len, other_codes,
     )                                                              # [1, B*4, O]
     counts = out.reshape(B, 4, O).sum(axis=1)                      # [B, O]
     best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
-    cand = win_start + best_off
+    cand = jnp.clip(win_start + best_off, 0, tables["genome_len"] - 1)
 
-    score, d0, ungapped = banded_dispatch(
-        genome, cand, other_codes, other_len,
+    rp, rn = gpk.pack_reads(other_codes, other_len,
+                            -(-L // gpk.BASES_PER_WORD))
+    score, d0, ungapped = banded_packed(
+        tables["gpacked"], tables["gnplane"], tables["base_off"],
+        cand, other_codes, other_len, rp, rn,
         hw=mc.band_halfwidth, sc=sc)
     return {"pos": cand + d0, "score": score, "ungapped": ungapped}
 
@@ -188,7 +192,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
     exp_strand = 1 - anchor_strand
     other_codes = jnp.where((exp_strand == 1)[:, None], other_rc,
                             other_as_seq)
-    resc = _rescue_scan(tables["genome"],
+    resc = _rescue_scan(tables,
                         jnp.where(any_anchor, anchor_pos, 0),
                         anchor_strand, anchor_len, other_codes, other_len,
                         mc=mcfg, sc=sc)

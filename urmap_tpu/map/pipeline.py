@@ -23,7 +23,7 @@ import numpy as np
 
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
-from urmap_tpu.map.dp import NEG, banded_dispatch
+from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
                                 gather_candidates, vote_top_candidates)
 from urmap_tpu.map.select import select_hits
@@ -118,14 +118,25 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     else:
         cand = gather_runner(slots, offs, valid)
     top_cand, _votes = vote_top_candidates(cand, v=v)       # [2B, V]
+    glen = tables["genome_len"]
+    top_cand = jnp.where(top_cand == SENTINEL, SENTINEL,
+                         jnp.clip(top_cand, 0, glen - 1))
 
-    # ---- ungapped verification of every candidate ----
-    flat_cand = top_cand.reshape(-1)                         # [2B*V]
-    flat_reads = jnp.repeat(reads2, v, axis=0)
+    # ---- ungapped verification of every candidate (bit-parallel) ----
+    from urmap_tpu import genome_pack as gpk
+
+    nw = -(-L // gpk.BASES_PER_WORD)
+    rpacked2, rnplane2 = gpk.pack_reads(reads2, lengths2, nw)  # [2B, nw]
+    flat_cand = top_cand.reshape(-1)                           # [2B*V]
     flat_lens = jnp.repeat(lengths2, v, axis=0)
-    ung = _ungapped_scores(
-        tables["genome"], jnp.where(flat_cand == SENTINEL, 0, flat_cand),
-        flat_reads, flat_lens, sc).reshape(2 * B, v)
+    flat_rp = jnp.repeat(rpacked2, v, axis=0)
+    flat_rn = jnp.repeat(rnplane2, v, axis=0)
+    mm = gpk.mismatch_counts(
+        tables["gpacked"], tables["gnplane"], tables["base_off"],
+        jnp.where(flat_cand == SENTINEL, 0, flat_cand),
+        flat_rp, flat_rn, flat_lens)
+    ung = ((flat_lens - mm) * sc.match
+           + mm * sc.mismatch).astype(jnp.int32).reshape(2 * B, v)
 
     def fold(x):
         x = x.reshape(2, B, v)
@@ -153,9 +164,10 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     need_dp = (best_ung > neg) & (best_ung < trigger) & (lengths >= icfg.k)
     D = max(B // mcfg.dp_capacity_frac, 1)
     if dp_runner is None:
-        def dp_runner(c, r, ln):
-            return banded_dispatch(tables["genome"], c, r, ln,
-                                     hw=mcfg.band_halfwidth, sc=sc)
+        def dp_runner(c, r, ln, rp, rn):
+            return banded_packed(
+                tables["gpacked"], tables["gnplane"], tables["base_off"],
+                c, r, ln, rp, rn, hw=mcfg.band_halfwidth, sc=sc)
 
     def unfold(x):                                           # [2D*V] → [D, 2V]
         x = x.reshape(2, D, v)
@@ -173,6 +185,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
         sub_cand = cand_f[idx]                               # [D, 2V]
         sub_reads2 = jnp.concatenate([reads2[idx], reads2[B + idx]], axis=0)
+        sub_rp = jnp.concatenate([rpacked2[idx], rpacked2[B + idx]], axis=0)
+        sub_rn = jnp.concatenate([rnplane2[idx], rnplane2[B + idx]], axis=0)
         sub_lens = lengths[idx]
         sub_lens2 = jnp.concatenate([sub_lens, sub_lens], axis=0)
         sub_cand2 = jnp.concatenate(
@@ -182,7 +196,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         dflat_lens = jnp.repeat(sub_lens2, v, axis=0)
         dp_s, dp_d0, dp_ung = dp_runner(
             jnp.where(dflat_cand == SENTINEL, 0, dflat_cand),
-            dflat_reads, dflat_lens)
+            dflat_reads, dflat_lens,
+            jnp.repeat(sub_rp, v, axis=0), jnp.repeat(sub_rn, v, axis=0))
         dp_s = unfold(dp_s)
         dp_d0 = unfold(dp_d0)
         dp_ung = unfold(dp_ung)
