@@ -52,9 +52,8 @@ def main():
     from urmap_tpu.index.build import build_index
     from urmap_tpu.io.fasta import SeqDB
     from urmap_tpu.map import seed as seedmod
-    from urmap_tpu.map.dp import banded_dispatch
-    from urmap_tpu.map.pipeline import (_ungapped_scores, make_map_batch_fn,
-                                        revcomp_batch)
+    from urmap_tpu.map.dp import banded_packed
+    from urmap_tpu.map.pipeline import make_map_batch_fn, revcomp_batch
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
@@ -103,28 +102,36 @@ def main():
 
     top_cand, votes = s_vote(cand)
 
+    from urmap_tpu import genome_pack as gpk
+
+    nwords = -(-args.read_len // gpk.BASES_PER_WORD)
+
     @jax.jit
     def s_ung(top_cand, reads2, lens2):
+        rp, rn = gpk.pack_reads(reads2, lens2, nwords)
         flat_cand = top_cand.reshape(-1)
-        flat_reads = jnp.repeat(reads2, v, axis=0)
         flat_lens = jnp.repeat(lens2, v, axis=0)
-        return _ungapped_scores(
-            tables["genome"],
+        mm = gpk.mismatch_counts(
+            tables["gpacked"], tables["gnplane"], tables["base_off"],
             jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
-            flat_reads, flat_lens, sc)
+            jnp.repeat(rp, v, axis=0), jnp.repeat(rn, v, axis=0),
+            flat_lens)
+        return ((flat_lens - mm) * sc.match + mm * sc.mismatch)
 
     ung = s_ung(top_cand, reads2, lens2)
 
     D = max(B // mcfg.dp_capacity_frac, 1)
 
     def s_dp(top_cand, reads2, lens2):
+        rp, rn = gpk.pack_reads(reads2[:2 * D], lens2[:2 * D], nwords)
         flat_cand = top_cand[:2 * D].reshape(-1)
         flat_reads = jnp.repeat(reads2[:2 * D], v, axis=0)
         flat_lens = jnp.repeat(lens2[:2 * D], v, axis=0)
-        return banded_dispatch(
-            tables["genome"],
+        return banded_packed(
+            tables["gpacked"], tables["gnplane"], tables["base_off"],
             jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
-            flat_reads, flat_lens, hw=mcfg.band_halfwidth, sc=sc)
+            flat_reads, flat_lens, jnp.repeat(rp, v, axis=0),
+            jnp.repeat(rn, v, axis=0), hw=mcfg.band_halfwidth, sc=sc)
 
     s_dp = jax.jit(s_dp)
     dp_out = s_dp(top_cand, reads2, lens2)

@@ -262,9 +262,13 @@ def cmd_map(opts: dict) -> int:
     pct = 100.0 * n_mapped / max(n_reads, 1)
     if progress:
         progress.done()
-    print(f"{n_reads:,} reads, {n_mapped:,} mapped ({pct:.2f}%), "
-          f"{el:.1f}s ({n_reads / max(el, 1e-9):,.0f} reads/s)",
-          file=sys.stderr)
+    summary = (f"{n_reads:,} reads, {n_mapped:,} mapped ({pct:.2f}%), "
+               f"{el:.1f}s ({n_reads / max(el, 1e-9):,.0f} reads/s)")
+    print(summary, file=sys.stderr)
+    if "log" in opts:
+        with open(str(opts["log"]), "a") as lf:
+            lf.write(f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] "
+                     f"{cmdline}\n{summary}\n")
     metrics.close()
     return 0
 

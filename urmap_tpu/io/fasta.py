@@ -59,25 +59,36 @@ class SeqDB:
 
     @classmethod
     def from_fasta(cls, path: str) -> "SeqDB":
-        labels: list[str] = []
-        chunks: list[list[bytes]] = []
+        """Whole-file parse: record split + C-speed whitespace strip
+        (bytes.translate) — a Python per-line loop is minutes on a 3 Gbp
+        genome; this is seconds."""
         with _open_maybe_gzip(path) as f:
-            cur: list[bytes] | None = None
-            for raw in _io.BufferedReader(f, 1 << 20):
-                line = raw.strip()
-                if not line:
-                    continue
-                if line.startswith(b">"):
-                    labels.append(line[1:].split()[0].decode("ascii"))
-                    cur = []
-                    chunks.append(cur)
-                else:
-                    if cur is None:
-                        raise ValueError(f"{path}: sequence data before first header")
-                    cur.append(line)
+            data = f.read()
+        head = data.lstrip()
+        if not head.startswith(b">"):
+            snippet = head[:20]
+            raise ValueError(
+                f"{path}: sequence data before first header "
+                f"(starts {snippet!r})")
+        labels: list[str] = []
+        seqs: list[bytes] = []
+        start = data.index(b">")
+        parts = data[start + 1:].split(b"\n>")
+        del data
+        ws = b"\r\n\t "
+        for part in parts:
+            nl = part.find(b"\n")
+            if nl < 0:
+                header, body = part, b""
+            else:
+                header, body = part[:nl], part[nl + 1:]
+            header = header.strip()
+            if not header:
+                raise ValueError(f"{path}: empty FASTA header")
+            labels.append(header.split()[0].decode("ascii"))
+            seqs.append(body.translate(None, delete=ws))
         if not labels:
             raise ValueError(f"{path}: no FASTA records")
-        seqs = [b"".join(c) for c in chunks]
         return cls.from_seqs(labels, seqs)
 
     @classmethod
