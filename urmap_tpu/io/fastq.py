@@ -193,6 +193,44 @@ class _NativeFastqStream:
                                qual_off[:r])
 
 
+class PrefetchIterator:
+    """Wraps a batch iterator with a reader thread + bounded queue so
+    file IO / parsing overlaps mapping (the C parser releases the GIL).
+
+    The reference overlaps IO with its per-thread read loop (SURVEY.md
+    §2.13); this is the batch-pipeline equivalent of that."""
+
+    _DONE = object()
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def run():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # propagated to the consumer
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._DONE:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
 class FastqReader:
     """Yields ReadBatch (single-end) or (ReadBatch, ReadBatch) pairs.
 
