@@ -49,13 +49,17 @@ def _chunk_sorted_slots(codes, base_pos, k: int, slot_bits: int):
 
 
 def _merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray]]):
-    """Merge per-chunk (slot, pos) runs, each sorted by (slot, pos)."""
+    """Merge per-chunk (slot, pos) runs, each sorted by (slot, pos).
+
+    Chunks are produced in ascending-position order, so one STABLE sort
+    on slots alone re-establishes (slot, pos) order — equal slots keep
+    (chunk, within-chunk) order, which is ascending pos. Half the cost
+    of a two-key lexsort on multi-G-position genomes."""
     if len(runs) == 1:
         return runs[0]
     slots = np.concatenate([r[0] for r in runs])
     pos = np.concatenate([r[1] for r in runs])
-    # np.lexsort is stable; primary key slots, secondary pos.
-    order = np.lexsort((pos, slots))
+    order = np.argsort(slots, kind="stable")
     return slots[order], pos[order]
 
 
