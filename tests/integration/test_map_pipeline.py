@@ -112,3 +112,44 @@ def test_batch_padding_roundtrip(world):
     res = mapper.map_codes(codes, lens)
     assert len(res.mapped) == 5
     assert res.mapped.all()
+
+
+def test_long_read_truncation_soft_clip(rng, tmp_path):
+    """Reads longer than -maxreadlen map on their first max_read_len
+    bases; the unmapped tail must be soft-clipped so CIGAR length ==
+    SEQ length (fwd: trailing S; rc: leading S)."""
+    from tests.utils import make_seqdb, plant_read, write_fastq
+    from urmap_tpu.cli import main
+    from urmap_tpu.config import IndexConfig
+    from urmap_tpu.index.build import build_index
+    import re
+
+    db = make_seqdb(rng, [80_000])
+    index = build_index(db, IndexConfig(slot_bits=15), backend="host")
+    ufi = str(tmp_path / "g.ufi")
+    index.save(ufi)
+    reads = [plant_read(rng, db, length=130, strand=s % 2)
+             for s in range(8)]
+    fq = str(tmp_path / "r.fq")
+    write_fastq(fq, reads)
+    sam = str(tmp_path / "out.sam")
+    main(["-map", fq, "-ufi", ufi, "-samout", sam, "-batch", "8",
+          "-maxreadlen", "100", "-quiet"])
+
+    n_checked = 0
+    for line in open(sam):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        flag, cigar, seq = int(f[1]), f[5], f[9]
+        if flag & 4:
+            continue
+        assert len(seq) == 130
+        ops = re.findall(r"(\d+)([MIDS])", cigar)
+        assert sum(int(n) for n, op in ops if op in "MIS") == 130, cigar
+        if flag & 16:
+            assert ops[0] == ("30", "S"), cigar
+        else:
+            assert ops[-1] == ("30", "S"), cigar
+        n_checked += 1
+    assert n_checked >= 7

@@ -200,8 +200,10 @@ def cmd_map(opts: dict) -> int:
             if native:
                 sc1 = revcomp_strand_codes(fwd.codes, res.m1)
                 sc2 = revcomp_strand_codes(rev.codes, res.m2)
-                c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1, mapper.sc)
-                c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2, mapper.sc)
+                c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1, mapper.sc,
+                                             raw_lengths=fwd.seq_len)
+                c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2, mapper.sc,
+                                             raw_lengths=rev.seq_len)
                 data = sam_native.format_paired(
                     fwd, rev, res, c1, e1, sp1, c2, e2, sp2, index.seqdb)
             else:
@@ -214,12 +216,14 @@ def cmd_map(opts: dict) -> int:
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum())}
         if native:
             cig, nm, _span = cigars_nm_fast(genome, strand_codes, res,
-                                            mapper.sc)
+                                            mapper.sc,
+                                            raw_lengths=batch.seq_len)
             data = sam_native.format_single_end(batch, res, cig, nm,
                                                 index.seqdb)
         else:
-            cigars, nms = cigars_for_result(genome, strand_codes, res,
-                                            mapper.sc)
+            cigars, nms = cigars_for_result(
+                genome, strand_codes, res, mapper.sc,
+                raw_lengths=[len(sq) for sq in batch.seqs])
             recs = samio.records_single_end(batch, res, cigars, nms,
                                             index.seqdb)
             data = ("\n".join(recs) + "\n").encode("ascii")

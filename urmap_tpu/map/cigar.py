@@ -96,7 +96,7 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
 
 
 def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
-                   sc: ScoreConfig):
+                   sc: ScoreConfig, raw_lengths=None):
     """Vectorized CIGAR/NM for a MapResult (native-writer fast path).
 
     M-only winners (the vast majority) get "{L}M" and an NM derived from
@@ -129,11 +129,29 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
             cig[i] = c
             nm[i] = e
             span[i] = ref_consumed(c)
+    if raw_lengths is not None:
+        add_truncation_clips(cig, result, raw_lengths)
     return cig, nm, span
 
 
+def add_truncation_clips(cig, result, raw_lengths) -> None:
+    """Reads longer than max_read_len were truncated for mapping; the
+    unmapped tail must appear as a soft clip so CIGAR length == SEQ
+    length (SAM v1.6 §1.4.6). Trailing S for forward alignments; the
+    truncated tail of a reverse-complemented record is emitted FIRST,
+    so leading S. Mutates ``cig`` in place."""
+    raw = np.asarray(raw_lengths)
+    extra = raw - np.asarray(result.lengths)
+    for i in np.nonzero(result.mapped & (extra > 0))[0]:
+        if result.strand[i]:
+            cig[i] = f"{extra[i]}S" + cig[i]
+        else:
+            cig[i] = cig[i] + f"{extra[i]}S"
+
+
 def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
-                      result, sc: ScoreConfig) -> tuple[list[str], list[int]]:
+                      result, sc: ScoreConfig,
+                      raw_lengths=None) -> tuple[list[str], list[int]]:
     """CIGAR + NM per read for a MapResult. ``reads_codes`` must be
     strand-applied (rc already taken for strand==1 reads)."""
     cigars: list[str] = []
@@ -155,4 +173,6 @@ def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
             raise AssertionError(
                 f"traceback score {score} != device score {result.score[i]}")
         cigars.append(cigar); nms.append(nm)
+    if raw_lengths is not None:
+        add_truncation_clips(cigars, result, raw_lengths)
     return cigars, nms

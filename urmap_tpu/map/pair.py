@@ -321,8 +321,12 @@ class PairedMapper:
         genome = self.index.seqdb.codes
         sc1 = revcomp_strand_codes(fwd_batch.codes, res.m1)
         sc2 = revcomp_strand_codes(rev_batch.codes, res.m2)
-        cig1, nm1 = cigars_for_result(genome, sc1, res.m1, self.sc)
-        cig2, nm2 = cigars_for_result(genome, sc2, res.m2, self.sc)
+        cig1, nm1 = cigars_for_result(
+            genome, sc1, res.m1, self.sc,
+            raw_lengths=[len(sq) for sq in fwd_batch.seqs])
+        cig2, nm2 = cigars_for_result(
+            genome, sc2, res.m2, self.sc,
+            raw_lengths=[len(sq) for sq in rev_batch.seqs])
         return samio.records_paired(fwd_batch, rev_batch, res,
                                     cig1, nm1, cig2, nm2, self.index.seqdb)
 
