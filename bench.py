@@ -52,6 +52,116 @@ def synth_reads(rng, db, n, length, snp_rate=0.01):
     return codes.astype(np.uint8), pos, strand
 
 
+def synth_pairs(rng, db, n_pairs, length, snp_rate=0.01,
+                frag_lo=200, frag_hi=800):
+    """Vectorized FR pairs: (r1 codes, r2 codes, truth pos per mate)."""
+    from urmap_tpu import alphabet
+
+    ref_len = int(db.lengths[0])
+    start = int(db.starts[0])
+    frag = rng.integers(frag_lo, frag_hi, size=n_pairs).astype(np.int64)
+    p = rng.integers(0, ref_len - frag_hi - 8, size=n_pairs).astype(np.int64) \
+        + start
+    li = p[:, None] + np.arange(length)[None, :]
+    ri = (p + frag - length)[:, None] + np.arange(length)[None, :]
+    left = db.codes[li].copy()
+    right = db.codes[ri].copy()
+    for c in (left, right):
+        mask = rng.random(c.shape) < snp_rate
+        c[mask] = (c[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
+    # R1 = fwd fragment start, R2 = rc of fragment end (FR), half swapped
+    r1_fwd = rng.integers(0, 2, size=n_pairs).astype(bool)
+    right_rc = alphabet.COMP_CODE[right[:, ::-1]]
+    r1 = np.where(r1_fwd[:, None], left, right_rc).astype(np.uint8)
+    r2 = np.where(r1_fwd[:, None], right_rc, left).astype(np.uint8)
+    t1 = np.where(r1_fwd, p, p + frag - length)
+    t2 = np.where(r1_fwd, p + frag - length, p)
+    return r1, r2, t1, t2
+
+
+def run_paired(args, db, index, mapper, rng, t_index, dev):
+    """PE bench: native paired reader → PairedMapper → native SAM."""
+    from urmap_tpu.io import sam_native
+    from urmap_tpu.io.fastq import FastqReader
+    from urmap_tpu.map.cigar import cigars_nm_fast
+    from urmap_tpu.map.pair import PairedMapper
+    from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+    n_pairs = args.reads // 2
+    r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len)
+    code_to_char = np.frombuffer(b"ACGTNN", np.uint8)
+    qual_row = b"I" * args.read_len
+    paths = ("/tmp/urmap_bench_r1.fq", "/tmp/urmap_bench_r2.fq")
+    for path, arr in zip(paths, (r1, r2)):
+        with open(path, "wb") as f:
+            chunk = []
+            for i in range(n_pairs):
+                chunk.append(b"@p%d\n%s\n+\n%s\n"
+                             % (i, code_to_char[arr[i]].tobytes(), qual_row))
+                if len(chunk) == 50000:
+                    f.write(b"".join(chunk)); chunk = []
+            f.write(b"".join(chunk))
+
+    pm = PairedMapper(mapper)
+    # warmup / compile
+    wb = min(args.batch, n_pairs)
+    ln = np.full(wb, args.read_len, np.int32)
+    pm.finish_batch(pm.start_batch(r1[:wb], ln, r2[:wb], ln), ln, ln)
+
+    sink = io.BytesIO()
+    n_mapped = n_correct = n_proper = 0
+
+    def finish(s, b1, b2, handle):
+        nonlocal n_mapped, n_correct, n_proper
+        res = pm.finish_batch(handle, b1.lengths, b2.lengths)
+        n = len(b1)
+        n_mapped += int(res.m1.mapped.sum()) + int(res.m2.mapped.sum())
+        n_proper += int(res.proper.sum())
+        n_correct += int(((res.m1.pos == t1[s:s + n]) & res.m1.mapped).sum())
+        n_correct += int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum())
+        if args.no_sam:
+            return
+        sc1 = revcomp_strand_codes(b1.codes, res.m1)
+        sc2 = revcomp_strand_codes(b2.codes, res.m2)
+        c1, e1, sp1 = cigars_nm_fast(db.codes, sc1, res.m1, pm.sc)
+        c2, e2, sp2 = cigars_nm_fast(db.codes, sc2, res.m2, pm.sc)
+        sink.write(sam_native.format_paired(
+            b1, b2, res, c1, e1, sp1, c2, e2, sp2, db))
+
+    t1w = time.monotonic()
+    reader = FastqReader(paths[0], paths[1], batch_size=args.batch,
+                         max_read_len=args.read_len)
+    pending = None
+    s = 0
+    for b1, b2 in reader:
+        handle = pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths)
+        if pending:
+            finish(*pending)
+        pending = (s, b1, b2, handle)
+        s += len(b1)
+    if pending:
+        finish(*pending)
+    elapsed = time.monotonic() - t1w
+    total_reads = 2 * n_pairs
+    rps = total_reads / elapsed
+    print(json.dumps({
+        "metric": "map_reads_per_sec_150bp_pe",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "device": str(dev),
+        "reads": total_reads,
+        "genome_mbp": args.genome_mbp,
+        "mapped_frac": round(n_mapped / total_reads, 4),
+        "correct_frac": round(n_correct / total_reads, 4),
+        "proper_frac": round(n_proper / n_pairs, 4),
+        "index_build_s": round(t_index, 2),
+        "map_s": round(elapsed, 2),
+        "sam_formatting": not args.no_sam,
+    }))
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=200_000)
@@ -60,6 +170,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--no-sam", action="store_true",
                     help="skip host CIGAR/SAM formatting (device-only rate)")
+    ap.add_argument("--paired", action="store_true",
+                    help="paired-end mode (BASELINE.json's PE metric)")
     args = ap.parse_args(argv)
 
     import jax
@@ -87,12 +199,14 @@ def main(argv=None):
     index = build_index(db, icfg, backend="host")
     t_index = time.monotonic() - t0
 
+    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
+    mapper = Mapper(index, mcfg)
+    if args.paired:
+        return run_paired(args, db, index, mapper, rng, t_index, dev)
+
     codes, truth_pos, truth_strand = synth_reads(
         rng, db, args.reads, args.read_len)
     lengths = np.full(args.reads, args.read_len, np.int32)
-
-    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
-    mapper = Mapper(index, mcfg)
 
     # warmup / compile
     wb = min(args.batch, args.reads)

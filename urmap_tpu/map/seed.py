@@ -37,23 +37,35 @@ def seed_offsets(lengths, k: int, q: int):
 
 def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
     """reads uint8[N, L], lengths int32[N] →
-    (slots uint32[N, Q], offs int32[N, Q], valid bool[N, Q])."""
+    (slots uint32[N, Q], offs int32[N, Q], valid bool[N, Q]).
+
+    Words are computed DENSELY at every read position with k fused
+    shift/or passes (pure vector ops), then the Q seed offsets gather
+    one word each — k× fewer gathered elements than gathering each
+    seed's k bases."""
     n, L = reads.shape
+    if L < k:
+        raise ValueError(f"read block width {L} < word length {k}")
+    m = L - k + 1
     offs = seed_offsets(lengths, k, q)
-    idx = offs[:, :, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
-    codes = jnp.take_along_axis(
-        reads, idx.reshape(n, q * k), axis=1).reshape(n, q, k)
-    valid = jnp.all(codes < 4, axis=-1) & (lengths >= k)[:, None]
-    lo = jnp.zeros((n, q), jnp.uint32)
-    hi = jnp.zeros((n, q), jnp.uint32)
+
+    lo = jnp.zeros((n, m), jnp.uint32)
+    hi = jnp.zeros((n, m), jnp.uint32)
+    ok = jnp.ones((n, m), jnp.bool_)
     lo_bases = min(k, 16)
     for i in range(k):
-        c32 = (codes[:, :, i] & 3).astype(jnp.uint32)
+        c = reads[:, i : i + m]
+        ok = ok & (c < 4)
+        c32 = (c & 3).astype(jnp.uint32)
         if i < k - lo_bases:
             hi = (hi << 2) | c32
         else:
             lo = (lo << 2) | c32
-    slots = words_to_slots(lo, hi, slot_bits)
+    slots_dense = words_to_slots(lo, hi, slot_bits)         # [N, m]
+
+    offs_c = jnp.clip(offs, 0, m - 1)
+    slots = jnp.take_along_axis(slots_dense, offs_c, axis=1)
+    valid = jnp.take_along_axis(ok, offs_c, axis=1) & (lengths >= k)[:, None]
     return slots, offs, valid
 
 
