@@ -61,3 +61,25 @@ def test_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_tables_roundtrip(rng, tmp_path):
+    from urmap_tpu.dist.sharded import (load_sharded_tables,
+                                        save_sharded_tables,
+                                        shard_index_tables)
+    from urmap_tpu.config import IndexConfig
+    from urmap_tpu.index.build import build_index
+
+    db = make_seqdb(rng, [50_000])
+    index = build_index(db, IndexConfig(slot_bits=14), backend="host")
+    want = shard_index_tables(index, 4)
+    save_sharded_tables(index, str(tmp_path / "sh"), 4)
+    got = load_sharded_tables(str(tmp_path / "sh"))
+    assert got.num_shards == want.num_shards
+    assert got.slots_per_shard == want.slots_per_shard
+    np.testing.assert_array_equal(got.offsets, want.offsets)
+    np.testing.assert_array_equal(got.positions, want.positions)
+    # subset load for a single host's shards
+    sub = load_sharded_tables(str(tmp_path / "sh"), shards=[1, 3])
+    np.testing.assert_array_equal(sub.offsets[0], want.offsets[1])
+    np.testing.assert_array_equal(sub.offsets[1], want.offsets[3])

@@ -113,6 +113,49 @@ def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
                          offsets=np.stack(off_l), positions=positions)
 
 
+def save_sharded_tables(index: UfiIndex, path: str, num_shards: int) -> None:
+    """Persist per-shard CSR files (one npz per hash-range shard) so a
+    multi-host run can load only its own shards (SURVEY.md §2.7). The
+    genome/seqdb rides in the base index directory (index.save)."""
+    import json
+    import os
+
+    st = shard_index_tables(index, num_shards)
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "shards.json"), "w") as f:
+        json.dump({"num_shards": st.num_shards,
+                   "slots_per_shard": st.slots_per_shard}, f)
+    for s in range(st.num_shards):
+        np.savez(os.path.join(path, f"shard{s}.npz"),
+                 offsets=st.offsets[s], positions=st.positions[s])
+
+
+def load_sharded_tables(path: str,
+                        shards: list[int] | None = None) -> ShardedTables:
+    """Load all (or a subset of) shard files back into stacked arrays."""
+    import json
+    import os
+
+    with open(os.path.join(path, "shards.json")) as f:
+        meta = json.load(f)
+    n = meta["num_shards"]
+    idxs = list(range(n)) if shards is None else shards
+    offs = []
+    poss = []
+    pmax = 1
+    for s in idxs:
+        with np.load(os.path.join(path, f"shard{s}.npz")) as z:
+            offs.append(z["offsets"])
+            poss.append(z["positions"])
+            pmax = max(pmax, poss[-1].shape[0])
+    positions = np.zeros((len(idxs), pmax), np.int32)
+    for i, p in enumerate(poss):
+        positions[i, : p.shape[0]] = p
+    return ShardedTables(num_shards=n,
+                         slots_per_shard=meta["slots_per_shard"],
+                         offsets=np.stack(offs), positions=positions)
+
+
 def _sharded_step(offsets, positions, gpacked, gnplane, reads, lengths, *,
                   icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
                   sps: int, n_index: int, base_off: int, genome_len: int):
