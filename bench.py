@@ -164,10 +164,10 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=200_000)
+    ap.add_argument("--reads", type=int, default=262_144)
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=32_768)
     ap.add_argument("--no-sam", action="store_true",
                     help="skip host CIGAR/SAM formatting (device-only rate)")
     ap.add_argument("--paired", action="store_true",
