@@ -254,19 +254,21 @@ def main(argv=None):
             sink.write(("\n".join(samio.records_single_end(
                 batch, res, cigars, nms, db)) + "\n").encode())
 
+    from collections import deque
+
     t1 = time.monotonic()
-    pending = None
+    pending = deque()
     s = 0
     reader = FastqReader(fq_path, batch_size=args.batch,
                          max_read_len=args.read_len)
     for batch in reader:
-        handle = mapper.start_batch(batch.codes, batch.lengths)
-        if pending:
-            finish(*pending)
-        pending = (s, batch, handle)
+        pending.append((s, batch, mapper.start_batch(batch.codes,
+                                                     batch.lengths)))
         s += len(batch)
-    if pending:
-        finish(*pending)
+        if len(pending) > 2:   # keep 2 batches in flight on the device
+            finish(*pending.popleft())
+    while pending:
+        finish(*pending.popleft())
     elapsed = time.monotonic() - t1
     rps = args.reads / elapsed
 

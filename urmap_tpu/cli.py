@@ -241,21 +241,22 @@ def cmd_map(opts: dict) -> int:
 
     # double-buffered loop: batch i+1 computes on device while the host
     # formats/writes batch i (SURVEY.md Phase 5 overlap)
+    from collections import deque
+
     nonlocal_state = {"reads": 0, "mapped": 0}
     my_batch_no = 0
-    pending = None
+    pending = deque()
     for batch_no, item in enumerate(batches):
         if batch_no % nproc != rank:
             continue
         my_batch_no += 1
         if my_batch_no <= writer.skip_batches:
             continue
-        handle = start_one(item)
-        if pending is not None:
-            drain(pending)
-        pending = (item, handle)
-    if pending is not None:
-        drain(pending)
+        pending.append((item, start_one(item)))
+        if len(pending) > 2:   # keep 2 batches in flight on the device
+            drain(pending.popleft())
+    while pending:
+        drain(pending.popleft())
     n_reads = nonlocal_state["reads"]
     n_mapped = nonlocal_state["mapped"]
     writer.close()
