@@ -75,3 +75,32 @@ def test_fastq_batching(tmp_path):
     _write_fastq(fq, [(f"r{i}", "ACGT", "IIII") for i in range(7)])
     sizes = [len(b) for b in FastqReader(str(fq), batch_size=3, max_read_len=8)]
     assert sizes == [3, 3, 1]
+
+
+def test_gzip_fasta_and_fastq(rng, tmp_path):
+    """Gzip inputs flow through both the FASTA loader and the native
+    FASTQ stream (the chunked reader reads through the gzip object)."""
+    import gzip
+
+    from tests.utils import make_seqdb, plant_read
+    from urmap_tpu.io.fastq import FastqReader
+
+    db = make_seqdb(rng, [5_000])
+    fa = str(tmp_path / "g.fa.gz")
+    with gzip.open(fa, "wt") as f:
+        f.write(">chr1\n")
+        from urmap_tpu import alphabet
+        f.write(alphabet.decode(db.get_seq_codes(0)) + "\n")
+    db2 = SeqDB.from_fasta(fa)
+    np.testing.assert_array_equal(db2.codes, db.codes)
+
+    reads = [plant_read(rng, db, length=80) for _ in range(10)]
+    fq = str(tmp_path / "r.fq.gz")
+    with gzip.open(fq, "wt") as f:
+        for i, r in enumerate(reads):
+            f.write(f"@g{i}\n{r.seq}\n+\n{'I' * 80}\n")
+    batches = list(FastqReader(fq, batch_size=16, max_read_len=100))
+    assert len(batches) == 1
+    assert len(batches[0]) == 10
+    assert batches[0].names[0] == "g0"
+    assert batches[0].lengths.tolist() == [80] * 10

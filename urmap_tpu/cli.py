@@ -37,6 +37,7 @@ Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
       [-log <file>] [-metrics <file.jsonl>] [-quiet] [-resume]
+      [-profile <dir>]  (XProf/Perfetto trace of the map loop)
 
 Multi-host: launch the same -map command on every host of the slice
 (JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
@@ -52,7 +53,7 @@ _FLAGS = {
     "maxpos": True, "veryfast": False,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
-    "log": True, "metrics": True, "quiet": False,
+    "log": True, "metrics": True, "quiet": False, "profile": True,
     "version": False, "help": False,
 }
 
@@ -242,10 +243,19 @@ def cmd_map(opts: dict) -> int:
     # double-buffered loop: batch i+1 computes on device while the host
     # formats/writes batch i (SURVEY.md Phase 5 overlap)
     from collections import deque
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if "profile" in opts:
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(str(opts["profile"]))
 
     nonlocal_state = {"reads": 0, "mapped": 0}
     my_batch_no = 0
     pending = deque()
+    es = contextlib.ExitStack()
+    es.enter_context(profile_ctx)
     for batch_no, item in enumerate(batches):
         if batch_no % nproc != rank:
             continue
@@ -257,6 +267,7 @@ def cmd_map(opts: dict) -> int:
             drain(pending.popleft())
     while pending:
         drain(pending.popleft())
+    es.close()
     n_reads = nonlocal_state["reads"]
     n_mapped = nonlocal_state["mapped"]
     writer.close()
