@@ -172,6 +172,9 @@ def main(argv=None):
                     help="skip host CIGAR/SAM formatting (device-only rate)")
     ap.add_argument("--paired", action="store_true",
                     help="paired-end mode (BASELINE.json's PE metric)")
+    ap.add_argument("--inflight", type=int, default=1,
+                    help="batches in flight on the device (the axon "
+                         "relay hangs with >1 outstanding execute)")
     args = ap.parse_args(argv)
 
     import jax
@@ -265,7 +268,7 @@ def main(argv=None):
         pending.append((s, batch, mapper.start_batch(batch.codes,
                                                      batch.lengths)))
         s += len(batch)
-        if len(pending) > 2:   # keep 2 batches in flight on the device
+        if len(pending) > args.inflight:
             finish(*pending.popleft())
     while pending:
         finish(*pending.popleft())

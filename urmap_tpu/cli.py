@@ -263,7 +263,9 @@ def cmd_map(opts: dict) -> int:
         if my_batch_no <= writer.skip_batches:
             continue
         pending.append((item, start_one(item)))
-        if len(pending) > 2:   # keep 2 batches in flight on the device
+        # depth-1: the axon relay hangs with >1 outstanding execute;
+        # raise when running on a standard TPU runtime
+        if len(pending) > 1:
             drain(pending.popleft())
     while pending:
         drain(pending.popleft())
