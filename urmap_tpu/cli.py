@@ -114,6 +114,11 @@ def cmd_make_ufi(opts: dict) -> int:
 
 
 def cmd_map(opts: dict) -> int:
+    # distributed init must precede ANY backend-initializing JAX call
+    from urmap_tpu.dist import multihost as mh
+
+    mh.maybe_init_distributed()
+
     from urmap_tpu.index import UfiIndex
     from urmap_tpu.io import FastqReader
     from urmap_tpu.io import sam as samio
@@ -154,9 +159,6 @@ def cmd_map(opts: dict) -> int:
     # Multi-host SPMD: every process runs this same command; batches are
     # round-robined by rank, each rank appends to its own watermarked
     # shard, and rank 0 merges in rank order (dist/multihost.py).
-    from urmap_tpu.dist import multihost as mh
-
-    mh.maybe_init_distributed()
     rank, nproc = mh.process_index(), mh.process_count()
     resume = bool(opts.get("resume"))
 

@@ -34,12 +34,27 @@ __all__ = [
 
 def maybe_init_distributed() -> None:
     """jax.distributed.initialize when launched as a multi-process job
-    (coordinator env vars present); harmless no-op otherwise."""
+    (coordinator env vars present); harmless no-op otherwise.
+
+    Cluster launchers (GKE/Slurm/Cloud-TPU) are auto-detected by
+    jax.distributed; for manual launches set JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES and JAX_PROCESS_ID (works on any backend, incl.
+    CPU — tests/integration/test_multiprocess_cli.py runs a real
+    2-process mapping job this way)."""
     import jax
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs = dict(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 def process_index() -> int:

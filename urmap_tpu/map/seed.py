@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from urmap_tpu.hashing import words_to_slots
 
-SENTINEL = jnp.int32(0x7FFFFFF0)  # invalid candidate start (sorts last)
+SENTINEL = 0x7FFFFFF0  # invalid candidate start (sorts last); plain int
+# (a jnp scalar here would initialize the backend at import time,
+# breaking jax.distributed.initialize in multi-host processes)
 
 
 def seed_offsets(lengths, k: int, q: int):
