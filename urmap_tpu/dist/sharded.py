@@ -221,17 +221,22 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
     """Jitted fn(offsets, positions, genome, reads, lengths) → out dict,
     sharded per the mesh. Genome is replicated; CSR tables live on the
     "index" axis; reads/outputs on "data"."""
+    from urmap_tpu.map.pipeline import pack_out
+
     n_index = mesh.shape["index"]
     body = functools.partial(_sharded_step, icfg=icfg, mcfg=mcfg, sc=sc,
                              sps=sps, n_index=n_index, base_off=base_off,
                              genome_len=genome_len)
+
+    def packed_body(*args):
+        # one packed int32[b, 6] output → one D2H fetch (pipeline.pack_out)
+        return pack_out(body(*args))
+
     fn = jax.shard_map(
-        body, mesh=mesh,
+        packed_body, mesh=mesh,
         in_specs=(P("index", None), P("index", None), P(), P(),
                   P("data", None), P("data")),
-        out_specs={k: P("data") for k in
-                   ("mapped", "pos", "strand", "score", "second", "mapq",
-                    "gapped", "ungapped", "dp_ran")},
+        out_specs=P("data", None),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -285,7 +290,8 @@ class ShardedMapper:
             out = self._fn(self.offsets, self.positions, self.gpacked,
                            self.gnplane, jnp.asarray(c),
                            jnp.asarray(ln.astype(np.int32)))
-            outs.append(out)
-        merged = {k: np.concatenate([np.asarray(o[k]) for o in outs])[:B]
-                  for k in outs[0]}
+            outs.append(np.asarray(out))
+        from urmap_tpu.map.pipeline import unpack_out
+
+        merged = unpack_out(np.concatenate(outs)[:B])
         return MapResult.from_device(merged, np.asarray(lengths)[:B])

@@ -245,9 +245,21 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 
 def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None):
+    """Jitted paired step → ONE packed int32[B, 13] (cols 0-5 mate1,
+    6-11 mate2 — pipeline.pack_out layout — col 12 proper): a single
+    D2H fetch per batch (see pipeline.PACKED_COLS note)."""
+    from urmap_tpu.map.pipeline import pack_out
+
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc)
-    return jax.jit(fn)
+
+    def packed_fn(tables, r1, l1, r2, l2):
+        out = fn(tables, r1, l1, r2, l2)
+        return jnp.concatenate(
+            [pack_out(out["m1"]), pack_out(out["m2"]),
+             out["proper"].astype(jnp.int32)[:, None]], axis=1)
+
+    return jax.jit(packed_fn)
 
 
 @dataclass
@@ -279,13 +291,16 @@ class PairedMapper:
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
+        from urmap_tpu.map.pipeline import unpack_out
+
         out, B = handle
-        m1 = {k: np.asarray(v)[:B] for k, v in out["m1"].items()}
-        m2 = {k: np.asarray(v)[:B] for k, v in out["m2"].items()}
+        arr = np.asarray(out)[:B]
+        m1 = unpack_out(arr[:, 0:6])
+        m2 = unpack_out(arr[:, 6:12])
         return PairResult(
             m1=MapResult.from_device(m1, np.asarray(lengths1)[:B]),
             m2=MapResult.from_device(m2, np.asarray(lengths2)[:B]),
-            proper=np.asarray(out["proper"])[:B],
+            proper=arr[:, 12].astype(bool),
         )
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:

@@ -240,12 +240,54 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     return out
 
 
+# Single-array output packing: the D2H fetch through this platform's
+# relay has a large FIXED per-array latency, so the jit boundary returns
+# ONE int32 matrix per batch instead of 9 small arrays.
+# Columns: 0 = flag bits (1 mapped, 2 gapped, 4 dp_ran, 8 strand),
+# 1 pos, 2 score, 3 second, 4 mapq, 5 ungapped.
+PACKED_COLS = 6
+
+
+def pack_out(out) -> "jnp.ndarray":
+    dp_ran = out.get("dp_ran")  # per-mate pair dicts don't carry it
+    if dp_ran is None:
+        dp_ran = jnp.zeros_like(out["mapped"])
+    flags = (out["mapped"].astype(jnp.int32)
+             | (out["gapped"].astype(jnp.int32) << 1)
+             | (dp_ran.astype(jnp.int32) << 2)
+             | (out["strand"].astype(jnp.int32) << 3))
+    return jnp.stack([flags, out["pos"].astype(jnp.int32), out["score"],
+                      out["second"], out["mapq"], out["ungapped"]], axis=1)
+
+
+def unpack_out(arr: np.ndarray) -> dict:
+    flags = arr[:, 0]
+    return {
+        "mapped": (flags & 1).astype(bool),
+        "gapped": ((flags >> 1) & 1).astype(bool),
+        "dp_ran": ((flags >> 2) & 1).astype(bool),
+        "strand": ((flags >> 3) & 1).astype(np.int32),
+        "pos": arr[:, 1],
+        "score": arr[:, 2],
+        "second": arr[:, 3],
+        "mapq": arr[:, 4],
+        "ungapped": arr[:, 5],
+    }
+
+
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
-                      sc: ScoreConfig | None = None):
-    """Returns jitted fn(tables, reads, lengths) → device output dict."""
+                      sc: ScoreConfig | None = None, *, packed: bool = True):
+    """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
+    (or the raw output dict with packed=False)."""
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc)
-    return jax.jit(fn)
+    if not packed:
+        return jax.jit(fn)
+
+    def packed_fn(tables, reads, lengths):
+        return pack_out(fn(tables, reads, lengths))
+
+    return jax.jit(packed_fn)
 
 
 def revcomp_strand_codes(codes: np.ndarray, result: MapResult) -> np.ndarray:
@@ -297,7 +339,7 @@ class Mapper:
 
     def finish_batch(self, handle, lengths) -> MapResult:
         out, B = handle
-        merged = {k: np.asarray(v)[:B] for k, v in out.items()}
+        merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
         return MapResult.from_device(merged, np.asarray(lengths)[:B])
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
