@@ -120,6 +120,12 @@ class MapConfig:
     # banded DP over a window of this many bases around the expected mate
     # position. PARITY-TODO.
     rescue_window: int = 1200
+    # Rescue lane budget per bucket round (batch_size // frac), same
+    # while_loop pattern as the DP bucket: pairs needing rescue are a
+    # small minority, and the window-scan convolution is the single most
+    # expensive op in the paired pipeline — never run it on whole
+    # batches. Zero rounds when nothing needs rescue.
+    rescue_capacity_frac: int = 8
     # Device batch size (reads per pipeline step, per device).
     batch_size: int = 2048
 

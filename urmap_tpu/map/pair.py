@@ -192,10 +192,39 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
     exp_strand = 1 - anchor_strand
     other_codes = jnp.where((exp_strand == 1)[:, None], other_rc,
                             other_as_seq)
-    resc = _rescue_scan(tables,
-                        jnp.where(any_anchor, anchor_pos, 0),
-                        anchor_strand, anchor_len, other_codes, other_len,
-                        mc=mcfg, sc=sc)
+    # Bucketed rescue rounds (config.rescue_capacity_frac): gather the
+    # pairs that actually need a rescue into fixed-size lanes, run the
+    # window scan + DP there, scatter back. while_loop ⇒ zero rounds on
+    # batches with nothing to rescue, full coverage otherwise.
+    Dr = max(B // mcfg.rescue_capacity_frac, 1)
+
+    def resc_cond(state):
+        return jnp.any(any_anchor & ~state[3])
+
+    def resc_body(state):
+        r_pos, r_score, r_ung, served = state
+        key = (any_anchor & ~served).astype(jnp.int32)
+        sel, idx = jax.lax.top_k(key, Dr)
+        do = sel > 0
+        sub = _rescue_scan(
+            tables,
+            jnp.where(do, anchor_pos[idx], 0),
+            anchor_strand[idx], anchor_len[idx],
+            other_codes[idx], other_len[idx], mc=mcfg, sc=sc)
+        r_pos = r_pos.at[idx].set(jnp.where(do, sub["pos"], r_pos[idx]))
+        r_score = r_score.at[idx].set(
+            jnp.where(do, sub["score"], r_score[idx]))
+        r_ung = r_ung.at[idx].set(
+            jnp.where(do, sub["ungapped"], r_ung[idx]))
+        served = served.at[idx].set(served[idx] | do)
+        return r_pos, r_score, r_ung, served
+
+    r_pos0 = jnp.zeros((B,), jnp.int32)
+    r_neg = jnp.full((B,), NEG, jnp.int32)
+    r_pos, r_score, r_ung, _served = jax.lax.while_loop(
+        resc_cond, resc_body,
+        (r_pos0, r_neg, r_neg, jnp.zeros((B,), jnp.bool_)))
+    resc = {"pos": r_pos, "score": r_score, "ungapped": r_ung}
     resc_ok = any_anchor & (resc["score"] >= min_score(other_len)) \
         & (other_len >= icfg.k)
     anchor_mapq = jnp.where(a1, se1["mapq"], se2["mapq"])
