@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from tests.utils import make_seqdb, plant_pair, plant_read, write_fastq
-from urmap_tpu.config import IndexConfig, MapConfig
+from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index.build import build_index
 from urmap_tpu.io import sam as samio
 from urmap_tpu.io import sam_native
@@ -132,3 +132,36 @@ def test_native_sam_paired_matches_python(rng, tmp_path):
     c2, e2, sp2 = cigars_nm_fast(db.codes, sc2, res.m2, pm.sc)
     nat = sam_native.format_paired(b1, b2, res, c1, e1, sp1, c2, e2, sp2, db)
     assert _canon(nat.decode()) == _canon("\n".join(py_recs))
+
+
+def test_empty_sequence_record(rng, tmp_path):
+    """A FASTQ record with an empty sequence maps to an unmapped SAM
+    record with SEQ/QUAL '*' (both writers)."""
+    from tests.utils import make_seqdb
+    db = make_seqdb(rng, [30_000])
+    from urmap_tpu.index.build import build_index
+    index = build_index(db, IndexConfig(slot_bits=14), backend="host")
+    path = str(tmp_path / "e.fq")
+    with open(path, "w") as f:
+        f.write("@empty\n\n+\n\n@ok\nACGTACGTACGTACGTACGTACGTACGT\n+\n"
+                + "I" * 28 + "\n")
+    (batch,) = list(FastqReader(path, batch_size=8, max_read_len=40,
+                                native=True))
+    assert batch.lengths.tolist() == [0, 28]
+    mapper = Mapper(index, MapConfig(max_read_len=40, batch_size=8))
+    res = mapper.map_codes(batch.codes, batch.lengths)
+    assert not res.mapped[0]
+
+    from urmap_tpu.map.cigar import cigars_nm_fast as _cnf
+    strand_codes = revcomp_strand_codes(batch.codes, res)
+    cig, nm, _sp = _cnf(db.codes, strand_codes, res, ScoreConfig())
+    nat = sam_native.format_single_end(batch, res, cig, nm, db)
+    line = nat.decode().splitlines()[0].split("\t")
+    assert line[0] == "empty" and int(line[1]) & 0x4
+    assert line[9] == "*" and line[10] == "*"
+
+    cigars, nms = cigars_for_result(db.codes, strand_codes, res,
+                                    ScoreConfig())
+    py_line = samio.records_single_end(batch, res, cigars, nms,
+                                       db)[0].split("\t")
+    assert py_line[9] == "*" and py_line[10] == "*"

@@ -196,10 +196,12 @@ int64_t urmap_format_sam(
       o += sprintf(o, "%lld\t%lld\t", (long long)mate_pos1[i],
                    (long long)tlen[i]);
     }
-    // SEQ QUAL
+    // SEQ QUAL ('*' when the record has no sequence, SAM v1.6)
     const char* s = fq + seq_off[i];
     const char* q = fq + qual_off[i];
-    if (rev[i]) {
+    if (slen == 0) {
+      *o++ = '*'; *o++ = '\t'; *o++ = '*';
+    } else if (rev[i]) {
       for (int32_t j = slen - 1; j >= 0; --j)
         *o++ = kCompChar[kCharTable.t[(uint8_t)s[j]]];
       *o++ = '\t';

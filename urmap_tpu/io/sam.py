@@ -51,7 +51,8 @@ def format_record(name: str, flag: int, rname: str, pos1: int, mapq: int,
                   seq: bytes, qual: bytes, tags: Iterable[str] = ()) -> str:
     fields = [name, str(flag), rname, str(pos1), str(mapq), cigar,
               rnext, str(pnext1), str(tlen),
-              seq.decode("ascii"), qual.decode("ascii") if qual else "*"]
+              seq.decode("ascii") if seq else "*",
+              qual.decode("ascii") if qual else "*"]
     fields.extend(tags)
     return "\t".join(fields)
 
