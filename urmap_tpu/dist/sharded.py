@@ -105,7 +105,10 @@ def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
         p = pos[goff[lo] : goff[hi]]
         pmax = max(pmax, p.shape[0])
         pos_l.append(p)
+    from urmap_tpu.genome_pack import ROW_WORDS
+
     pmax = max(pmax, 1)
+    pmax += 2 * ROW_WORDS + ((-pmax) % ROW_WORDS)  # row-gather guard pad
     positions = np.zeros((S, pmax), np.int32)
     for s, p in enumerate(pos_l):
         positions[s, : p.shape[0]] = p

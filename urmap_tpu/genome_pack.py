@@ -23,12 +23,43 @@ tests/unit/test_genome_pack.py).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 BASES_PER_WORD = 16
 WORD_PAD = 16  # all-N guard words at each end
+ROW_WORDS = 32  # row-gather granularity (128 B — one HBM transaction)
 _EVEN = np.uint32(0x5555_5555)
+
+
+def row_gather_window(table, starts, width: int):
+    """table_1d[starts[i] : starts[i]+width] for every row, via ROW-slice
+    gathers: XLA lowers whole-row gathers of a [M/32, 32] view to
+    contiguous 128-byte copies, ~1.6× the element-gather rate on TPU;
+    the unaligned offset is resolved with a 32-way static-shift select
+    (measured faster than take_along_axis within rows).
+
+    Requirements: 0 <= starts (clipped), and the table padded so reads
+    beyond len(table) land in caller-provided guard rows (indexes here
+    are clipped to the last row).
+    """
+    M = table.shape[0]
+    nrows = M // ROW_WORDS
+    t2 = table[: nrows * ROW_WORDS].reshape(nrows, ROW_WORDS)
+    s = jnp.clip(starts, 0, M - 1)
+    r0 = s // ROW_WORDS
+    span = -(-width // ROW_WORDS) + 1
+    rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
+            for i in range(span)]
+    ab = jnp.concatenate(rows, axis=1)               # [N, 32*span]
+    off = (s - r0 * ROW_WORDS).astype(jnp.int32)
+    out = jnp.zeros((starts.shape[0], width), table.dtype)
+    for k in range(ROW_WORDS):                       # static unroll
+        out = jnp.where((off == k)[:, None],
+                        jax.lax.dynamic_slice_in_dim(ab, k, width, axis=1),
+                        out)
+    return out
 
 
 def pack_genome(codes: np.ndarray):
@@ -50,10 +81,18 @@ def pack_genome(codes: np.ndarray):
     packed = np.bitwise_or.reduce(cw << shifts[None, :], axis=1).astype(np.uint32)
     # N plane: 01 in the base's 2-bit lane when N
     nplane = np.bitwise_or.reduce(nw << shifts[None, :], axis=1).astype(np.uint32)
-    guard = np.full(WORD_PAD, 0x5555_5555, np.uint32)  # all-N
+    # guards: front WORD_PAD all-N words; back enough all-N words that
+    # any in-range window (largest client: the rescue scan, ~80 words,
+    # plus the row-gather's extra rows) stays inside the table; total
+    # padded to a multiple of ROW_WORDS
+    back = 6 * ROW_WORDS
+    total = WORD_PAD + W + back
+    back += (-total) % ROW_WORDS
     packed = np.concatenate([np.zeros(WORD_PAD, np.uint32), packed,
-                             np.zeros(WORD_PAD, np.uint32)])
-    nplane = np.concatenate([guard, nplane, guard])
+                             np.zeros(back, np.uint32)])
+    nplane = np.concatenate([np.full(WORD_PAD, 0x5555_5555, np.uint32),
+                             nplane,
+                             np.full(back, 0x5555_5555, np.uint32)])
     return packed, nplane, WORD_PAD
 
 
@@ -81,12 +120,10 @@ def pack_reads(codes, lengths, n_words: int):
 
 def _gather_aligned(plane, starts, n_words: int, base_off: int):
     """Gather + funnel-align n_words packed words per row, beginning at
-    base ``starts[i]`` (may be clipped by the guard words)."""
-    W = plane.shape[0]
+    base ``starts[i]`` (clipped reads land in the all-N guard words)."""
     w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
     r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
-    idx = w0[:, None] + jnp.arange(n_words + 1, dtype=jnp.int32)[None, :]
-    words = jnp.take(plane, jnp.clip(idx, 0, W - 1), axis=0)  # [N, n+1]
+    words = row_gather_window(plane, w0, n_words + 1)       # [N, n+1]
     sh = (2 * r)[:, None]
     lo = words[:, :-1] >> sh
     hi_shift = (32 - 2 * r)[:, None].astype(jnp.uint32)

@@ -51,9 +51,15 @@ class UfiIndex:
         from urmap_tpu import genome_pack as gpk
 
         gpacked, gnplane, base_off = gpk.pack_genome(self.seqdb.codes)
+        # positions padded to a ROW_WORDS multiple + guard rows for the
+        # row-slice gather (dead lanes are masked by the CSR counts)
+        npos = self.positions.shape[0]
+        pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
+        positions = np.concatenate(
+            [self.positions.astype(np.int32), np.zeros(pad, np.int32)])
         return {
             "offsets": jnp.asarray(self.offsets, jnp.int32),
-            "positions": jnp.asarray(self.positions.astype(np.int32)),
+            "positions": jnp.asarray(positions),
             "gpacked": jnp.asarray(gpacked),
             "gnplane": jnp.asarray(gnplane),
             "base_off": base_off,  # python int (static)

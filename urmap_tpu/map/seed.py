@@ -73,18 +73,25 @@ def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
 
 def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     """CSR gather: per (read, seed), up to P genome positions → candidate
-    alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid)."""
+    alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid).
+
+    The position fetch is a row-slice gather (genome_pack.
+    row_gather_window): each seed's positions are CONTIGUOUS in the CSR,
+    so fetching 128-byte rows beats per-element gathering ~1.6× on TPU.
+    ``positions`` must carry ≥ 2*ROW_WORDS zero padding (store/shard
+    builders do)."""
+    from urmap_tpu.genome_pack import row_gather_window
+
+    n, q = slots.shape
     slots_i = slots.astype(jnp.int32)
     start = jnp.take(offsets, slots_i, axis=0)
     cnt = jnp.take(offsets, slots_i + 1, axis=0) - start
     j = jnp.arange(p, dtype=jnp.int32)
-    pidx = start[:, :, None] + j[None, None, :]
-    npos = positions.shape[0]
-    pos = jnp.take(positions, jnp.clip(pidx, 0, max(npos - 1, 0)), axis=0)
+    pos = row_gather_window(positions, start.reshape(-1), p) \
+        .reshape(n, q, p)
     ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
     cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
     cand = jnp.where(ok, cand, SENTINEL)
-    n, q, _ = cand.shape
     return cand.reshape(n, q * p)
 
 
