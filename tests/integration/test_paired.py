@@ -151,3 +151,36 @@ def test_unmapped_mate_placed_at_anchor(rng):
     # unmapped mate placed at the mapped mate's coordinates
     assert f2[2] == f1[2] and f2[3] == f1[3]
     assert int(f2[4]) == 0 and f2[5] == "*"
+
+
+def test_pair_decisions_match_oracle(rng):
+    """Device pairing (proper flag, positions, strands, MAPQ) vs the
+    exhaustive paired oracle on a small genome. Clean seedable pairs so
+    the device's rescue path (a device-only concept) never fires."""
+    from tests.oracle.oracle import OracleMapper
+
+    db = make_seqdb(rng, [6_000])
+    index = build_index(db, IndexConfig(slot_bits=14), backend="host")
+    mcfg = MapConfig(max_read_len=MAXL, batch_size=8)
+    pm = PairedMapper(Mapper(index, mcfg))
+    oracle = OracleMapper(db, map_cfg=mcfg)
+
+    pairs = [plant_pair(rng, db, length=L,
+                        frag=int(rng.integers(160, 700)),
+                        n_snps=int(rng.integers(0, 3)))
+             for _ in range(8)]
+    c1, l1 = _codes([p[0] for p in pairs])
+    c2, l2 = _codes([p[1] for p in pairs])
+    res = pm.map_pair_codes(c1, l1, c2, l2)
+
+    for i, (a, b, _) in enumerate(pairs):
+        om1, om2, oproper = oracle.map_pair(a.codes, b.codes)
+        assert bool(res.proper[i]) == oproper, i
+        if oproper:
+            assert int(res.m1.pos[i]) == om1.pos, i
+            assert int(res.m2.pos[i]) == om2.pos, i
+            assert int(res.m1.strand[i]) == om1.strand, i
+            assert int(res.m1.score[i]) == om1.score, i
+            assert int(res.m2.score[i]) == om2.score, i
+            assert int(res.m1.mapq[i]) == om1.mapq, i
+            assert int(res.m2.mapq[i]) == om2.mapq, i

@@ -194,3 +194,74 @@ class OracleMapper:
             return self.mc.max_mapq
         gap = best - second
         return int(np.clip(round(self.mc.mapq_scale * gap), 0, self.mc.max_mapq))
+
+    # -- paired-end (mirrors map/pair.py semantics exhaustively) ----------
+
+    def _all_candidates(self, read: np.ndarray):
+        """(score, start, strand) alignment loci for both strands, with
+        scores near or above the acceptance floor (hopeless loci cannot
+        influence the best pair on any test genome and would make the
+        cross-product quadratic in genome length)."""
+        floor = int(np.ceil(self.mc.min_score_frac * len(read))) - 12
+        out = []
+        for strand, r in ((0, read), (1, alphabet.revcomp(read))):
+            scores, starts = self._scan_strand(r)
+            for j in np.nonzero(scores >= floor)[0]:
+                out.append((int(scores[j]), int(starts[j]), strand))
+        return out
+
+    def map_pair(self, r1: np.ndarray, r2: np.ndarray):
+        """Returns (m1: OracleMapping, m2: OracleMapping, proper: bool).
+
+        Pairing semantics mirror map/pair.py: FR orientation, fragment
+        length approximated with read lengths, pair score = s1 + s2,
+        proper requires both mates above min_score; proper-mate MAPQ =
+        max(single-end MAPQ, pair-score-gap MAPQ over distinct loci).
+        """
+        l1, l2 = len(r1), len(r2)
+        c1 = self._all_candidates(np.asarray(r1, np.uint8))
+        c2 = self._all_candidates(np.asarray(r2, np.uint8))
+        mc = self.mc
+
+        pairs = []  # (pscore, pf, s1, p1, st1, s2, p2, st2)
+        for s1, p1, st1 in c1:
+            for s2, p2, st2 in c2:
+                if st1 == st2:
+                    continue
+                if st1 == 0:
+                    pf, pr, lr = p1, p2, l2
+                else:
+                    pf, pr, lr = p2, p1, l1
+                tlen = pr + lr - pf
+                if pf <= pr and mc.min_fragment_len <= tlen <= mc.max_fragment_len:
+                    pairs.append((s1 + s2, pf, s1, p1, st1, s2, p2, st2))
+        se1 = self.map_read(r1)
+        se2 = self.map_read(r2)
+        if not pairs:
+            return se1, se2, False
+        pairs.sort(key=lambda t: (-t[0], t[1]))
+        best = pairs[0]
+        min1 = int(np.ceil(mc.min_score_frac * l1))
+        min2 = int(np.ceil(mc.min_score_frac * l2))
+        proper = best[2] >= min1 and best[5] >= min2
+        if not proper:
+            return se1, se2, False
+        second = NEG
+        for t in pairs[1:]:
+            if abs(t[1] - best[1]) > mc.max_read_len:
+                second = t[0]
+                break
+        if second <= NEG // 2:
+            pair_mapq = mc.max_mapq
+        else:
+            pair_mapq = int(np.clip(round(mc.mapq_scale * (best[0] - second)),
+                                    0, mc.max_mapq))
+
+        def mate(se, s, p, st, length):
+            r = OracleMapping(mapped=True, pos=p, score=s, strand=st,
+                              mapq=max(se.mapq if se.mapped else 0,
+                                       pair_mapq))
+            return r
+
+        return (mate(se1, best[2], best[3], best[4], l1),
+                mate(se2, best[5], best[6], best[7], l2), True)

@@ -199,7 +199,9 @@ def cmd_map(opts: dict) -> int:
             stats = {"reads": 2 * len(fwd),
                      "mapped": int(res.m1.mapped.sum())
                      + int(res.m2.mapped.sum()),
-                     "proper_pairs": int(res.proper.sum())}
+                     "proper_pairs": int(res.proper.sum()),
+                     "gapped": int(res.m1.gapped.sum())
+                     + int(res.m2.gapped.sum())}
             if native:
                 sc1 = revcomp_strand_codes(fwd.codes, res.m1)
                 sc2 = revcomp_strand_codes(rev.codes, res.m2)
@@ -216,7 +218,9 @@ def cmd_map(opts: dict) -> int:
         batch = item
         res = mapper.finish_batch(handle, batch.lengths)
         strand_codes = revcomp_strand_codes(batch.codes, res)
-        stats = {"reads": len(batch), "mapped": int(res.mapped.sum())}
+        stats = {"reads": len(batch), "mapped": int(res.mapped.sum()),
+                 "gapped": int(res.gapped.sum()),
+                 "mapq_ge20": int((res.mapq >= 20).sum())}
         if native:
             cig, nm, _span = cigars_nm_fast(genome, strand_codes, res,
                                             mapper.sc,
