@@ -32,13 +32,25 @@ _COMP = np.asarray(alphabet.COMP_CODE)
 
 
 def revcomp_batch(reads, lengths):
-    """Per-row reverse complement of the first len codes (pad stays put)."""
+    """Per-row reverse complement of the first len codes.
+
+    Gather-free: complement + full reverse (vector ops), then rotate
+    each row left by (L − len) via log2(L) conditional static rolls —
+    a per-row variable gather here cost more than the seed stage.
+    Requires the pad beyond ``len`` to be uniform READ_N (alphabet.py /
+    parser invariant), since rotation relocates pad lanes.
+    """
     B, L = reads.shape
-    i = jnp.arange(L, dtype=jnp.int32)[None, :]
-    lens = lengths[:, None]
-    idx = jnp.where(i < lens, lens - 1 - i, i)
-    flipped = jnp.take_along_axis(reads, idx, axis=1)
-    return jnp.take(jnp.asarray(_COMP), flipped.astype(jnp.int32), axis=0)
+    comp = jnp.take(jnp.asarray(_COMP), reads.astype(jnp.int32), axis=0)
+    out = comp[:, ::-1]
+    shift = (L - lengths).astype(jnp.int32)
+    b = 0
+    while (1 << b) < L:
+        s = 1 << b
+        rolled = jnp.concatenate([out[:, s:], out[:, :s]], axis=1)
+        out = jnp.where((((shift >> b) & 1) == 1)[:, None], rolled, out)
+        b += 1
+    return out
 
 
 @dataclass
