@@ -71,6 +71,11 @@ def main(argv=None):
     ap.add_argument("--slop", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--repeat-frac", type=float, default=0.0,
+                    help="fraction of the genome made of duplicated "
+                         "segments — reads there are ambiguous; a good "
+                         "mapper reports them at MAPQ 0, so precision at "
+                         "MAPQ>=10 should stay ~1.0 while recall drops")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,8 +90,18 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
-    db = SeqDB.from_seqs(
-        ["chr1"], [rng.integers(0, 4, size=glen).astype(np.uint8)])
+    seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+    if args.repeat_frac > 0:
+        # overwrite the tail with copies of segments from the head
+        seg = 5000
+        n_rep = int(glen * args.repeat_frac) // seg
+        for i in range(n_rep):
+            src = int(rng.integers(0, glen // 2 - seg))
+            dst = glen // 2 + i * seg
+            if dst + seg > glen:
+                break
+            seq[dst : dst + seg] = seq[src : src + seg]
+    db = SeqDB.from_seqs(["chr1"], [seq])
     index = build_index(db, IndexConfig(
         slot_bits=IndexConfig.auto_slot_bits(db.total_len)), backend="host")
     mapper = Mapper(index, MapConfig(max_read_len=args.read_len,
