@@ -43,10 +43,10 @@ def test_mismatch_counts_match_byte_path(rng):
         reads[i] = frag
     lengths = rng.integers(20, L + 1, size=n).astype(np.int32)
 
-    packed, nplane, off = gp.pack_genome(genome)
+    ginter, off = gp.pack_genome(genome)
     rp, rn = gp.pack_reads(jnp.asarray(reads), jnp.asarray(lengths), NW)
     got = np.asarray(gp.mismatch_counts(
-        jnp.asarray(packed), jnp.asarray(nplane), off,
+        jnp.asarray(ginter), off,
         jnp.asarray(starts), rp, rn, jnp.asarray(lengths)))
     want = _byte_mismatches(genome, starts, reads, lengths)
     np.testing.assert_array_equal(got, want)
@@ -61,10 +61,9 @@ def test_gather_codes_matches_bytes(rng):
     L = 182
     starts = np.array([0, 1, 5, 16, 33, 100, G - L, G - 50, G - 1, 777],
                       np.int32)
-    packed, nplane, off = gp.pack_genome(genome)
+    ginter, off = gp.pack_genome(genome)
     got = np.asarray(gp.gather_codes(
-        jnp.asarray(packed), jnp.asarray(nplane), off,
-        jnp.asarray(starts), L))
+        jnp.asarray(ginter), off, jnp.asarray(starts), L))
     idx = np.clip(starts[:, None] + np.arange(L)[None, :], 0, G - 1)
     want = genome[idx]
     # beyond-end reads differ in *which* N code they see (guard vs
@@ -96,10 +95,10 @@ def test_ungapped_scores_packed_equals_byte(rng):
         jnp.asarray(genome), jnp.asarray(starts), jnp.asarray(reads),
         jnp.asarray(lengths), sc))
 
-    packed, nplane, off = gp.pack_genome(genome)
+    ginter, off = gp.pack_genome(genome)
     rp, rn = gp.pack_reads(jnp.asarray(reads), jnp.asarray(lengths), NW)
     mm = np.asarray(gp.mismatch_counts(
-        jnp.asarray(packed), jnp.asarray(nplane), off,
+        jnp.asarray(ginter), off,
         jnp.asarray(starts), rp, rn, jnp.asarray(lengths)))
     packed_scores = (lengths - mm) * sc.match + mm * sc.mismatch
     np.testing.assert_array_equal(byte_scores, packed_scores)

@@ -112,7 +112,7 @@ def main():
         flat_cand = top_cand.reshape(-1)
         flat_lens = jnp.repeat(lens2, v, axis=0)
         mm = gpk.mismatch_counts(
-            tables["gpacked"], tables["gnplane"], tables["base_off"],
+            tables["ginter"], tables["base_off"],
             jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
             jnp.repeat(rp, v, axis=0), jnp.repeat(rn, v, axis=0),
             flat_lens)
@@ -128,7 +128,7 @@ def main():
         flat_reads = jnp.repeat(reads2[:2 * D], v, axis=0)
         flat_lens = jnp.repeat(lens2[:2 * D], v, axis=0)
         return banded_packed(
-            tables["gpacked"], tables["gnplane"], tables["base_off"],
+            tables["ginter"], tables["base_off"],
             jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
             flat_reads, flat_lens, jnp.repeat(rp, v, axis=0),
             jnp.repeat(rn, v, axis=0), hw=mcfg.band_halfwidth, sc=sc)

@@ -159,7 +159,7 @@ def load_sharded_tables(path: str,
                          offsets=np.stack(offs), positions=positions)
 
 
-def _sharded_step(offsets, positions, gpacked, gnplane, reads, lengths, *,
+def _sharded_step(offsets, positions, ginter, reads, lengths, *,
                   icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
                   sps: int, n_index: int, base_off: int, genome_len: int):
     """Per-device body under shard_map. Shapes are the local blocks:
@@ -203,7 +203,7 @@ def _sharded_step(offsets, positions, gpacked, gnplane, reads, lengths, *,
             return jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
 
         s_, d0_, ung_ = banded_packed(
-            gpacked, gnplane, base_off, sl(flat_cand), sl(flat_reads),
+            ginter, base_off, sl(flat_cand), sl(flat_reads),
             sl(flat_lens), sl(flat_rp), sl(flat_rn),
             hw=mcfg.band_halfwidth, sc=sc)
         s = jax.lax.all_gather(s_, "index", tiled=True)[:n]
@@ -211,7 +211,7 @@ def _sharded_step(offsets, positions, gpacked, gnplane, reads, lengths, *,
         ung = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
         return s, d0, ung
 
-    tables = {"gpacked": gpacked, "gnplane": gnplane,
+    tables = {"ginter": ginter,
               "base_off": base_off, "genome_len": genome_len}
     return map_batch_device(tables, reads, lengths,
                             icfg=icfg, mcfg=mcfg, sc=sc,
@@ -237,7 +237,7 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
 
     fn = jax.shard_map(
         packed_body, mesh=mesh,
-        in_specs=(P("index", None), P("index", None), P(), P(),
+        in_specs=(P("index", None), P("index", None), P(),
                   P("data", None), P("data")),
         out_specs=P("data", None),
         check_vma=False,
@@ -265,11 +265,10 @@ class ShardedMapper:
 
         from urmap_tpu import genome_pack as gpk
 
-        gpacked, gnplane, base_off = gpk.pack_genome(index.seqdb.codes)
+        ginter, base_off = gpk.pack_genome(index.seqdb.codes)
         self.offsets = put(st.offsets, P("index", None))
         self.positions = put(st.positions, P("index", None))
-        self.gpacked = put(gpacked, P())
-        self.gnplane = put(gnplane, P())
+        self.ginter = put(ginter, P())
         self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
                                        self._sps, base_off,
                                        index.seqdb.total_len)
@@ -290,8 +289,8 @@ class ShardedMapper:
                 c = np.concatenate(
                     [c, np.full((pad, c.shape[1]), alphabet.READ_N, np.uint8)])
                 ln = np.concatenate([ln, np.zeros(pad, np.int32)])
-            out = self._fn(self.offsets, self.positions, self.gpacked,
-                           self.gnplane, jnp.asarray(c),
+            out = self._fn(self.offsets, self.positions, self.ginter,
+                           jnp.asarray(c),
                            jnp.asarray(ln.astype(np.int32)))
             outs.append(np.asarray(out))
         from urmap_tpu.map.pipeline import unpack_out

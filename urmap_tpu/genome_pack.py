@@ -93,7 +93,13 @@ def pack_genome(codes: np.ndarray):
     nplane = np.concatenate([np.full(WORD_PAD, 0x5555_5555, np.uint32),
                              nplane,
                              np.full(back, 0x5555_5555, np.uint32)])
-    return packed, nplane, WORD_PAD
+    # interleave (code word, N word) pairs: every window then needs ONE
+    # row-gather of 2*(n_words+1) from an even offset instead of two
+    # separate plane gathers — the gathers are the pipeline's cost floor
+    inter = np.empty(2 * packed.shape[0], np.uint32)
+    inter[0::2] = packed
+    inter[1::2] = nplane
+    return inter, WORD_PAD
 
 
 def pack_reads(codes, lengths, n_words: int):
@@ -118,20 +124,28 @@ def pack_reads(codes, lengths, n_words: int):
     return packed.astype(jnp.uint32), nplane.astype(jnp.uint32)
 
 
-def _gather_aligned(plane, starts, n_words: int, base_off: int):
-    """Gather + funnel-align n_words packed words per row, beginning at
-    base ``starts[i]`` (clipped reads land in the all-N guard words)."""
+def _gather_aligned(ginter, starts, n_words: int, base_off: int):
+    """ONE row-gather from the interleaved table, funnel-aligned:
+    returns (code_words uint32[N, n_words], n_words uint32[N, n_words])
+    for windows beginning at base ``starts[i]`` (clipped reads land in
+    the all-N guard words)."""
     w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
     r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
-    words = row_gather_window(plane, w0, n_words + 1)       # [N, n+1]
-    sh = (2 * r)[:, None]
-    lo = words[:, :-1] >> sh
-    hi_shift = (32 - 2 * r)[:, None].astype(jnp.uint32)
-    hi = jnp.where(sh == 0, jnp.uint32(0), words[:, 1:] << (hi_shift % 32))
-    return (lo | hi).astype(jnp.uint32)
+    both = row_gather_window(ginter, 2 * w0, 2 * (n_words + 1))
+    both = both.reshape(both.shape[0], n_words + 1, 2)
+
+    def funnel(words):
+        sh = (2 * r)[:, None]
+        lo = words[:, :-1] >> sh
+        hi_shift = (32 - 2 * r)[:, None].astype(jnp.uint32)
+        hi = jnp.where(sh == 0, jnp.uint32(0),
+                       words[:, 1:] << (hi_shift % 32))
+        return (lo | hi).astype(jnp.uint32)
+
+    return funnel(both[:, :, 0]), funnel(both[:, :, 1])
 
 
-def mismatch_counts(gpacked, gnplane, base_off: int, starts, rpacked,
+def mismatch_counts(ginter, base_off: int, starts, rpacked,
                     rnplane, lengths):
     """Bit-parallel ungapped mismatch count per row.
 
@@ -141,8 +155,7 @@ def mismatch_counts(gpacked, gnplane, base_off: int, starts, rpacked,
     ``lengths`` bases (bases past length contribute 0).
     """
     N, nw = rpacked.shape
-    ga = _gather_aligned(gpacked, starts, nw, base_off)
-    na = _gather_aligned(gnplane, starts, nw, base_off)
+    ga, na = _gather_aligned(ginter, starts, nw, base_off)
     x = ga ^ rpacked
     bits = ((x | (x >> jnp.uint32(1))) | na | rnplane) & jnp.uint32(_EVEN)
     # tail mask per word: bases beyond length excluded
@@ -162,13 +175,12 @@ def jax_popcount(x):
     return jax.lax.population_count(x)
 
 
-def gather_codes(gpacked, gnplane, base_off: int, starts, length: int):
+def gather_codes(ginter, base_off: int, starts, length: int):
     """Unpack a byte-code window per row from the packed planes:
     uint8[N, length] with N → code 4. Gathers length/16 words instead of
     ``length`` bytes (the DP window feed)."""
     nw = -(-length // BASES_PER_WORD)
-    ga = _gather_aligned(gpacked, starts, nw, base_off)   # [N, nw]
-    na = _gather_aligned(gnplane, starts, nw, base_off)
+    ga, na = _gather_aligned(ginter, starts, nw, base_off)  # [N, nw] ×2
     # unpack without gathers: word j expands to 16 consecutive base lanes
     sh = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2)[None, None, :]
     code = (ga[:, :, None] >> sh) & jnp.uint32(3)          # [N, nw, 16]

@@ -50,7 +50,7 @@ class UfiIndex:
 
         from urmap_tpu import genome_pack as gpk
 
-        gpacked, gnplane, base_off = gpk.pack_genome(self.seqdb.codes)
+        ginter, base_off = gpk.pack_genome(self.seqdb.codes)
         # positions padded to a ROW_WORDS multiple + guard rows for the
         # row-slice gather (dead lanes are masked by the CSR counts)
         npos = self.positions.shape[0]
@@ -60,8 +60,7 @@ class UfiIndex:
         return {
             "offsets": jnp.asarray(self.offsets, jnp.int32),
             "positions": jnp.asarray(positions),
-            "gpacked": jnp.asarray(gpacked),
-            "gnplane": jnp.asarray(gnplane),
+            "ginter": jnp.asarray(ginter),
             "base_off": base_off,  # python int (static)
             "genome_len": self.seqdb.total_len,
         }

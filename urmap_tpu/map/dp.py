@@ -177,7 +177,7 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
     return scores, d0, ungapped
 
 
-def banded_packed(gpacked, gnplane, base_off: int, cand_starts, reads,
+def banded_packed(ginter, base_off: int, cand_starts, reads,
                   lengths, rpacked, rnplane, *, hw: int, sc: ScoreConfig,
                   use_pallas: bool = True):
     """Banded DP fed from the bit-packed genome planes (genome_pack.py).
@@ -189,8 +189,7 @@ def banded_packed(gpacked, gnplane, base_off: int, cand_starts, reads,
 
     N, L = reads.shape
     wlen = L + 2 * hw
-    windows = gpk.gather_codes(gpacked, gnplane, base_off,
-                               cand_starts - hw, wlen)
+    windows = gpk.gather_codes(ginter, base_off, cand_starts - hw, wlen)
     if use_pallas and on_tpu():
         from urmap_tpu.kernels.banded_dp import pallas_from_windows
 
@@ -199,7 +198,7 @@ def banded_packed(gpacked, gnplane, base_off: int, cand_starts, reads,
     else:
         scores, d0 = banded_from_windows(windows, reads, lengths,
                                          hw=hw, sc=sc)
-    mm = gpk.mismatch_counts(gpacked, gnplane, base_off,
-                             cand_starts + d0, rpacked, rnplane, lengths)
+    mm = gpk.mismatch_counts(ginter, base_off, cand_starts + d0,
+                             rpacked, rnplane, lengths)
     ungapped = ((lengths - mm) * sc.match + mm * sc.mismatch).astype(jnp.int32)
     return scores, d0, ungapped

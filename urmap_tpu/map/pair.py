@@ -110,8 +110,8 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
         anchor_pos + mc.min_fragment_len - other_len - slack,
         anchor_pos + anchor_len - mc.max_fragment_len - slack,
     ).astype(jnp.int32)
-    win = gpk.gather_codes(tables["gpacked"], tables["gnplane"],
-                           tables["base_off"], win_start, W)     # [B, W]
+    win = gpk.gather_codes(tables["ginter"], tables["base_off"],
+                           win_start, W)                         # [B, W]
 
     def onehot(codes):
         return (codes[..., None] == jnp.arange(4, dtype=codes.dtype)
@@ -134,7 +134,7 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
     rp, rn = gpk.pack_reads(other_codes, other_len,
                             -(-L // gpk.BASES_PER_WORD))
     score, d0, ungapped = banded_packed(
-        tables["gpacked"], tables["gnplane"], tables["base_off"],
+        tables["ginter"], tables["base_off"],
         cand, other_codes, other_len, rp, rn,
         hw=mc.band_halfwidth, sc=sc)
     return {"pos": cand + d0, "score": score, "ungapped": ungapped}

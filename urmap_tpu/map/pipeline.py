@@ -144,7 +144,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     flat_rp = jnp.repeat(rpacked2, v, axis=0)
     flat_rn = jnp.repeat(rnplane2, v, axis=0)
     mm = gpk.mismatch_counts(
-        tables["gpacked"], tables["gnplane"], tables["base_off"],
+        tables["ginter"], tables["base_off"],
         jnp.where(flat_cand == SENTINEL, 0, flat_cand),
         flat_rp, flat_rn, flat_lens)
     ung = ((flat_lens - mm) * sc.match
@@ -178,7 +178,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     if dp_runner is None:
         def dp_runner(c, r, ln, rp, rn):
             return banded_packed(
-                tables["gpacked"], tables["gnplane"], tables["base_off"],
+                tables["ginter"], tables["base_off"],
                 c, r, ln, rp, rn, hw=mcfg.band_halfwidth, sc=sc)
 
     def unfold(x):                                           # [2D*V] → [D, 2V]
