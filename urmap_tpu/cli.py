@@ -44,13 +44,16 @@ Multi-host: launch the same -map command on every host of the slice
 deterministically on rank 0. -resume restarts a run from the last
 durable batch watermark.
 
+Index inspection:
+  python -m urmap_tpu -ufistats <genome.ufi>
+
 Other: -version, -help
 """
 
 # flag → (has_value, description)
 _FLAGS = {
     "make_ufi": True, "output": True, "wordlength": True, "slot_bits": True,
-    "maxpos": True, "veryfast": False,
+    "maxpos": True, "veryfast": False, "ufistats": True,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
     "log": True, "metrics": True, "quiet": False, "profile": True,
@@ -110,6 +113,36 @@ def cmd_make_ufi(opts: dict) -> int:
     print(f"indexed {db.total_len:,} bases ({db.num_seqs} seqs) → "
           f"{idx.num_positions:,} positions, 2^{cfg.slot_bits} slots, "
           f"k={cfg.k} in {el:.1f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_ufistats(opts: dict) -> int:
+    """Index statistics: size, slot occupancy histogram, repeat load."""
+    import numpy as np
+
+    from urmap_tpu.index import UfiIndex
+
+    index = UfiIndex.load(str(opts["ufistats"]))
+    cfg = index.config
+    counts = np.diff(index.offsets.astype(np.int64))
+    occupied = int((counts > 0).sum())
+    print(f"k={cfg.k} slots=2^{cfg.slot_bits} "
+          f"cap={cfg.max_positions_per_slot}")
+    print(f"genome: {index.seqdb.total_len:,} bases, "
+          f"{index.seqdb.num_seqs} sequences")
+    print(f"positions: {index.num_positions:,} "
+          f"({index.num_positions * 4 / 1e6:.1f} MB)")
+    print(f"occupied slots: {occupied:,}/{cfg.num_slots:,} "
+          f"({100.0 * occupied / cfg.num_slots:.1f}%)")
+    print(f"mean load (occupied): {counts.sum() / max(occupied, 1):.2f}  "
+          f"max load: {int(counts.max())}")
+    print("load histogram:")
+    for lo, hi in ((1, 1), (2, 3), (4, 7), (8, 15), (16, 63),
+                   (64, 255), (256, 1 << 30)):
+        n = int(((counts >= lo) & (counts <= hi)).sum())
+        if n:
+            label = f"{lo}" if lo == hi else f"{lo}-{hi if hi < 1 << 29 else 'inf'}"
+            print(f"  {label:>9}: {n:,}")
     return 0
 
 
@@ -311,6 +344,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if "make_ufi" in opts:
         return cmd_make_ufi(opts)
+    if "ufistats" in opts:
+        return cmd_ufistats(opts)
     if "map" in opts:
         return cmd_map(opts)
     raise SystemExit("nothing to do: need -make_ufi or -map (see -help)")
