@@ -164,7 +164,7 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reads", type=int, default=524_288)
+    ap.add_argument("--reads", type=int, default=1_048_576)
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=32_768)
