@@ -111,8 +111,9 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
     Returns a dict of per-read candidate arrays [B, 2V] (fwd candidates
     in columns [:V], rc in [V:]): pos, score, strand, valid, ungapped,
-    plus per-read dp_ran / dp_overflow [B]. ``dp_runner`` lets the
-    sharded path split the DP lanes across the mesh (dist/sharded.py).
+    plus per-read dp_ran [B]. ``dp_runner``/``gather_runner`` let the
+    sharded path split DP lanes / own only its hash range
+    (dist/sharded.py).
     """
     B, L = reads.shape
     q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
