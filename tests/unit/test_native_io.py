@@ -165,3 +165,35 @@ def test_empty_sequence_record(rng, tmp_path):
     py_line = samio.records_single_end(batch, res, cigars, nms,
                                        db)[0].split("\t")
     assert py_line[9] == "*" and py_line[10] == "*"
+
+
+def test_native_traceback_matches_python(rng):
+    """C++ batch traceback vs the Python reference on gapped reads."""
+    from tests.utils import make_seqdb, plant_read
+    from urmap_tpu.map.cigar import traceback, traceback_batch_native
+    from urmap_tpu.io.sam import ref_consumed
+
+    db = make_seqdb(rng, [40_000])
+    sc = ScoreConfig()
+    n = 40
+    starts = np.zeros(n, np.int64)
+    reads = np.full((n, 120), 5, np.uint8)
+    lens = np.zeros(n, np.int32)
+    for i in range(n):
+        r = plant_read(rng, db, length=100 if i % 2 else 77,
+                       n_snps=int(rng.integers(0, 4)),
+                       ins=(int(rng.integers(1, 5)) if i % 3 == 0 else 0),
+                       dels=(int(rng.integers(1, 6)) if i % 3 == 1 else 0),
+                       strand=0)
+        starts[i] = r.gpos
+        lens[i] = len(r.codes)
+        reads[i, :lens[i]] = r.codes
+    nat = traceback_batch_native(db.codes, starts, reads, lens, sc)
+    assert nat is not None
+    cigs, nms, scores, spans = nat
+    for i in range(n):
+        c, s, e = traceback(db.codes, reads[i][:lens[i]], int(starts[i]), sc)
+        assert cigs[i] == c, (i, cigs[i], c)
+        assert int(scores[i]) == s, i
+        assert int(nms[i]) == e, i
+        assert int(spans[i]) == ref_consumed(c), i

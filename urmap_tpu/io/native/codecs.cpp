@@ -234,4 +234,150 @@ void urmap_cigars_all_match(int64_t n, const int32_t* lengths, char* cig,
   }
 }
 
+// Batched affine-gap traceback for the gapped minority (native twin of
+// map/cigar.py traceback(): same recurrences, same tie-break order —
+// diagonal M, then insertion E, then deletion F — same leading/trailing
+// I -> S soft-clip rewrite, so CIGARs are byte-identical). The Python
+// loop costs ~2.6 ms/read; this is ~50 us.
+//
+// Per read i: genome window starts at starts[i], width lengths[i]+pad
+// (clamped to the genome end); read codes at reads + i*read_stride.
+// Outputs: concatenated CIGARs (cig/cig_off[n+1]), nm (edit distance),
+// score, ref span. Returns 0, or -1 if cig_cap was too small.
+int64_t urmap_traceback_batch(
+    const uint8_t* genome, int64_t G, const int64_t* starts,
+    const uint8_t* reads, int64_t read_stride, const int32_t* lengths,
+    int64_t n, int32_t pad, int32_t match, int32_t mismatch,
+    int32_t gap_open, int32_t gap_ext, char* cig, int64_t cig_cap,
+    int64_t* cig_off, int32_t* nm_out, int32_t* score_out,
+    int32_t* span_out) {
+  const int32_t NEGV = -(1 << 28);
+  int32_t maxL = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (lengths[i] > maxL) maxL = lengths[i];
+  int64_t W = (int64_t)maxL + pad + 1;   // max window cols + 1
+  int64_t L1 = (int64_t)maxL + 1;
+  int32_t* H = new int32_t[L1 * W];
+  int32_t* E = new int32_t[L1 * W];
+  int32_t* F = new int32_t[L1 * W];
+  char* ops = new char[2 * (int64_t)maxL + pad + 4];
+
+  char* o = cig;
+  char* oend = cig + cig_cap;
+  cig_off[0] = 0;
+  int64_t rc = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t L = lengths[i];
+    int64_t start = starts[i];
+    int64_t Gw = (int64_t)L + pad;
+    if (start < 0) start = 0;
+    if (start + Gw > G) Gw = G - start;
+    if (Gw < 0) Gw = 0;
+    const uint8_t* g = genome + start;
+    const uint8_t* r = reads + i * read_stride;
+    int64_t w = Gw + 1;
+    // init
+    for (int64_t j = 0; j < w; ++j) { H[j] = NEGV; E[j] = NEGV; F[j] = NEGV; }
+    H[0] = 0;
+    for (int32_t ii = 1; ii <= L; ++ii) {
+      int32_t* Hp = H + (int64_t)(ii - 1) * w;
+      int32_t* Hc = H + (int64_t)ii * w;
+      int32_t* Ep = E + (int64_t)(ii - 1) * w;
+      int32_t* Ec = E + (int64_t)ii * w;
+      int32_t* Fc = F + (int64_t)ii * w;
+      int32_t e0 = Hp[0] + gap_open;
+      int32_t e1 = Ep[0] + gap_ext;
+      Ec[0] = e0 > e1 ? e0 : e1;
+      Fc[0] = NEGV;
+      Hc[0] = Ec[0];
+      for (int64_t j = 1; j < w; ++j) {
+        int32_t sub = (g[j - 1] == r[ii - 1]) ? match : mismatch;
+        int32_t diag = Hp[j - 1] + sub;
+        int32_t e = Hp[j] + gap_open;
+        int32_t e2 = Ep[j] + gap_ext;
+        Ec[j] = e > e2 ? e : e2;
+        int32_t f = Hc[j - 1] + gap_open;
+        int32_t f2 = Fc[j - 1] + gap_ext;
+        Fc[j] = f > f2 ? f : f2;
+        int32_t h = diag;
+        if (Ec[j] > h) h = Ec[j];
+        if (Fc[j] > h) h = Fc[j];
+        Hc[j] = h;
+      }
+    }
+    // free end: best column in last row (ties -> smallest j, matching
+    // numpy argmax)
+    int32_t* HL = H + (int64_t)L * w;
+    int64_t jend = 0;
+    for (int64_t j = 1; j < w; ++j)
+      if (HL[j] > HL[jend]) jend = j;
+    int32_t score = HL[jend];
+
+    // traceback (recompute decisions, python tie-break order)
+    int64_t no = 0;
+    int64_t ii = L, j = jend;
+    char state = 'H';
+    while (ii > 0 || j > 0) {
+      int32_t* Hc = H + ii * w;
+      int32_t* Ec = E + ii * w;
+      int32_t* Fc = F + ii * w;
+      if (state == 'H') {
+        if (ii > 0 && j > 0) {
+          int32_t sub = (g[j - 1] == r[ii - 1]) ? match : mismatch;
+          if (Hc[j] == H[(ii - 1) * w + (j - 1)] + sub) {
+            ops[no++] = (g[j - 1] == r[ii - 1]) ? 'M' : 'X';
+            --ii; --j;
+            continue;
+          }
+        }
+        if (ii > 0 && Hc[j] == Ec[j]) { state = 'E'; continue; }
+        if (j > 0 && Hc[j] == Fc[j]) { state = 'F'; continue; }
+        delete[] H; delete[] E; delete[] F; delete[] ops;
+        return -2;  // traceback failed (should be impossible)
+      } else if (state == 'E') {
+        ops[no++] = 'I';
+        if (H[(ii - 1) * w + j] + gap_open == Ec[j]) state = 'H';
+        --ii;
+      } else {
+        ops[no++] = 'D';
+        if (Hc[j - 1] + gap_open == Fc[j]) state = 'H';
+        --j;
+      }
+    }
+    // reverse
+    for (int64_t a = 0, b = no - 1; a < b; ++a, --b) {
+      char t = ops[a]; ops[a] = ops[b]; ops[b] = t;
+    }
+    // leading/trailing I -> S
+    int64_t s0 = 0, e0p = no;
+    while (s0 < e0p && ops[s0] == 'I') ops[s0++] = 'S';
+    while (e0p > s0 && ops[e0p - 1] == 'I') ops[--e0p] = 'S';
+    int32_t nm = 0, span = 0;
+    for (int64_t a = 0; a < no; ++a) {
+      if (ops[a] == 'X' || ops[a] == 'I' || ops[a] == 'D') ++nm;
+      if (ops[a] == 'M' || ops[a] == 'X' || ops[a] == 'D') ++span;
+      if (ops[a] == 'X') ops[a] = 'M';
+    }
+    // run-length encode
+    if (oend - o < 2 * no + 16) {
+      delete[] H; delete[] E; delete[] F; delete[] ops;
+      return -1;
+    }
+    int64_t a = 0;
+    while (a < no) {
+      int64_t b = a;
+      while (b < no && ops[b] == ops[a]) ++b;
+      o += sprintf(o, "%lld%c", (long long)(b - a), ops[a]);
+      a = b;
+    }
+    cig_off[i + 1] = o - cig;
+    nm_out[i] = nm;
+    score_out[i] = score;
+    span_out[i] = span;
+    ++rc;
+  }
+  delete[] H; delete[] E; delete[] F; delete[] ops;
+  return 0;
+}
+
 }  // extern "C"

@@ -118,20 +118,81 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
     span = np.where(m_only, L, 0).astype(np.int32)
     cig = np.where(m_only, np.char.add(L.astype("U6"), "M"), "").astype(object)
     if gapped.any():
-        from urmap_tpu.io.sam import ref_consumed
-        for i in np.nonzero(mapped & gapped)[0]:
-            li = int(L[i])
-            c, score, e = traceback(genome, strand_codes[i][:li],
-                                    int(result.pos[i]), sc)
-            if score != int(result.score[i]):  # pragma: no cover
+        rows = np.nonzero(mapped & gapped)[0]
+        nat = traceback_batch_native(
+            genome, result.pos[rows], strand_codes[rows],
+            result.lengths[rows], sc)
+        if nat is not None:
+            cigs, nms_, scores_, spans_ = nat
+            bad = np.nonzero(scores_ != np.asarray(result.score)[rows])[0]
+            if bad.size:  # pragma: no cover - consistency
                 raise AssertionError(
-                    f"traceback score {score} != device {result.score[i]}")
-            cig[i] = c
-            nm[i] = e
-            span[i] = ref_consumed(c)
+                    f"native traceback score mismatch at rows {rows[bad[:5]]}")
+            for idx, i in enumerate(rows):
+                cig[i] = cigs[idx]
+            nm[rows] = nms_
+            span[rows] = spans_
+        else:
+            from urmap_tpu.io.sam import ref_consumed
+            for i in rows:
+                li = int(L[i])
+                c, score, e = traceback(genome, strand_codes[i][:li],
+                                        int(result.pos[i]), sc)
+                if score != int(result.score[i]):  # pragma: no cover
+                    raise AssertionError(
+                        f"traceback score {score} != device "
+                        f"{result.score[i]}")
+                cig[i] = c
+                nm[i] = e
+                span[i] = ref_consumed(c)
     if raw_lengths is not None:
         add_truncation_clips(cig, result, raw_lengths)
     return cig, nm, span
+
+
+def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
+                           reads: np.ndarray, lengths: np.ndarray,
+                           sc: ScoreConfig, pad: int = 48):
+    """C++ batch traceback (codecs.cpp) — byte-identical CIGARs to
+    traceback(), ~50x faster per read. Returns (cigars list[str],
+    nm int32[n], score int32[n], span int32[n]) or None if the native
+    library is unavailable."""
+    from urmap_tpu.io import native
+
+    lib = native.lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = starts.shape[0]
+    genome = np.ascontiguousarray(genome, np.uint8)
+    reads = np.ascontiguousarray(reads, np.uint8)
+    starts64 = np.ascontiguousarray(starts, np.int64)
+    lens32 = np.ascontiguousarray(lengths, np.int32)
+    maxL = int(lens32.max()) if n else 0
+    cap = n * (2 * (2 * maxL + pad) + 16) + 64
+    cig = np.empty(cap, np.uint8)
+    cig_off = np.empty(n + 1, np.int64)
+    nm = np.empty(n, np.int32)
+    score = np.empty(n, np.int32)
+    span = np.empty(n, np.int32)
+    rcode = lib.urmap_traceback_batch(
+        genome.ctypes.data_as(native.p_u8), genome.shape[0],
+        starts64.ctypes.data_as(native.p_i64),
+        reads.ctypes.data_as(native.p_u8), reads.shape[1] if n else 0,
+        lens32.ctypes.data_as(native.p_i32), n, pad,
+        sc.match, sc.mismatch, sc.gap_open, sc.gap_extend,
+        cig.ctypes.data_as(ctypes.c_void_p), cap,
+        cig_off.ctypes.data_as(native.p_i64),
+        nm.ctypes.data_as(native.p_i32),
+        score.ctypes.data_as(native.p_i32),
+        span.ctypes.data_as(native.p_i32))
+    if rcode != 0:
+        return None
+    blob = cig.tobytes()
+    cigars = [blob[cig_off[i]:cig_off[i + 1]].decode("ascii")
+              for i in range(n)]
+    return cigars, nm, score, span
 
 
 def add_truncation_clips(cig, result, raw_lengths) -> None:

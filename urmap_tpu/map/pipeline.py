@@ -311,9 +311,16 @@ def revcomp_strand_codes(codes: np.ndarray, result: MapResult) -> np.ndarray:
         return codes
     out = codes.copy()
     sub = codes[sel]
-    lens = np.asarray(result.lengths)[sel][:, None]
-    i = np.arange(codes.shape[1])[None, :]
-    idx = np.where(i < lens, lens - 1 - i, i)
+    lens = np.asarray(result.lengths)[sel]
+    L = codes.shape[1]
+    if (lens == L).all():
+        # uniform full-length rows (the common Illumina case): plain
+        # complement + reverse, no per-row index matrix
+        out[sel] = _COMP[sub[:, ::-1]]
+        return out
+    idx = np.where(np.arange(L)[None, :] < lens[:, None],
+                   lens[:, None] - 1 - np.arange(L)[None, :],
+                   np.arange(L)[None, :])
     out[sel] = _COMP[np.take_along_axis(sub, idx, axis=1)]
     return out
 
