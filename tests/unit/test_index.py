@@ -34,8 +34,12 @@ def _brute_index(db: SeqDB, cfg: IndexConfig):
             continue
         lo, hi = kmer_to_word(w)
         table.setdefault(_np_slot(lo, hi, cfg.slot_bits), []).append(p)
+    cap = cfg.max_positions_per_slot
     for s in table:
-        table[s] = table[s][: cfg.max_positions_per_slot]
+        ps = table[s]
+        if len(ps) > cap:
+            # even subsample: first rank of each mark m (store.evenly_cap_runs)
+            table[s] = [ps[(m * len(ps) + cap - 1) // cap] for m in range(cap)]
     return table
 
 
@@ -61,17 +65,31 @@ def test_build_chunked_equals_single(rng):
     assert np.array_equal(a.positions, b.positions)
 
 
-def test_cap_keeps_first_positions():
+def test_cap_subsamples_evenly():
     db = SeqDB.from_seqs(["c"], ["ACGT" * 100])  # extreme repeat
     cfg = IndexConfig(k=8, slot_bits=10, max_positions_per_slot=3)
     idx = build_index(db, cfg)
     counts = np.diff(idx.offsets)
     assert counts.max() == 3
-    # kept positions are the smallest (first occurrences)
-    for slot in np.nonzero(counts)[0]:
+    # kept positions are evenly spread across the run, NOT the first N
+    # occurrences (each 8-mer phase recurs every 4 bases over ~390 bp)
+    for slot in np.nonzero(counts == 3)[0]:
         ps = idx.slot_positions(int(slot))
         assert list(ps) == sorted(ps)
-        assert ps[0] < 100  # early occurrence retained
+        assert ps[0] < 100          # early occurrence retained
+        assert ps[-1] > 200         # ...and a late one (unbiased spread)
+
+
+def test_recapped_matches_build_time_cap(rng):
+    seq = _random_genome(rng, 2000) + "ACGT" * 50
+    db = SeqDB.from_seqs(["c"], [seq])
+    loose = build_index(db, IndexConfig(k=8, slot_bits=10,
+                                        max_positions_per_slot=64))
+    tight = build_index(db, IndexConfig(k=8, slot_bits=10,
+                                        max_positions_per_slot=4))
+    recap = loose.recapped(4)
+    assert np.array_equal(recap.offsets, tight.offsets)
+    assert np.array_equal(recap.positions, tight.positions)
 
 
 def test_index_save_load(tmp_path, rng):

@@ -256,7 +256,9 @@ class ShardedMapper:
         self.mcfg = mcfg or MapConfig()
         self.sc = sc or ScoreConfig()
         n_index = mesh.shape["index"]
-        st = shard_index_tables(index, n_index)
+        # same explicit unbiased gather-width cap as the unsharded Mapper
+        st = shard_index_tables(index.recapped(self.mcfg.positions_per_seed),
+                                n_index)
         self._sps = st.slots_per_shard
 
         def put(x, spec):

@@ -64,15 +64,18 @@ def _merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray]]):
 
 
 def _cap_slots(slots: np.ndarray, pos: np.ndarray, num_slots: int, cap: int):
-    """Keep the first `cap` positions per slot (positions already ascending
-    within slot). Returns capped (slots, pos, offsets[int32 num_slots+1])."""
+    """Cap each slot to ≤ `cap` positions, subsampled EVENLY across the
+    slot's run (store.evenly_cap_runs — unbiased in genome position).
+    Returns capped (slots, pos, offsets[int32 num_slots+1])."""
+    from urmap_tpu.index.store import evenly_cap_runs
+
     offsets64 = np.searchsorted(slots, np.arange(num_slots + 1, dtype=np.int64))
-    if cap > 0:
-        rank = np.arange(slots.shape[0], dtype=np.int64) - offsets64[slots]
-        keep = rank < cap
-        if not keep.all():
-            slots, pos = slots[keep], pos[keep]
-            offsets64 = np.searchsorted(slots, np.arange(num_slots + 1, dtype=np.int64))
+    counts = offsets64[1:] - offsets64[:-1]
+    if cap > 0 and int(counts.max(initial=0)) > cap:
+        keep = evenly_cap_runs(counts, cap)
+        slots, pos = slots[keep], pos[keep]
+        offsets64 = np.zeros(num_slots + 1, np.int64)
+        np.cumsum(np.minimum(counts, cap), out=offsets64[1:])
     if slots.shape[0] >= (1 << 31):
         raise ValueError(
             f"{slots.shape[0]} positions exceed int32 CSR range; raise "

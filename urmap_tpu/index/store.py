@@ -27,6 +27,24 @@ from urmap_tpu.io.fasta import SeqDB
 FORMAT_VERSION = 1
 
 
+def evenly_cap_runs(counts: np.ndarray, cap: int) -> np.ndarray:
+    """Per-entry bool keep-mask capping each CSR run to ≤ ``cap`` entries,
+    sampled EVENLY across the run rather than keeping the lowest genome
+    coordinates — truncation of repeat-heavy slots must not be position-
+    biased (round-1 advisor finding). Runs with ≤ cap entries keep all.
+
+    For a run of length c > cap the kept ranks are ceil(m*c/cap) for
+    m in [0, cap): exactly cap entries, uniformly strided.
+    """
+    counts = counts.astype(np.int64)
+    n = int(counts.sum())
+    cnt_e = np.repeat(counts, counts)                  # run length per entry
+    starts = np.cumsum(counts) - counts
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    mark = (rank * cap) // cnt_e
+    return mark != ((rank - 1) * cap) // cnt_e         # first entry per mark
+
+
 @dataclass
 class UfiIndex:
     config: IndexConfig
@@ -41,15 +59,33 @@ class UfiIndex:
     def slot_positions(self, slot: int) -> np.ndarray:
         return self.positions[self.offsets[slot] : self.offsets[slot + 1]]
 
-    def device_tables(self):
+    def recapped(self, cap: int) -> "UfiIndex":
+        """A view of this index with every slot capped to ≤ ``cap``
+        positions, subsampled evenly across the run (evenly_cap_runs).
+        Used at map time so the gather width (MapConfig.positions_per_seed)
+        is an EXPLICIT, position-unbiased cap instead of a silent
+        first-N truncation inside the CSR gather."""
+        counts = np.diff(self.offsets.astype(np.int64))
+        if cap <= 0 or int(counts.max(initial=0)) <= cap:
+            return self
+        keep = evenly_cap_runs(counts, cap)
+        new_counts = np.minimum(counts, cap)
+        off = np.zeros(counts.shape[0] + 1, np.int64)
+        np.cumsum(new_counts, out=off[1:])
+        return UfiIndex(config=self.config, offsets=off.astype(np.int32),
+                        positions=self.positions[keep], seqdb=self.seqdb)
+
+    def device_tables(self, cap: int | None = None):
         """The HBM-resident mapping state: jnp arrays consumed by the
         jitted map step. The genome rides as bit-packed 2-bit planes
         (genome_pack.py) — 4× smaller than byte codes and 16× cheaper
-        to gather from."""
+        to gather from. ``cap``: gather-width cap applied via recapped()."""
         import jax.numpy as jnp
 
         from urmap_tpu import genome_pack as gpk
 
+        if cap is not None:
+            return self.recapped(cap).device_tables()
         ginter, base_off = gpk.pack_genome(self.seqdb.codes)
         # positions padded to a ROW_WORDS multiple + guard rows for the
         # row-slice gather (dead lanes are masked by the CSR counts)

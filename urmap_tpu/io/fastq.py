@@ -101,6 +101,25 @@ class NativeReadBatch:
     def __len__(self) -> int:
         return self.codes.shape[0]
 
+    def trim(self, r: int) -> "NativeReadBatch":
+        """First ``r`` records as a new batch over the same buffer."""
+        return NativeReadBatch(self.buf, self.codes[:r], self.lengths[:r],
+                               self.name_off[:r], self.name_len[:r],
+                               self.seq_off[:r], self.seq_len[:r],
+                               self.qual_off[:r])
+
+    def name_matrix(self) -> np.ndarray:
+        """uint8[n, max_name_len] QNAME bytes (0-padded) — vectorized
+        whole-batch name comparison for the paired desync guard."""
+        n = len(self)
+        if n == 0:
+            return np.zeros((0, 0), np.uint8)
+        arr = np.frombuffer(self.buf, np.uint8)
+        w = int(self.name_len.max(initial=1))
+        idx = self.name_off[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        m = arr[np.minimum(idx, arr.shape[0] - 1)]
+        return np.where(np.arange(w)[None, :] < self.name_len[:, None], m, 0)
+
     @property
     def names(self) -> list[str]:
         if self._names is None:
@@ -146,17 +165,8 @@ class _NativeFastqStream:
     def next_batch(self, n: int, max_len: int) -> NativeReadBatch | None:
         import ctypes
 
-        need = n * (2 * max_len + 256)
-        while not self._eof and len(self._buf) < need:
-            chunk = self._f.read(max(self.CHUNK, need))
-            if not chunk:
-                self._eof = True
-                break
-            self._buf = self._buf + chunk if self._buf else chunk
-        if not self._buf:
-            return None
+        from urmap_tpu.io.native import p_i32, p_i64, p_u8
 
-        buf = self._buf
         codes = np.empty((n, max_len), np.uint8)
         lengths = np.empty(n, np.int32)
         name_off = np.empty(n, np.int64)
@@ -169,28 +179,50 @@ class _NativeFastqStream:
         def ptr(a, t):
             return a.ctypes.data_as(t)
 
-        from urmap_tpu.io.native import p_i32, p_i64, p_u8
-
-        rec = self._codec.urmap_parse_fastq(
-            buf, len(buf), max_len, n, ptr(codes, p_u8),
-            ptr(lengths, p_i32), ptr(name_off, p_i64),
-            ptr(name_len, p_i32), ptr(seq_off, p_i64),
-            ptr(seq_len, p_i32), ptr(qual_off, p_i64),
-            ctypes.byref(consumed))
-        if rec < 0:
-            raise ValueError(
-                f"{self.path}: malformed FASTQ at byte {consumed.value}")
-        if rec == 0:
-            if self._eof and consumed.value == 0:
+        # budget for n typical records; doubled below when the data
+        # carries records larger than the estimate (long reads are
+        # truncated to max_len at map time but must still parse + carry
+        # their full text spans for SAM passthrough)
+        need = n * (2 * max_len + 256)
+        while True:
+            while not self._eof and len(self._buf) < need:
+                chunk = self._f.read(max(self.CHUNK, need))
+                if not chunk:
+                    self._eof = True
+                    break
+                self._buf = self._buf + chunk if self._buf else chunk
+            if not self._buf:
+                return None
+            buf = self._buf
+            rec = self._codec.urmap_parse_fastq(
+                buf, len(buf), max_len, n, ptr(codes, p_u8),
+                ptr(lengths, p_i32), ptr(name_off, p_i64),
+                ptr(name_len, p_i32), ptr(seq_off, p_i64),
+                ptr(seq_len, p_i32), ptr(qual_off, p_i64),
+                ctypes.byref(consumed))
+            if rec < 0:
+                raise ValueError(
+                    f"{self.path}: malformed FASTQ at byte {consumed.value}")
+            if rec > 0:
+                break
+            # no complete record in the buffer yet
+            if self._eof:
                 if self._buf.strip():
                     raise ValueError(f"{self.path}: truncated FASTQ record")
                 return None
-            raise ValueError(f"{self.path}: truncated FASTQ record")
+            need = max(need * 2, len(self._buf) + self.CHUNK)
         self._buf = buf[consumed.value:]
         r = int(rec)
         return NativeReadBatch(buf, codes[:r], lengths[:r], name_off[:r],
                                name_len[:r], seq_off[:r], seq_len[:r],
                                qual_off[:r])
+
+    def pushback(self, batch: NativeReadBatch, keep: int) -> None:
+        """Return records [keep:] of the just-parsed batch to the stream
+        (paired trim-and-carry when the two files' batch record counts
+        differ — e.g. very long reads blowing one file's buffer budget)."""
+        rec_start = int(batch.name_off[keep]) - 1  # '@' precedes the name
+        self._buf = batch.buf[rec_start:]
 
 
 class PrefetchIterator:
@@ -305,18 +337,34 @@ class FastqReader:
                 rev = self._collect(self._rev, self.batch_size)
                 if fwd is None and rev is None:
                     return
-                if fwd is None or rev is None or len(fwd) != len(rev):
+                if fwd is None or rev is None:
+                    raise ValueError("paired FASTQ files out of sync (unequal record counts)")
+                if self.native and len(fwd) != len(rev):
+                    # differing counts are legitimate when oversized records
+                    # blow one file's buffer budget: trim the longer batch
+                    # and carry the remainder into the next iteration
+                    r = min(len(fwd), len(rev))
+                    if len(fwd) > r:
+                        self._fwd.pushback(fwd, r)
+                        fwd = fwd.trim(r)
+                    else:
+                        self._rev.pushback(rev, r)
+                        rev = rev.trim(r)
+                if len(fwd) != len(rev):
                     raise ValueError("paired FASTQ files out of sync (unequal record counts)")
                 if self.native:
-                    # cheap desync guard: first + last name of each batch
-                    for i in (0, len(fwd) - 1):
-                        a = bytes(fwd.buf[fwd.name_off[i]:
-                                          fwd.name_off[i] + fwd.name_len[i]])
-                        b = bytes(rev.buf[rev.name_off[i]:
-                                          rev.name_off[i] + rev.name_len[i]])
-                        if a != b:
-                            raise ValueError(
-                                f"paired FASTQ name mismatch: {a!r} vs {b!r}")
+                    # full-batch vectorized name comparison (desync guard)
+                    a, b = fwd.name_matrix(), rev.name_matrix()
+                    if a.shape != b.shape or not np.array_equal(a, b):
+                        if a.shape == b.shape:
+                            bad = int(np.nonzero((a != b).any(axis=1))[0][0])
+                        else:
+                            bad = int(np.nonzero(
+                                fwd.name_len != rev.name_len)[0][0])
+                        raise ValueError(
+                            "paired FASTQ name mismatch: "
+                            f"{fwd.names[bad]!r} vs {rev.names[bad]!r} "
+                            f"(record {bad})")
                 else:
                     for i, (a, b) in enumerate(zip(fwd.names, rev.names)):
                         if a != b:

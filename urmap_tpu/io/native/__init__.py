@@ -1,15 +1,18 @@
 """ctypes bindings for the native IO codecs (codecs.cpp).
 
-The shared library is compiled on first import with g++ (no pip/pybind11
+The shared library is compiled on first use with g++ (no pip/pybind11
 in this environment — SURVEY.md env notes) and cached next to the source,
-keyed on the source mtime. Import never hard-fails: ``lib()`` returns
-None when no compiler is available and callers fall back to the pure-
-Python paths (io/fastq.py, io/sam.py).
+keyed on a content hash of the source so a stale or foreign binary can
+never be loaded (the build artifact is gitignored; every machine compiles
+its own). Import never hard-fails: ``lib()`` returns None when no
+compiler is available and callers fall back to the pure-Python paths
+(io/fastq.py, io/sam.py).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import sys
@@ -17,7 +20,12 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "codecs.cpp")
-_SO = os.path.join(_DIR, "_codecs.so")
+
+
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_DIR, f"_codecs_{h}.so")
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -31,13 +39,14 @@ p_u8 = ctypes.POINTER(ctypes.c_uint8)
 p_char = ctypes.c_char_p
 
 
-def _build() -> bool:
+def _build(so: str) -> bool:
     try:
+        tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _SO + ".tmp", _SRC],
+             "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
-        os.replace(_SO + ".tmp", _SO)
+        os.replace(tmp, so)
         return True
     except (subprocess.SubprocessError, OSError) as e:
         print(f"urmap_tpu: native codec build failed ({e}); "
@@ -75,12 +84,11 @@ def lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        fresh = os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-        if not fresh and not _build():
+        so = _so_path()
+        if not os.path.exists(so) and not _build(so):
             return None
         try:
-            _lib = _bind(ctypes.CDLL(_SO))
+            _lib = _bind(ctypes.CDLL(so))
         except OSError as e:
             print(f"urmap_tpu: native codec load failed ({e})",
                   file=sys.stderr)

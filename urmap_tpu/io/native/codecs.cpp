@@ -152,8 +152,13 @@ int64_t urmap_format_sam(
   for (int64_t i = 0; i < n; ++i) {
     int32_t slen = seq_len[i];
     // worst-case record bound: fixed fields ~ 96 + name + cigar + 2*seq
+    // + the RNAME/RNEXT label bytes (memcpy'd unconditionally below)
+    int64_t lab = 0;
+    if (ref_id[i] >= 0) lab += label_off[ref_id[i] + 1] - label_off[ref_id[i]];
+    if (mate_ref[i] >= 0)
+      lab += label_off[mate_ref[i] + 1] - label_off[mate_ref[i]];
     int64_t need = 96 + name_len[i] + (cig_off[i + 1] - cig_off[i]) +
-                   2 * (int64_t)slen + 64;
+                   2 * (int64_t)slen + lab + 64;
     if (oend - o < need) return -1;
     // QNAME FLAG
     memcpy(o, fq + name_off[i], name_len[i]);

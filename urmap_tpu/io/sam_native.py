@@ -53,8 +53,10 @@ def _run_formatter(batch, fields, cig_blob, cig_off, seqdb) -> bytes:
     lib = native.lib()
     labels, label_off = _label_cache(seqdb)
     n = len(batch)
+    max_label = int(np.diff(label_off).max(initial=0))
     cap = (96 * n + int(batch.name_len.sum()) + len(cig_blob)
-           + 2 * int(batch.seq_len.sum()) + 64 * n + 1024)
+           + 2 * int(batch.seq_len.sum()) + 2 * max_label * n
+           + 64 * n + 1024)
     while True:
         out = np.empty(cap, np.uint8)
         wrote = lib.urmap_format_sam(

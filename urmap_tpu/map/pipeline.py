@@ -336,7 +336,9 @@ class Mapper:
         self.icfg = index.config
         self.mcfg = mcfg or MapConfig()
         self.sc = sc or ScoreConfig()
-        self.tables = index.device_tables()
+        # gather width = explicit unbiased cap (slots with more positions
+        # than the per-seed gather budget are evenly subsampled on host)
+        self.tables = index.device_tables(cap=self.mcfg.positions_per_seed)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc)
 
     def start_batch(self, codes: np.ndarray, lengths: np.ndarray):
