@@ -108,39 +108,55 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     ln = np.full(wb, args.read_len, np.int32)
     pm.finish_batch(pm.start_batch(r1[:wb], ln, r2[:wb], ln), ln, ln)
 
+    from urmap_tpu.io.fastq import PrefetchIterator
+    from urmap_tpu.utils.stream import run_stream
+
     sink = io.BytesIO()
     n_mapped = n_correct = n_proper = 0
 
-    def finish(s, b1, b2, handle):
-        nonlocal n_mapped, n_correct, n_proper
-        res = pm.finish_batch(handle, b1.lengths, b2.lengths)
+    def start(item):
+        _s, b1, b2 = item
+        return pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths)
+
+    def sync(item, handle):
+        _s, b1, b2 = item
+        return pm.finish_batch(handle, b1.lengths, b2.lengths)
+
+    def fmt(item, res):
+        s, b1, b2 = item
         n = len(b1)
-        n_mapped += int(res.m1.mapped.sum()) + int(res.m2.mapped.sum())
-        n_proper += int(res.proper.sum())
-        n_correct += int(((res.m1.pos == t1[s:s + n]) & res.m1.mapped).sum())
-        n_correct += int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum())
+        stats = (
+            int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),
+            int(res.proper.sum()),
+            int(((res.m1.pos == t1[s:s + n]) & res.m1.mapped).sum())
+            + int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum()))
         if args.no_sam:
-            return
+            return None, stats
         sc1 = revcomp_strand_codes(b1.codes, res.m1)
         sc2 = revcomp_strand_codes(b2.codes, res.m2)
         c1, e1, sp1 = cigars_nm_fast(db.codes, sc1, res.m1, pm.sc)
         c2, e2, sp2 = cigars_nm_fast(db.codes, sc2, res.m2, pm.sc)
-        sink.write(sam_native.format_paired(
-            b1, b2, res, c1, e1, sp1, c2, e2, sp2, db))
+        return sam_native.format_paired(
+            b1, b2, res, c1, e1, sp1, c2, e2, sp2, db), stats
+
+    def write(out):
+        nonlocal n_mapped, n_proper, n_correct
+        data, (m, p, c) = out
+        n_mapped += m; n_proper += p; n_correct += c
+        if data is not None:
+            sink.write(data)
+
+    def items():
+        s = 0
+        reader = FastqReader(paths[0], paths[1], batch_size=args.batch,
+                             max_read_len=args.read_len)
+        for b1, b2 in PrefetchIterator(reader):
+            yield s, b1, b2
+            s += len(b1)
 
     t1w = time.monotonic()
-    reader = FastqReader(paths[0], paths[1], batch_size=args.batch,
-                         max_read_len=args.read_len)
-    pending = None
-    s = 0
-    for b1, b2 in reader:
-        handle = pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths)
-        if pending:
-            finish(*pending)
-        pending = (s, b1, b2, handle)
-        s += len(b1)
-    if pending:
-        finish(*pending)
+    run_stream(items(), start, sync, fmt, write,
+               inflight=args.inflight, workers=args.workers)
     elapsed = time.monotonic() - t1w
     total_reads = 2 * n_pairs
     rps = total_reads / elapsed
@@ -175,6 +191,8 @@ def main(argv=None):
     ap.add_argument("--inflight", type=int, default=1,
                     help="batches in flight on the device (the axon "
                          "relay hangs with >1 outstanding execute)")
+    ap.add_argument("--workers", type=int, default=2,
+                    help="host formatting worker threads (0 = synchronous)")
     args = ap.parse_args(argv)
 
     import jax
@@ -234,44 +252,56 @@ def main(argv=None):
                 f.write(b"".join(chunk)); chunk = []
         f.write(b"".join(chunk))
 
+    from urmap_tpu.io.fastq import PrefetchIterator
+    from urmap_tpu.utils.stream import run_stream
+
     sink = io.BytesIO()
     n_mapped = n_correct = 0
 
-    def finish(s, batch, handle):
-        nonlocal n_mapped, n_correct
-        res = mapper.finish_batch(handle, batch.lengths)
-        n_mapped += int(res.mapped.sum())
-        n_correct += int(((res.pos == truth_pos[s : s + len(batch)])
-                          & res.mapped).sum())
+    def start(item):
+        _s, batch = item
+        return mapper.start_batch(batch.codes, batch.lengths)
+
+    def sync(item, handle):
+        _s, batch = item
+        return mapper.finish_batch(handle, batch.lengths)
+
+    def fmt(item, res):
+        s, batch = item
+        stats = (int(res.mapped.sum()),
+                 int(((res.pos == truth_pos[s : s + len(batch)])
+                      & res.mapped).sum()))
         if args.no_sam:
-            return
+            return None, stats
         strand_codes = revcomp_strand_codes(batch.codes, res)
         if use_native:
             cig, nm, _sp = cigars_nm_fast(db.codes, strand_codes, res,
                                           mapper.sc)
-            sink.write(sam_native.format_single_end(batch, res, cig, nm,
-                                                    db))
-        else:
-            cigars, nms = cigars_for_result(db.codes, strand_codes, res,
-                                            mapper.sc)
-            sink.write(("\n".join(samio.records_single_end(
-                batch, res, cigars, nms, db)) + "\n").encode())
+            return sam_native.format_single_end(batch, res, cig, nm,
+                                                db), stats
+        cigars, nms = cigars_for_result(db.codes, strand_codes, res,
+                                        mapper.sc)
+        return ("\n".join(samio.records_single_end(
+            batch, res, cigars, nms, db)) + "\n").encode(), stats
 
-    from collections import deque
+    def write(out):
+        nonlocal n_mapped, n_correct
+        data, (m, c) = out
+        n_mapped += m; n_correct += c
+        if data is not None:
+            sink.write(data)
+
+    def items():
+        s = 0
+        reader = FastqReader(fq_path, batch_size=args.batch,
+                             max_read_len=args.read_len)
+        for batch in PrefetchIterator(reader):
+            yield s, batch
+            s += len(batch)
 
     t1 = time.monotonic()
-    pending = deque()
-    s = 0
-    reader = FastqReader(fq_path, batch_size=args.batch,
-                         max_read_len=args.read_len)
-    for batch in reader:
-        pending.append((s, batch, mapper.start_batch(batch.codes,
-                                                     batch.lengths)))
-        s += len(batch)
-        if len(pending) > args.inflight:
-            finish(*pending.popleft())
-    while pending:
-        finish(*pending.popleft())
+    run_stream(items(), start, sync, fmt, write,
+               inflight=args.inflight, workers=args.workers)
     elapsed = time.monotonic() - t1
     rps = args.reads / elapsed
 

@@ -102,3 +102,53 @@ def test_ungapped_scores_packed_equals_byte(rng):
         jnp.asarray(starts), rp, rn, jnp.asarray(lengths)))
     packed_scores = (lengths - mm) * sc.match + mm * sc.mismatch
     np.testing.assert_array_equal(byte_scores, packed_scores)
+
+
+def test_biased_coordinates_past_2_31(rng):
+    """GRCh38-scale plumbing: device coordinates are biased int32
+    (seed.POS_BIAS); verify the packed-genome gather arithmetic at
+    global positions > 2^31 by relocating a small genome to a virtual
+    base of 4.2e9 via the static word offset (exactly how
+    device_tables folds the bias into base_off)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.map.seed import POS_BIAS
+
+    codes = rng.integers(0, 4, size=2048).astype(np.uint8)
+    ginter, base_off = gpk.pack_genome(codes)
+
+    virt = 4_200_000_000            # > 2^31, multiple of 16
+    assert virt % gpk.BASES_PER_WORD == 0
+    # word index must satisfy: (p - POS_BIAS)//16 + base_total
+    #                        = (p - virt)//16 + base_off
+    base_total = base_off + (POS_BIAS - virt) // gpk.BASES_PER_WORD
+
+    n, L = 64, 96
+    local = rng.integers(0, 2048 - L, size=n)
+    reads = np.stack([codes[s : s + L] for s in local])
+    # flip a couple of bases → known mismatch counts
+    want = np.zeros(n, np.int64)
+    for i in range(n):
+        k = int(rng.integers(0, 4))
+        want[i] = k
+        for j in rng.choice(L, size=k, replace=False):
+            reads[i, j] = (reads[i, j] + 1 + int(rng.integers(0, 3))) % 4
+
+    lengths = np.full(n, L, np.int32)
+    biased = (local + virt - POS_BIAS).astype(np.int32)
+    assert biased.min() > 0  # indeed near INT32_MAX territory
+    rp, rn = gpk.pack_reads(jnp.asarray(reads), jnp.asarray(lengths),
+                            -(-L // gpk.BASES_PER_WORD))
+    mm = np.asarray(gpk.mismatch_counts(
+        jnp.asarray(ginter), base_total, jnp.asarray(biased), rp, rn,
+        jnp.asarray(lengths)))
+    np.testing.assert_array_equal(mm, want)
+
+    # gather_codes round-trips the same windows
+    got = np.asarray(gpk.gather_codes(jnp.asarray(ginter), base_total,
+                                      jnp.asarray(biased), L))
+    for i in range(n):
+        np.testing.assert_array_equal(got[i], codes[local[i]:local[i] + L])

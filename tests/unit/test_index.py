@@ -125,3 +125,18 @@ def test_host_build_matches_device(rng):
     b = build_index(db, cfg, backend="host")
     np.testing.assert_array_equal(a.offsets, b.offsets)
     np.testing.assert_array_equal(a.positions, b.positions)
+
+
+def test_streaming_spill_build_matches_inram(rng, tmp_path):
+    """The disk radix-spill path (GRCh38-scale builds) must be
+    bit-identical to the in-RAM merge, for both backends."""
+    seq = _random_genome(rng, 40_000) + "ACGT" * 200  # with repeats
+    db = SeqDB.from_seqs(["c"], [seq])
+    cfg = IndexConfig(k=12, slot_bits=14, max_positions_per_slot=8)
+    ref = build_index(db, cfg, backend="host")
+    for backend in ("host", "device"):
+        st = build_index(db, cfg, backend=backend, spill_threshold=5_000,
+                         chunk=7_000, spill_dir=str(tmp_path))
+        assert np.array_equal(st.offsets, ref.offsets), backend
+        assert np.array_equal(st.positions, ref.positions), backend
+        assert st.offsets.dtype == np.uint32

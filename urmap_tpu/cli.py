@@ -36,8 +36,8 @@ Index build:
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
-      [-log <file>] [-metrics <file.jsonl>] [-quiet] [-resume]
-      [-profile <dir>]  (XProf/Perfetto trace of the map loop)
+      [-inflight D] [-log <file>] [-metrics <file.jsonl>] [-quiet]
+      [-resume] [-profile <dir>]  (XProf/Perfetto trace of the map loop)
 
 Multi-host: launch the same -map command on every host of the slice
 (JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
@@ -56,6 +56,7 @@ _FLAGS = {
     "maxpos": True, "veryfast": False, "ufistats": True,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
+    "inflight": True,
     "log": True, "metrics": True, "quiet": False, "profile": True,
     "version": False, "help": False,
 }
@@ -209,8 +210,11 @@ def cmd_map(opts: dict) -> int:
                          batch_size=mcfg.batch_size,
                          max_read_len=mcfg.max_read_len)
     native = reader.native and sam_native.available()
-    batches = PrefetchIterator(reader) if int(str(opts.get("threads", 1))) \
-        != 0 else reader
+    # -threads N: host worker threads for the drain pool (reference
+    # compat — its N maps threads over reads; our device does that part).
+    # 0 = fully synchronous debug mode (no prefetch, no pool).
+    n_threads = int(str(opts.get("threads", 2)))
+    batches = PrefetchIterator(reader) if n_threads != 0 else reader
     pmapper = None
     if reader.paired:
         from urmap_tpu.map.pair import PairedMapper
@@ -224,11 +228,17 @@ def cmd_map(opts: dict) -> int:
                                        rev.codes, rev.lengths)
         return mapper.start_batch(item.codes, item.lengths)
 
-    def finish_one(item, handle):
-        """Sync the device result and format SAM → (bytes, stats)."""
+    def sync_one(item, handle):
+        """Block until the device results for one batch are on host."""
         if pmapper is not None:
             fwd, rev = item
-            res = pmapper.finish_batch(handle, fwd.lengths, rev.lengths)
+            return pmapper.finish_batch(handle, fwd.lengths, rev.lengths)
+        return mapper.finish_batch(handle, item.lengths)
+
+    def format_one(item, res):
+        """Host formatting (CPU only) → (SAM bytes, stats). Worker pool."""
+        if pmapper is not None:
+            fwd, rev = item
             stats = {"reads": 2 * len(fwd),
                      "mapped": int(res.m1.mapped.sum())
                      + int(res.m2.mapped.sum()),
@@ -249,7 +259,6 @@ def cmd_map(opts: dict) -> int:
                 data = ("\n".join(recs) + "\n").encode("ascii")
             return data, stats
         batch = item
-        res = mapper.finish_batch(handle, batch.lengths)
         strand_codes = revcomp_strand_codes(batch.codes, res)
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum()),
                  "gapped": int(res.gapped.sum()),
@@ -269,9 +278,8 @@ def cmd_map(opts: dict) -> int:
             data = ("\n".join(recs) + "\n").encode("ascii")
         return data, stats
 
-    def drain(pending):
-        item, handle = pending
-        data, stats = finish_one(item, handle)
+    def write_one(out):
+        data, stats = out
         writer.append_batch(data, stats["reads"])
         nonlocal_state["reads"] += stats["reads"]
         nonlocal_state["mapped"] += stats["mapped"]
@@ -279,9 +287,6 @@ def cmd_map(opts: dict) -> int:
             progress.update(stats["reads"])
         metrics.log(**stats)
 
-    # double-buffered loop: batch i+1 computes on device while the host
-    # formats/writes batch i (SURVEY.md Phase 5 overlap)
-    from collections import deque
     import contextlib
 
     profile_ctx = contextlib.nullcontext()
@@ -291,24 +296,27 @@ def cmd_map(opts: dict) -> int:
         profile_ctx = jax.profiler.trace(str(opts["profile"]))
 
     nonlocal_state = {"reads": 0, "mapped": 0}
-    my_batch_no = 0
-    pending = deque()
-    es = contextlib.ExitStack()
-    es.enter_context(profile_ctx)
-    for batch_no, item in enumerate(batches):
-        if batch_no % nproc != rank:
-            continue
-        my_batch_no += 1
-        if my_batch_no <= writer.skip_batches:
-            continue
-        pending.append((item, start_one(item)))
-        # depth-1: the axon relay hangs with >1 outstanding execute;
-        # raise when running on a standard TPU runtime
-        if len(pending) > 1:
-            drain(pending.popleft())
-    while pending:
-        drain(pending.popleft())
-    es.close()
+
+    def my_batches():
+        my_no = 0
+        for batch_no, item in enumerate(batches):
+            if batch_no % nproc != rank:
+                continue
+            my_no += 1
+            if my_no <= writer.skip_batches:
+                continue
+            yield item
+
+    # pipelined drain: device computes batch i+1 while workers format
+    # batch i and the writer commits batch i-1 (utils/stream.py).
+    # inflight default 1: the axon relay hangs with more outstanding
+    # executes; raise with -inflight on standard TPU runtimes.
+    from urmap_tpu.utils.stream import run_stream
+
+    inflight = int(str(opts.get("inflight", 1)))
+    with profile_ctx:
+        run_stream(my_batches(), start_one, sync_one, format_one, write_one,
+                   inflight=inflight, workers=n_threads)
     n_reads = nonlocal_state["reads"]
     n_mapped = nonlocal_state["mapped"]
     writer.close()

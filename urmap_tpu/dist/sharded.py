@@ -86,11 +86,14 @@ class ShardedTables:
 
 def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
     """Split the global CSR by hash-slot range into ``num_shards`` shards."""
+    from urmap_tpu.map.seed import POS_BIAS
+
     cfg = index.config
     S = num_shards
     sps = -(-cfg.num_slots // S)
     goff = index.offsets.astype(np.int64)
-    pos = index.positions.astype(np.int32)
+    # biased device coordinates (seed.POS_BIAS) — same as device_tables
+    pos = (index.positions.astype(np.int64) - POS_BIAS).astype(np.int32)
 
     off_l = []
     pos_l = []
@@ -101,7 +104,7 @@ def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
         o = goff[lo : hi + 1] - goff[lo]
         if hi - lo < sps:  # pad tail shard's slot range with empty slots
             o = np.concatenate([o, np.full(sps - (hi - lo), o[-1], np.int64)])
-        off_l.append(o.astype(np.int32))
+        off_l.append(o.astype(np.uint32))
         p = pos[goff[lo] : goff[hi]]
         pmax = max(pmax, p.shape[0])
         pos_l.append(p)
@@ -266,13 +269,16 @@ class ShardedMapper:
                 x, jax.sharding.NamedSharding(mesh, spec))
 
         from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.map.seed import POS_BIAS
 
         ginter, base_off = gpk.pack_genome(index.seqdb.codes)
         self.offsets = put(st.offsets, P("index", None))
         self.positions = put(st.positions, P("index", None))
         self.ginter = put(ginter, P())
+        # static word offset carries the coordinate bias (device_tables)
         self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
-                                       self._sps, base_off,
+                                       self._sps,
+                                       base_off + POS_BIAS // gpk.BASES_PER_WORD,
                                        index.seqdb.total_len)
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:

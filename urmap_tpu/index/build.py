@@ -6,16 +6,23 @@ one jitted XLA pipeline: vectorized word extraction (hashing.extract_words
 — k fused shift/or passes over the code array), ``jax.lax.sort`` of
 (slot, position) pairs, then CSR offsets via vectorized binary search.
 Repeat capping (the reference's high-frequency-word cap / pinned seeds,
-Edgar 2020 Methods) keeps the first ``max_positions_per_slot`` positions
-of each slot.
+Edgar 2020 Methods) keeps ``max_positions_per_slot`` positions of each
+slot, subsampled evenly (store.evenly_cap_runs).
 
-Large genomes are processed in overlapping chunks whose sorted runs are
-merged host-side, so device memory bounds chunk size, not genome size.
+Large genomes are processed in chunks. Small builds merge the per-chunk
+runs in RAM; GRCh38-scale builds stream (slot, pos) pairs through a
+disk-backed radix spill partitioned by slot high bits, so peak RAM is
+bounded by one radix bucket + the final tables, never by a whole-genome
+sort (the in-RAM merge of 3.1e9 pairs would need ~50 GB of argsort
+workspace). Both paths produce bit-identical indexes.
 """
 
 from __future__ import annotations
 
 import functools
+import os
+import shutil
+import tempfile
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +30,14 @@ import numpy as np
 
 from urmap_tpu.config import IndexConfig
 from urmap_tpu.hashing import extract_words, words_to_slots
-from urmap_tpu.index.store import UfiIndex
+from urmap_tpu.index.store import UfiIndex, evenly_cap_runs
 from urmap_tpu.io.fasta import SeqDB
 
 # Max genome positions sorted in one device call (chunking unit). 64M
 # (slot,pos) pairs = 512 MB of sort traffic — comfortable in 16 GB HBM.
 DEFAULT_CHUNK = 64 * 1024 * 1024
+# Above this many words the build streams through the disk radix spill.
+SPILL_THRESHOLD = 256 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("k", "slot_bits"))
@@ -76,12 +85,12 @@ def _cap_slots(slots: np.ndarray, pos: np.ndarray, num_slots: int, cap: int):
         slots, pos = slots[keep], pos[keep]
         offsets64 = np.zeros(num_slots + 1, np.int64)
         np.cumsum(np.minimum(counts, cap), out=offsets64[1:])
-    if slots.shape[0] >= (1 << 31):
+    if slots.shape[0] >= (1 << 32):
         raise ValueError(
-            f"{slots.shape[0]} positions exceed int32 CSR range; raise "
+            f"{slots.shape[0]} positions exceed uint32 CSR range; raise "
             "max_positions_per_slot capping or shard the index (dist/)"
         )
-    return slots, pos, offsets64.astype(np.int32)
+    return slots, pos, offsets64.astype(np.uint32)
 
 
 def _host_sorted_slots(codes: np.ndarray, k: int, slot_bits: int):
@@ -99,18 +108,124 @@ def _host_sorted_slots(codes: np.ndarray, k: int, slot_bits: int):
     return slots[order], pos[order]
 
 
+class _RadixSpill:
+    """Disk-backed (slot, pos) partition by slot high bits.
+
+    Chunks are appended in ascending-position order; each bucket file
+    preserves that order, so one per-bucket STABLE argsort on slots
+    re-establishes (slot, pos asc) — identical to the in-RAM merge."""
+
+    REC = np.dtype([("s", "<u4"), ("p", "<u4")])
+
+    def __init__(self, slot_bits: int, spill_dir: str | None):
+        self.radix_bits = min(8, slot_bits)
+        self.shift = slot_bits - self.radix_bits
+        self.nbuck = 1 << self.radix_bits
+        self.dir = tempfile.mkdtemp(prefix="ufi_spill_", dir=spill_dir)
+        self.paths = [os.path.join(self.dir, f"b{i:04d}.bin")
+                      for i in range(self.nbuck)]
+        self.files = [open(p, "wb", buffering=1 << 20) for p in self.paths]
+
+    def add(self, slots: np.ndarray, pos: np.ndarray) -> None:
+        b = (slots >> np.uint32(self.shift)).astype(np.uint32)
+        order = np.argsort(b, kind="stable")      # order-preserving partition
+        rec = np.empty(slots.shape[0], self.REC)
+        rec["s"] = slots[order]
+        rec["p"] = pos[order]
+        counts = np.bincount(b, minlength=self.nbuck)
+        off = 0
+        for i in range(self.nbuck):
+            c = int(counts[i])
+            if c:
+                self.files[i].write(rec[off : off + c].tobytes())
+                off += c
+
+    def finalize(self, num_slots: int, cap: int):
+        """Per-bucket sort + cap → (offsets uint32[num_slots+1],
+        positions uint32). Deletes the spill directory."""
+        for f in self.files:
+            f.close()
+        offsets = np.zeros(num_slots + 1, np.uint32)
+        pos_parts = []
+        running = 0
+        sps = 1 << self.shift                     # slots per bucket
+        for i in range(self.nbuck):
+            rec = np.fromfile(self.paths[i], self.REC)
+            order = np.argsort(rec["s"], kind="stable")
+            sl = rec["s"][order]
+            po = rec["p"][order]
+            del rec, order
+            lo = i * sps
+            off_b = np.searchsorted(
+                sl, np.arange(lo, lo + sps + 1, dtype=np.int64))
+            counts_b = off_b[1:] - off_b[:-1]
+            if cap > 0 and int(counts_b.max(initial=0)) > cap:
+                po = po[evenly_cap_runs(counts_b, cap)]
+                counts_b = np.minimum(counts_b, cap)
+            pos_parts.append(po.astype(np.uint32))
+            cum = running + np.concatenate([[0], np.cumsum(counts_b)])
+            if cum[-1] >= (1 << 32):
+                raise ValueError("positions exceed uint32 CSR range")
+            offsets[lo : lo + sps + 1] = cum
+            running = int(cum[-1])
+        shutil.rmtree(self.dir, ignore_errors=True)
+        return offsets, np.concatenate(pos_parts) if pos_parts \
+            else np.zeros(0, np.uint32)
+
+
+def _host_chunk_slots(codes: np.ndarray, start: int, stop: int, k: int,
+                      slot_bits: int):
+    """Host word extraction for word starts [start, stop): returns
+    (slots, pos) in ascending-position order (invalid words dropped)."""
+    from urmap_tpu.hashing import extract_words_np, words_to_slots_np
+
+    sub = codes[start : stop + k - 1]
+    lo, hi, valid = extract_words_np(sub, k)
+    slots = words_to_slots_np(lo, hi, slot_bits)
+    pos = (np.nonzero(valid)[0] + start).astype(np.uint32)
+    return slots[valid], pos
+
+
 def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
                 chunk: int = DEFAULT_CHUNK,
-                backend: str = "device") -> UfiIndex:
+                backend: str = "device",
+                spill_threshold: int = SPILL_THRESHOLD,
+                spill_dir: str | None = None) -> UfiIndex:
     """Build the UFI index for a SeqDB. ``cfg=None`` auto-sizes slot_bits
     from the genome length. ``backend``: "device" (XLA sort pipeline) or
-    "host" (numpy twin — bit-identical output)."""
+    "host" (numpy twin — bit-identical output). Genomes with more than
+    ``spill_threshold`` words stream through a disk radix spill
+    (bounded RAM, same output bit-for-bit)."""
     if cfg is None:
         cfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(seqdb.total_len))
     codes = seqdb.codes
     n_words = codes.shape[0] - cfg.k + 1
     if n_words <= 0:
         raise ValueError("genome shorter than k")
+
+    if n_words > spill_threshold:
+        spill = _RadixSpill(cfg.slot_bits, spill_dir)
+        start = 0
+        host_chunk = chunk if backend == "device" else max(chunk, 1 << 27)
+        while start < n_words:
+            stop = min(start + host_chunk, n_words)
+            if backend == "device":
+                sl, po = _chunk_sorted_slots(
+                    jnp.asarray(codes[start : stop + cfg.k - 1]),
+                    start, cfg.k, cfg.slot_bits)
+                sl = np.asarray(sl)
+                po = np.asarray(po)
+                nvalid = np.searchsorted(sl, np.uint32(1 << cfg.slot_bits))
+                sl, po = sl[:nvalid], po[:nvalid]
+            else:
+                sl, po = _host_chunk_slots(codes, start, stop, cfg.k,
+                                           cfg.slot_bits)
+            spill.add(sl, po)
+            start = stop
+        offsets, positions = spill.finalize(cfg.num_slots,
+                                            cfg.max_positions_per_slot)
+        return UfiIndex(config=cfg, offsets=offsets, positions=positions,
+                        seqdb=seqdb)
 
     if backend == "host":
         slots, pos = _host_sorted_slots(codes, cfg.k, cfg.slot_bits)

@@ -48,8 +48,8 @@ def evenly_cap_runs(counts: np.ndarray, cap: int) -> np.ndarray:
 @dataclass
 class UfiIndex:
     config: IndexConfig
-    offsets: np.ndarray    # int32[num_slots + 1]
-    positions: np.ndarray  # uint32[total_positions]
+    offsets: np.ndarray    # uint32[num_slots + 1] (CSR; >2^31 legal)
+    positions: np.ndarray  # uint32[total_positions] global coordinates
     seqdb: SeqDB
 
     @property
@@ -72,33 +72,47 @@ class UfiIndex:
         new_counts = np.minimum(counts, cap)
         off = np.zeros(counts.shape[0] + 1, np.int64)
         np.cumsum(new_counts, out=off[1:])
-        return UfiIndex(config=self.config, offsets=off.astype(np.int32),
+        return UfiIndex(config=self.config, offsets=off.astype(np.uint32),
                         positions=self.positions[keep], seqdb=self.seqdb)
 
     def device_tables(self, cap: int | None = None):
         """The HBM-resident mapping state: jnp arrays consumed by the
         jitted map step. The genome rides as bit-packed 2-bit planes
         (genome_pack.py) — 4× smaller than byte codes and 16× cheaper
-        to gather from. ``cap``: gather-width cap applied via recapped()."""
+        to gather from. ``cap``: gather-width cap applied via recapped().
+
+        Coordinates: positions are uploaded BIASED (seed.POS_BIAS) so
+        int32 device math covers GRCh38-scale genomes; the bias rides
+        into ``base_off`` (POS_BIAS is a multiple of BASES_PER_WORD) so
+        every packed-genome gather unbiases for free. CSR offsets ride
+        as uint32 (>2^31 total positions are legal)."""
         import jax.numpy as jnp
 
         from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.map.seed import POS_BIAS, SENTINEL
 
         if cap is not None:
             return self.recapped(cap).device_tables()
+        glen = self.seqdb.total_len
+        if glen >= SENTINEL + POS_BIAS - (1 << 16):
+            raise ValueError(
+                f"genome of {glen:,} bases exceeds the biased-int32 "
+                "device coordinate range (~4.29 Gbp); shard the genome")
         ginter, base_off = gpk.pack_genome(self.seqdb.codes)
         # positions padded to a ROW_WORDS multiple + guard rows for the
         # row-slice gather (dead lanes are masked by the CSR counts)
         npos = self.positions.shape[0]
         pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
         positions = np.concatenate(
-            [self.positions.astype(np.int32), np.zeros(pad, np.int32)])
+            [(self.positions.astype(np.int64) - POS_BIAS).astype(np.int32),
+             np.zeros(pad, np.int32)])
         return {
-            "offsets": jnp.asarray(self.offsets, jnp.int32),
+            "offsets": jnp.asarray(self.offsets, jnp.uint32),
             "positions": jnp.asarray(positions),
             "ginter": jnp.asarray(ginter),
-            "base_off": base_off,  # python int (static)
-            "genome_len": self.seqdb.total_len,
+            # static word offset: genome guard pad + the coordinate bias
+            "base_off": base_off + POS_BIAS // gpk.BASES_PER_WORD,
+            "genome_len": glen,
         }
 
     def save(self, path: str) -> None:
@@ -125,7 +139,8 @@ class UfiIndex:
         if header["format_version"] != FORMAT_VERSION:
             raise ValueError(f"unsupported index format {header['format_version']}")
         with np.load(os.path.join(path, "tables.npz")) as z:
-            offsets, positions = z["offsets"], z["positions"]
+            offsets = z["offsets"].astype(np.uint32)
+            positions = z["positions"]
         seqdb = SeqDB.load(os.path.join(path, "seqdb.npz"))
         cfg = IndexConfig(
             k=header["k"],

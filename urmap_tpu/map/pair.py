@@ -37,7 +37,7 @@ from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.pipeline import (MapResult, candidates_batch_device,
                                     revcomp_batch)
-from urmap_tpu.map.seed import SENTINEL
+from urmap_tpu.map.seed import POS_BIAS, SENTINEL
 from urmap_tpu.map.select import select_hits
 
 # Rescued mates get at most this MAPQ (their placement is inferred from
@@ -70,7 +70,10 @@ def _pair_cross(c1, c2, l1, l2, mc: MapConfig):
     pf = jnp.where(fwd1, p1, p2)
     pr = jnp.where(fwd1, p2, p1)
     Lr = jnp.where(fwd1, L2, L1)
-    tlen = pr + Lr - pf
+    # (pr - pf) first: positions are biased int32 (seed.POS_BIAS) and
+    # may sit near INT32_MAX on large genomes — adding Lr before the
+    # subtraction could overflow; the difference is always small
+    tlen = (pr - pf) + Lr
     ok = ((st1 != st2) & c1["valid"][:, :, None] & c2["valid"][:, None, :]
           & (pf <= pr) & (tlen >= mc.min_fragment_len)
           & (tlen <= mc.max_fragment_len))
@@ -129,7 +132,9 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
     )                                                              # [1, B*4, O]
     counts = out.reshape(B, 4, O).sum(axis=1)                      # [B, O]
     best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
-    cand = jnp.clip(win_start + best_off, 0, tables["genome_len"] - 1)
+    # genome range in biased device coordinates (seed.POS_BIAS)
+    cand = jnp.clip(win_start + best_off, -POS_BIAS,
+                    tables["genome_len"] - 1 - POS_BIAS)
 
     rp, rn = gpk.pack_reads(other_codes, other_len,
                             -(-L // gpk.BASES_PER_WORD))

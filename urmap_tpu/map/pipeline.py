@@ -24,7 +24,7 @@ import numpy as np
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
-from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
+from urmap_tpu.map.seed import (POS_BIAS, SENTINEL, extract_seed_slots,
                                 gather_candidates, vote_top_candidates)
 from urmap_tpu.map.select import select_hits
 
@@ -132,8 +132,9 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         cand = gather_runner(slots, offs, valid)
     top_cand, _votes = vote_top_candidates(cand, v=v)       # [2B, V]
     glen = tables["genome_len"]
+    # genome range in biased device coordinates (seed.POS_BIAS)
     top_cand = jnp.where(top_cand == SENTINEL, SENTINEL,
-                         jnp.clip(top_cand, 0, glen - 1))
+                         jnp.clip(top_cand, -POS_BIAS, glen - 1 - POS_BIAS))
 
     # ---- ungapped verification of every candidate (bit-parallel) ----
     from urmap_tpu import genome_pack as gpk
@@ -280,7 +281,8 @@ def unpack_out(arr: np.ndarray) -> dict:
         "gapped": ((flags >> 1) & 1).astype(bool),
         "dp_ran": ((flags >> 2) & 1).astype(bool),
         "strand": ((flags >> 3) & 1).astype(np.int32),
-        "pos": arr[:, 1],
+        # device positions are biased int32 → real int64 coordinates
+        "pos": arr[:, 1].astype(np.int64) + POS_BIAS,
         "score": arr[:, 2],
         "second": arr[:, 3],
         "mapq": arr[:, 4],

@@ -27,6 +27,20 @@ SENTINEL = 0x7FFFFFF0  # invalid candidate start (sorts last); plain int
 # (a jnp scalar here would initialize the backend at import time,
 # breaking jax.distributed.initialize in multi-host processes)
 
+# ---- biased device coordinates (GRCh38-scale genomes) -------------------
+# Device-side global genome positions are carried as BIASED int32:
+#     b = p - POS_BIAS,   POS_BIAS = 2^31 - 2^16
+# This is order-preserving (so sorts/votes/dedup work unchanged), keeps
+# SENTINEL the maximum value, and leaves 2^16 of headroom below INT32_MIN
+# so small subtractions near genome position 0 (seed offsets, band/rescue
+# windows ≤ max_read_len + rescue_window ≪ 2^16) never underflow. The
+# packed-genome gathers unbias for free: POS_BIAS is a multiple of 16, so
+# adding POS_BIAS // 16 to the static word base offset (device_tables)
+# maps biased starts to the right genome words. Host code converts back
+# via pipeline.unpack_out (+POS_BIAS, int64). Max genome: SENTINEL +
+# POS_BIAS ≈ 4.295 Gbp (device_tables asserts).
+POS_BIAS = (1 << 31) - (1 << 16)
+
 
 def seed_offsets(lengths, k: int, q: int):
     """int32[N, Q] seed start offsets: floor(i*(len-k)/(Q-1)), 0 if len<k."""
@@ -85,7 +99,9 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     n, q = slots.shape
     slots_i = slots.astype(jnp.int32)
     start = jnp.take(offsets, slots_i, axis=0)
-    cnt = jnp.take(offsets, slots_i + 1, axis=0) - start
+    # offsets may be uint32 (>2^31 positions on GRCh38-scale indexes);
+    # per-slot counts are small (≤ the gather cap) → safe in int32
+    cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
     pos = row_gather_window(positions, start.reshape(-1), p) \
         .reshape(n, q, p)
