@@ -83,7 +83,7 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     """PE bench: native paired reader → PairedMapper → native SAM."""
     from urmap_tpu.io import sam_native
     from urmap_tpu.io.fastq import FastqReader
-    from urmap_tpu.map.cigar import cigars_nm_fast
+    from urmap_tpu.map.cigar import cigars_nm_blob
     from urmap_tpu.map.pair import PairedMapper
     from urmap_tpu.map.pipeline import revcomp_strand_codes
 
@@ -132,12 +132,10 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
             + int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum()))
         if args.no_sam:
             return None, stats
-        sc1 = revcomp_strand_codes(b1.codes, res.m1)
-        sc2 = revcomp_strand_codes(b2.codes, res.m2)
-        c1, e1, sp1 = cigars_nm_fast(db.codes, sc1, res.m1, pm.sc)
-        c2, e2, sp2 = cigars_nm_fast(db.codes, sc2, res.m2, pm.sc)
+        b1b, o1, e1, sp1 = cigars_nm_blob(db.codes, b1.codes, res.m1, pm.sc)
+        b2b, o2, e2, sp2 = cigars_nm_blob(db.codes, b2.codes, res.m2, pm.sc)
         return sam_native.format_paired(
-            b1, b2, res, c1, e1, sp1, c2, e2, sp2, db), stats
+            b1, b2, res, (b1b, o1), e1, sp1, (b2b, o2), e2, sp2, db), stats
 
     def write(out):
         nonlocal n_mapped, n_proper, n_correct
@@ -191,8 +189,8 @@ def main(argv=None):
     ap.add_argument("--inflight", type=int, default=1,
                     help="batches in flight on the device (the axon "
                          "relay hangs with >1 outstanding execute)")
-    ap.add_argument("--workers", type=int, default=2,
-                    help="host formatting worker threads (0 = synchronous)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="host formatting worker threads (0 = inline; measured fastest on the axon relay, which serializes execute+fetch anyway)")
     args = ap.parse_args(argv)
 
     import jax
@@ -235,7 +233,7 @@ def main(argv=None):
 
     from urmap_tpu.io import sam_native
     from urmap_tpu.io.fastq import FastqReader
-    from urmap_tpu.map.cigar import cigars_nm_fast
+    from urmap_tpu.map.cigar import cigars_nm_blob
 
     use_native = sam_native.available()
     # materialize a real FASTQ (untimed) — the timed loop drives the
@@ -273,12 +271,12 @@ def main(argv=None):
                       & res.mapped).sum()))
         if args.no_sam:
             return None, stats
-        strand_codes = revcomp_strand_codes(batch.codes, res)
         if use_native:
-            cig, nm, _sp = cigars_nm_fast(db.codes, strand_codes, res,
-                                          mapper.sc)
-            return sam_native.format_single_end(batch, res, cig, nm,
-                                                db), stats
+            blob, off, nm, _sp = cigars_nm_blob(db.codes, batch.codes,
+                                                res, mapper.sc)
+            return sam_native.format_single_end(batch, res, (blob, off),
+                                                nm, db), stats
+        strand_codes = revcomp_strand_codes(batch.codes, res)
         cigars, nms = cigars_for_result(db.codes, strand_codes, res,
                                         mapper.sc)
         return ("\n".join(samio.records_single_end(

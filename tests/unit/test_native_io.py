@@ -253,3 +253,38 @@ def test_paired_trim_and_carry(rng, tmp_path):
         got.extend(zip(b1.names, b2.names))
     assert [a for a, _ in got] == names
     assert all(a == b for a, b in got)
+
+
+def test_cigars_nm_blob_matches_fast_path(rng, tmp_path):
+    """cigars_nm_blob (all-native CIGAR composition from as-sequenced
+    codes) must byte-match the cigars_nm_fast strings, including
+    truncation soft-clips and gapped tracebacks."""
+    from urmap_tpu.map.cigar import cigars_nm_blob, cigars_nm_fast
+
+    db = make_seqdb(rng, [60_000])
+    index = build_index(db, IndexConfig(slot_bits=15))
+    mapper = Mapper(index, MapConfig(max_read_len=90, batch_size=64))
+    reads = []
+    for i in range(60):
+        reads.append(plant_read(rng, db, length=80, n_snps=i % 4,
+                                dels=(2 if i % 5 == 0 else 0),
+                                ins=(1 if i % 7 == 0 else 0)))
+    # some reads longer than max_read_len → truncation clips
+    reads += [plant_read(rng, db, length=120, n_snps=1) for _ in range(4)]
+    path = str(tmp_path / "blob.fq")
+    write_fastq(path, reads)
+    (batch,) = list(FastqReader(path, batch_size=128, max_read_len=90,
+                                native=True))
+    res = mapper.map_codes(batch.codes, batch.lengths)
+
+    strand_codes = revcomp_strand_codes(batch.codes, res)
+    cig, nm_f, span_f = cigars_nm_fast(db.codes, strand_codes, res,
+                                       mapper.sc, raw_lengths=batch.seq_len)
+    blob, off, nm_b, span_b = cigars_nm_blob(db.codes, batch.codes, res,
+                                             mapper.sc,
+                                             raw_lengths=batch.seq_len)
+    np.testing.assert_array_equal(nm_b, nm_f)
+    np.testing.assert_array_equal(span_b, span_f)
+    for i in range(len(batch)):
+        got = blob[off[i]:off[i + 1]].decode()
+        assert got == cig[i], (i, got, cig[i])

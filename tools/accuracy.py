@@ -71,6 +71,8 @@ def main(argv=None):
     ap.add_argument("--slop", type=int, default=5)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--positions-per-seed", type=int, default=0,
+                    help="override MapConfig.positions_per_seed")
     ap.add_argument("--repeat-frac", type=float, default=0.0,
                     help="fraction of the genome made of duplicated "
                          "segments — reads there are ambiguous; a good "
@@ -104,8 +106,10 @@ def main(argv=None):
     db = SeqDB.from_seqs(["chr1"], [seq])
     index = build_index(db, IndexConfig(
         slot_bits=IndexConfig.auto_slot_bits(db.total_len)), backend="host")
-    mapper = Mapper(index, MapConfig(max_read_len=args.read_len,
-                                     batch_size=args.batch))
+    mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
+    if args.positions_per_seed:
+        mkw["positions_per_seed"] = args.positions_per_seed
+    mapper = Mapper(index, MapConfig(**mkw))
 
     codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,
                                     args.snp_rate, args.indel_rate)

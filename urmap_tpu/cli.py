@@ -147,6 +147,13 @@ def cmd_ufistats(opts: dict) -> int:
     return 0
 
 
+def _cig3(r):
+    """cigars_nm_blob result → ((blob, offsets), nm, span) for the
+    native formatter (available() guarantees r is not None)."""
+    blob, off, nm, span = r
+    return (blob, off), nm, span
+
+
 def cmd_map(opts: dict) -> int:
     # distributed init must precede ANY backend-initializing JAX call
     from urmap_tpu.dist import multihost as mh
@@ -158,7 +165,7 @@ def cmd_map(opts: dict) -> int:
     from urmap_tpu.io import sam as samio
     from urmap_tpu.io import sam_native
     from urmap_tpu.map import Mapper
-    from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_fast
+    from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_blob
     from urmap_tpu.map.pipeline import revcomp_strand_codes
 
     fq = str(opts["map"])
@@ -246,12 +253,12 @@ def cmd_map(opts: dict) -> int:
                      "gapped": int(res.m1.gapped.sum())
                      + int(res.m2.gapped.sum())}
             if native:
-                sc1 = revcomp_strand_codes(fwd.codes, res.m1)
-                sc2 = revcomp_strand_codes(rev.codes, res.m2)
-                c1, e1, sp1 = cigars_nm_fast(genome, sc1, res.m1, mapper.sc,
-                                             raw_lengths=fwd.seq_len)
-                c2, e2, sp2 = cigars_nm_fast(genome, sc2, res.m2, mapper.sc,
-                                             raw_lengths=rev.seq_len)
+                c1, e1, sp1 = _cig3(cigars_nm_blob(
+                    genome, fwd.codes, res.m1, mapper.sc,
+                    raw_lengths=fwd.seq_len))
+                c2, e2, sp2 = _cig3(cigars_nm_blob(
+                    genome, rev.codes, res.m2, mapper.sc,
+                    raw_lengths=rev.seq_len))
                 data = sam_native.format_paired(
                     fwd, rev, res, c1, e1, sp1, c2, e2, sp2, index.seqdb)
             else:
@@ -259,17 +266,17 @@ def cmd_map(opts: dict) -> int:
                 data = ("\n".join(recs) + "\n").encode("ascii")
             return data, stats
         batch = item
-        strand_codes = revcomp_strand_codes(batch.codes, res)
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum()),
                  "gapped": int(res.gapped.sum()),
                  "mapq_ge20": int((res.mapq >= 20).sum())}
         if native:
-            cig, nm, _span = cigars_nm_fast(genome, strand_codes, res,
-                                            mapper.sc,
-                                            raw_lengths=batch.seq_len)
+            cig, nm, _span = _cig3(cigars_nm_blob(
+                genome, batch.codes, res, mapper.sc,
+                raw_lengths=batch.seq_len))
             data = sam_native.format_single_end(batch, res, cig, nm,
                                                 index.seqdb)
         else:
+            strand_codes = revcomp_strand_codes(batch.codes, res)
             cigars, nms = cigars_for_result(
                 genome, strand_codes, res, mapper.sc,
                 raw_lengths=[len(sq) for sq in batch.seqs])

@@ -76,16 +76,43 @@ def words_to_slots(lo, hi, slot_bits: int):
 
 def extract_words_np(codes: np.ndarray, k: int):
     """Host (numpy) twin of extract_words — identical outputs, uint32
-    wraparound semantics. Used by the host index-build backend."""
+    wraparound semantics. Used by the host index-build backend.
+
+    Fast path for k % 4 == 0: pre-pack 4-base bytes (3 passes), then
+    combine k/4 byte groups (8-bit shifts) — ~2.5× fewer passes over the
+    genome than the per-base loop. Bit-identical to the generic loop
+    (tested in tests/unit/test_hashing.py)."""
     if not 1 <= k <= MAX_K:
         raise ValueError(f"k must be in [1, {MAX_K}], got {k}")
     n = codes.shape[0] - k + 1
     if n <= 0:
         raise ValueError(f"sequence shorter than k={k}")
+    lo_bases = min(k, 16)
+    if k % 4 == 0 and (k - lo_bases) % 4 == 0 and k >= 4:
+        m = codes.shape[0] - 3            # 4-base groups start count
+        c3 = (codes & np.uint8(3)).astype(np.uint32)  # N codes → 2-bit lane
+        b4 = c3[0:m] << np.uint32(6)
+        b4 |= c3[1 : m + 1] << np.uint32(4)
+        b4 |= c3[2 : m + 2] << np.uint32(2)
+        b4 |= c3[3 : m + 3]
+        v4 = ((codes[0:m] | codes[1 : m + 1]
+               | codes[2 : m + 2] | codes[3 : m + 3]) < 4)
+        hi = np.zeros(n, np.uint32)
+        lo = np.zeros(n, np.uint32)
+        valid = np.ones(n, np.bool_)
+        ng_hi = (k - lo_bases) // 4
+        ng = k // 4
+        for g in range(ng):
+            grp = b4[4 * g : 4 * g + n]
+            valid &= v4[4 * g : 4 * g + n]
+            if g < ng_hi:
+                hi = (hi << np.uint32(8)) | grp
+            else:
+                lo = (lo << np.uint32(8)) | grp
+        return lo, hi, valid
     lo = np.zeros(n, np.uint32)
     hi = np.zeros(n, np.uint32)
     valid = np.ones(n, np.bool_)
-    lo_bases = min(k, 16)
     for i in range(k):
         c = codes[i : i + n]
         valid &= c < 4

@@ -75,11 +75,13 @@ def _merge_sorted_runs(runs: list[tuple[np.ndarray, np.ndarray]]):
 def _cap_slots(slots: np.ndarray, pos: np.ndarray, num_slots: int, cap: int):
     """Cap each slot to ≤ `cap` positions, subsampled EVENLY across the
     slot's run (store.evenly_cap_runs — unbiased in genome position).
-    Returns capped (slots, pos, offsets[int32 num_slots+1])."""
-    from urmap_tpu.index.store import evenly_cap_runs
+    Returns capped (slots, pos, offsets[uint32 num_slots+1]).
 
-    offsets64 = np.searchsorted(slots, np.arange(num_slots + 1, dtype=np.int64))
-    counts = offsets64[1:] - offsets64[:-1]
+    Offsets come from one bincount pass + cumsum — ~20× the speed of a
+    per-slot searchsorted on multi-M-position builds."""
+    counts = np.bincount(slots, minlength=num_slots).astype(np.int64)
+    offsets64 = np.zeros(num_slots + 1, np.int64)
+    np.cumsum(counts, out=offsets64[1:])
     if cap > 0 and int(counts.max(initial=0)) > cap:
         keep = evenly_cap_runs(counts, cap)
         slots, pos = slots[keep], pos[keep]
@@ -97,25 +99,29 @@ def _host_sorted_slots(codes: np.ndarray, k: int, slot_bits: int):
     """Host (numpy) build path: same (slot, pos) pairs as the device
     path, sorted by (slot, pos). Used when the device compile cost isn't
     worth it (small genomes, benchmarks, environments where XLA compiles
-    are remote/uncached)."""
+    are remote/uncached).
+
+    One radix sort of the combined (slot << 32 | pos) uint64 key replaces
+    stable-argsort + two payload gathers — positions are unique, so the
+    combined order IS (slot asc, pos asc)."""
     from urmap_tpu.hashing import extract_words_np, words_to_slots_np
 
     lo, hi, valid = extract_words_np(codes, k)
     slots = words_to_slots_np(lo, hi, slot_bits)
     pos = np.nonzero(valid)[0].astype(np.uint32)
-    slots = slots[valid]
-    order = np.argsort(slots, kind="stable")  # stable ⇒ pos ascending
-    return slots[order], pos[order]
+    key = (slots[valid].astype(np.uint64) << np.uint64(32)) | pos
+    key.sort(kind="stable")               # radix for integer dtypes
+    return (key >> np.uint64(32)).astype(np.uint32), \
+        key.astype(np.uint32)
 
 
 class _RadixSpill:
     """Disk-backed (slot, pos) partition by slot high bits.
 
-    Chunks are appended in ascending-position order; each bucket file
-    preserves that order, so one per-bucket STABLE argsort on slots
-    re-establishes (slot, pos asc) — identical to the in-RAM merge."""
-
-    REC = np.dtype([("s", "<u4"), ("p", "<u4")])
+    Pairs ride as one uint64 key (slot << 32 | pos); positions are
+    unique, so the per-bucket radix sort in finalize() directly yields
+    (slot asc, pos asc) — identical to the in-RAM merge, with no stable-
+    argsort or payload gathers and no ordering requirements on add()."""
 
     def __init__(self, slot_bits: int, spill_dir: str | None):
         self.radix_bits = min(8, slot_bits)
@@ -127,17 +133,16 @@ class _RadixSpill:
         self.files = [open(p, "wb", buffering=1 << 20) for p in self.paths]
 
     def add(self, slots: np.ndarray, pos: np.ndarray) -> None:
-        b = (slots >> np.uint32(self.shift)).astype(np.uint32)
-        order = np.argsort(b, kind="stable")      # order-preserving partition
-        rec = np.empty(slots.shape[0], self.REC)
-        rec["s"] = slots[order]
-        rec["p"] = pos[order]
+        key = (slots.astype(np.uint64) << np.uint64(32)) | pos
+        b = (slots >> np.uint32(self.shift)).astype(np.uint8)
+        order = np.argsort(b, kind="stable")      # radix partition
+        key = key[order]
         counts = np.bincount(b, minlength=self.nbuck)
         off = 0
         for i in range(self.nbuck):
             c = int(counts[i])
             if c:
-                self.files[i].write(rec[off : off + c].tobytes())
+                self.files[i].write(key[off : off + c].tobytes())
                 off += c
 
     def finalize(self, num_slots: int, cap: int):
@@ -150,19 +155,17 @@ class _RadixSpill:
         running = 0
         sps = 1 << self.shift                     # slots per bucket
         for i in range(self.nbuck):
-            rec = np.fromfile(self.paths[i], self.REC)
-            order = np.argsort(rec["s"], kind="stable")
-            sl = rec["s"][order]
-            po = rec["p"][order]
-            del rec, order
-            lo = i * sps
-            off_b = np.searchsorted(
-                sl, np.arange(lo, lo + sps + 1, dtype=np.int64))
-            counts_b = off_b[1:] - off_b[:-1]
+            key = np.fromfile(self.paths[i], "<u8")
+            key.sort(kind="stable")               # radix for integers
+            sl_rel = (key >> np.uint64(32)).astype(np.int64) - i * sps
+            po = key.astype(np.uint32)
+            del key
+            counts_b = np.bincount(sl_rel, minlength=sps).astype(np.int64)
             if cap > 0 and int(counts_b.max(initial=0)) > cap:
                 po = po[evenly_cap_runs(counts_b, cap)]
                 counts_b = np.minimum(counts_b, cap)
-            pos_parts.append(po.astype(np.uint32))
+            pos_parts.append(po)
+            lo = i * sps
             cum = running + np.concatenate([[0], np.cumsum(counts_b)])
             if cum[-1] >= (1 << 32):
                 raise ValueError("positions exceed uint32 CSR range")

@@ -67,6 +67,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_cigars_all_match.restype = None
     lib.urmap_cigars_all_match.argtypes = [c_i64, p_i32, ctypes.c_void_p,
                                            p_i64]
+    lib.urmap_compose_cigars.restype = c_i64
+    lib.urmap_compose_cigars.argtypes = [
+        c_i64, p_i32, p_i32, p_u8, p_i32, p_char, p_i64,
+        ctypes.c_void_p, c_i64, p_i64]
     lib.urmap_traceback_batch.restype = c_i64
     lib.urmap_traceback_batch.argtypes = [
         p_u8, c_i64, p_i64, p_u8, c_i64, p_i32, c_i64, c_i32, c_i32,

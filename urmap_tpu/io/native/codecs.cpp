@@ -239,6 +239,45 @@ void urmap_cigars_all_match(int64_t n, const int32_t* lengths, char* cig,
   }
 }
 
+// Compose the final per-batch CIGAR blob with zero per-read Python work:
+//   unmapped            -> empty (formatter emits '*')
+//   mapped, ungapped    -> "{len}M"
+//   mapped, gapped      -> next entry of the traceback blob (tcig/tcig_off,
+//                          one entry per mapped&gapped read, in row order)
+// plus the truncation soft-clip for reads longer than the mapping length
+// (leading for reverse-strand records, trailing for forward — the
+// truncated tail of an rc record is emitted first; map/cigar.py).
+// Returns total bytes, or -1 if cap is too small (caller doubles).
+int64_t urmap_compose_cigars(
+    int64_t n, const int32_t* lengths, const int32_t* raw_lengths,
+    const uint8_t* mapped_gapped,  // 0 unmapped, 1 mapped M-only, 2 gapped
+    const int32_t* strand, const char* tcig, const int64_t* tcig_off,
+    char* out, int64_t cap, int64_t* out_off) {
+  char* o = out;
+  char* oend = out + cap;
+  int64_t g = 0;
+  out_off[0] = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t mg = mapped_gapped[i];
+    if (mg) {
+      int64_t tlen = mg == 2 ? tcig_off[g + 1] - tcig_off[g] : 0;
+      if (oend - o < 48 + tlen) return -1;
+      int32_t extra = raw_lengths ? raw_lengths[i] - lengths[i] : 0;
+      if (extra > 0 && strand[i]) o += sprintf(o, "%dS", extra);
+      if (mg == 2) {
+        memcpy(o, tcig + tcig_off[g], tlen);
+        o += tlen;
+        ++g;
+      } else {
+        o += sprintf(o, "%dM", lengths[i]);
+      }
+      if (extra > 0 && !strand[i]) o += sprintf(o, "%dS", extra);
+    }
+    out_off[i + 1] = o - out;
+  }
+  return o - out;
+}
+
 // Batched affine-gap traceback for the gapped minority (native twin of
 // map/cigar.py traceback(): same recurrences, same tie-break order —
 // diagonal M, then insertion E, then deletion F — same leading/trailing

@@ -40,8 +40,12 @@ def _label_cache(seqdb):
     return cache
 
 
-def _concat_cigars(cig: np.ndarray):
-    """object-array of str → (bytes blob, int64 offsets[n+1])."""
+def _concat_cigars(cig):
+    """object-array of str → (bytes blob, int64 offsets[n+1]); an
+    already-composed (blob, offsets) tuple (map.cigar.cigars_nm_blob)
+    passes through untouched."""
+    if isinstance(cig, tuple):
+        return cig
     lens = np.fromiter((len(c) for c in cig), np.int64, count=len(cig))
     off = np.zeros(len(cig) + 1, np.int64)
     np.cumsum(lens, out=off[1:])

@@ -152,11 +152,12 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
 
 def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
                            reads: np.ndarray, lengths: np.ndarray,
-                           sc: ScoreConfig, pad: int = 48):
+                           sc: ScoreConfig, pad: int = 48, raw: bool = False):
     """C++ batch traceback (codecs.cpp) — byte-identical CIGARs to
     traceback(), ~50x faster per read. Returns (cigars list[str],
     nm int32[n], score int32[n], span int32[n]) or None if the native
-    library is unavailable."""
+    library is unavailable. ``raw=True`` skips the per-read str decode
+    and returns (blob bytes, offsets int64[n+1], nm, score, span)."""
     from urmap_tpu.io import native
 
     lib = native.lib()
@@ -189,10 +190,98 @@ def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
         span.ctypes.data_as(native.p_i32))
     if rcode != 0:
         return None
+    if raw:
+        return cig[:cig_off[n]].tobytes(), cig_off, nm, score, span
     blob = cig.tobytes()
     cigars = [blob[cig_off[i]:cig_off[i + 1]].decode("ascii")
               for i in range(n)]
     return cigars, nm, score, span
+
+
+def strand_codes_subset(raw_codes: np.ndarray, strand, lengths) -> np.ndarray:
+    """Strand-applied codes for a row subset (reverse-complement the
+    strand==1 rows in place of the originals)."""
+    import types
+
+    from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+    shim = types.SimpleNamespace(
+        mapped=np.ones(raw_codes.shape[0], bool),
+        strand=np.asarray(strand), lengths=np.asarray(lengths))
+    return revcomp_strand_codes(raw_codes, shim)
+
+
+def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
+                   sc: ScoreConfig, raw_lengths=None):
+    """Fully native CIGAR/NM for a MapResult: no per-read Python objects.
+
+    Returns (cig_blob bytes, cig_off int64[n+1], nm int32[n],
+    span int32[n]) consumable directly by the native SAM formatter, or
+    None when the native library is unavailable (callers fall back to
+    cigars_nm_fast). Unlike cigars_nm_fast this takes the AS-SEQUENCED
+    codes and reverse-complements only the gapped minority (the SAM
+    SEQ/QUAL reversal happens inside the C++ formatter from raw text).
+    """
+    from urmap_tpu.io import native
+
+    lib = native.lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = len(result.mapped)
+    L = result.lengths.astype(np.int64)
+    mapped = result.mapped.astype(bool)
+    gapped = mapped & result.gapped.astype(bool)
+    denom = sc.match - sc.mismatch
+    assert result.ungapped is not None, "device output lacks 'ungapped'"
+    ung = result.ungapped.astype(np.int64)
+    m_only = mapped & ~gapped
+    nm = np.where(m_only, (L * sc.match - ung) // denom, -1).astype(np.int32)
+    span = np.where(m_only, L, 0).astype(np.int32)
+
+    tcig_blob = b""
+    tcig_off = np.zeros(1, np.int64)
+    rows = np.nonzero(gapped)[0]
+    if rows.size:
+        lens = np.asarray(result.lengths)[rows]
+        sub = strand_codes_subset(raw_codes[rows],
+                                  np.asarray(result.strand)[rows], lens)
+        nat = traceback_batch_native(genome, np.asarray(result.pos)[rows],
+                                     sub, lens, sc, raw=True)
+        if nat is None:
+            return None
+        tcig_blob, tcig_off, nms_, scores_, spans_ = nat
+        bad = np.nonzero(scores_ != np.asarray(result.score)[rows])[0]
+        if bad.size:  # pragma: no cover - consistency
+            raise AssertionError(
+                f"native traceback score mismatch at rows {rows[bad[:5]]}")
+        nm[rows] = nms_
+        span[rows] = spans_
+
+    mg = np.zeros(n, np.uint8)
+    mg[m_only] = 1
+    mg[gapped] = 2
+    lens32 = np.ascontiguousarray(result.lengths, dtype=np.int32)
+    strand32 = np.ascontiguousarray(result.strand, dtype=np.int32)
+    raw32 = (None if raw_lengths is None
+             else np.ascontiguousarray(raw_lengths, dtype=np.int32))
+    cap = 48 * n + len(tcig_blob) + 64
+    while True:
+        out = np.empty(cap, np.uint8)
+        off = np.empty(n + 1, np.int64)
+        wrote = lib.urmap_compose_cigars(
+            n, lens32.ctypes.data_as(native.p_i32),
+            raw32.ctypes.data_as(native.p_i32) if raw32 is not None
+            else None,
+            mg.ctypes.data_as(native.p_u8),
+            strand32.ctypes.data_as(native.p_i32),
+            tcig_blob, tcig_off.ctypes.data_as(native.p_i64),
+            out.ctypes.data_as(ctypes.c_void_p), cap,
+            off.ctypes.data_as(native.p_i64))
+        if wrote >= 0:
+            return out[:wrote].tobytes(), off, nm, span
+        cap *= 2
 
 
 def add_truncation_clips(cig, result, raw_lengths) -> None:
