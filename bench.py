@@ -103,8 +103,8 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
             f.write(b"".join(chunk))
 
     pm = PairedMapper(mapper)
-    # warmup / compile
-    wb = min(args.batch, n_pairs)
+    # warmup / compile (pair batches are half the read batch)
+    wb = min(pm.pair_batch, n_pairs)
     ln = np.full(wb, args.read_len, np.int32)
     pm.finish_batch(pm.start_batch(r1[:wb], ln, r2[:wb], ln), ln, ln)
 
@@ -146,7 +146,8 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
 
     def items():
         s = 0
-        reader = FastqReader(paths[0], paths[1], batch_size=args.batch,
+        reader = FastqReader(paths[0], paths[1],
+                             batch_size=max(args.batch // 2, 1),
                              max_read_len=args.read_len)
         for b1, b2 in PrefetchIterator(reader):
             yield s, b1, b2

@@ -213,8 +213,11 @@ def cmd_map(opts: dict) -> int:
               file=sys.stderr)
     from urmap_tpu.io.fastq import PrefetchIterator
 
+    # paired mode: half the pairs per batch — the paired device step
+    # carries 2x the rows per pair (PairedMapper docstring)
     reader = FastqReader(fq, str(reverse) if reverse else None,
-                         batch_size=mcfg.batch_size,
+                         batch_size=(mcfg.batch_size // 2 if reverse
+                                     else mcfg.batch_size),
                          max_read_len=mcfg.max_read_len)
     native = reader.native and sam_native.available()
     # -threads N: host worker threads for the drain pool (reference

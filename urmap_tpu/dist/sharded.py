@@ -221,16 +221,119 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
                             dp_runner=dp_runner, gather_runner=gather_runner)
 
 
+def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
+                       p: int, slack: float = 2.0):
+    """Fixed-capacity all_to_all seed routing (SURVEY.md §2.8 [NS]).
+
+    Each device owns a hash-slot range AND a distinct read block (reads
+    are sharded over BOTH mesh axes — unlike the psum path, nothing is
+    replicated). Per round: every device packs its unserved (read, seed)
+    slot queries into per-destination lanes [S, K], all_to_all routes
+    them to the owning shard, the owner answers with its CSR positions
+    [S, K, P], and a second all_to_all routes answers home. Queries that
+    overflow the K-lane capacity wait for the next round (while_loop —
+    zero extra rounds at the default 2× slack, full coverage always).
+
+    Collective bytes per device ≈ 2·M·(P+1)·4·(S−1)/S with M local
+    queries, vs the psum path's 2·M_global·P·4·(S−1)/S — an ~S·P/(P+1)
+    reduction (reads not replicated), ≥4× on an 8-wide index axis.
+    """
+
+    def gather_runner(slots, offs, valid):
+        m, q = slots.shape
+        M = m * q
+        S = n_index
+        K = max(1, int(slack * M / S))
+        fslot = slots.reshape(-1).astype(jnp.int32)
+        fvalid = valid.reshape(-1)
+        owner = jnp.clip(fslot // jnp.int32(sps), 0, S - 1)
+        my = jax.lax.axis_index("index").astype(jnp.int32)
+        SENT_Q = jnp.int32(-1)
+
+        def cond(state):
+            _, served = state
+            rem = jnp.any(~served).astype(jnp.int32)
+            return jax.lax.psum(rem, ("data", "index")) > 0
+
+        def body(state):
+            cand_pos, served = state
+            ow = jnp.where(served, S, owner)          # served → dummy dest
+            order = jnp.argsort(ow, stable=True)
+            so = ow[order]                             # [M] ascending dests
+            counts = jnp.bincount(so, length=S + 1)
+            start = jnp.concatenate(
+                [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])[:-1]
+            rank = jnp.arange(M, dtype=jnp.int32) - start[so].astype(jnp.int32)
+            okK = (rank < K) & (so < S)
+            send = jnp.full((S, K), SENT_Q)
+            send = send.at[so, rank].set(
+                jnp.where(okK, fslot[order], SENT_Q), mode="drop")
+
+            recv = jax.lax.all_to_all(send, "index", split_axis=0,
+                                      concat_axis=0)  # [S, K] per-src rows
+            rel = recv - my * jnp.int32(sps)
+            owned = (rel >= 0) & (rel < sps) & (recv != SENT_Q)
+            relc = jnp.clip(rel, 0, sps - 1).reshape(-1)
+            st = jnp.take(offsets, relc, axis=0)
+            cnt = (jnp.take(offsets, relc + 1, axis=0) - st) \
+                .astype(jnp.int32)
+            from urmap_tpu.genome_pack import row_gather_window
+
+            posr = row_gather_window(positions, st, p)          # [S*K, P]
+            lane_ok = (jnp.arange(p, dtype=jnp.int32)[None, :]
+                       < cnt[:, None]) & owned.reshape(-1)[:, None]
+            resp = jnp.where(lane_ok, posr.astype(jnp.int32), SENTINEL)
+            back = jax.lax.all_to_all(resp.reshape(S, K, p), "index",
+                                      split_axis=0, concat_axis=0)
+            got = back[so, jnp.minimum(rank, K - 1)]            # [M, P]
+            upd = okK[:, None]
+            cand_pos = cand_pos.at[order].set(
+                jnp.where(upd, got, cand_pos[order]))
+            served = served.at[order].set(served[order] | okK)
+            return cand_pos, served
+
+        init_pos = jnp.full((M, p), SENTINEL, jnp.int32)
+        # invalid seeds never route; they stay SENTINEL
+        cand_pos, _ = jax.lax.while_loop(
+            cond, body, (init_pos, ~fvalid))
+        cand = jnp.where(cand_pos == SENTINEL, SENTINEL,
+                         cand_pos - offs.reshape(-1).astype(jnp.int32)[:, None])
+        return cand.reshape(m, q * p)
+
+    return gather_runner
+
+
+def _sharded_step_a2a(offsets, positions, ginter, reads, lengths, *,
+                      icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
+                      sps: int, n_index: int, base_off: int,
+                      genome_len: int):
+    """Per-device body, all_to_all routing: local blocks are
+    offsets [1, sps+1], positions [1, pmax], reads [b_local, L] — reads
+    sharded over ("data", "index"), so vote/verify/DP all run locally
+    with no replicated compute and no cross-device combine beyond the
+    two routing all_to_alls."""
+    offsets = offsets[0]
+    positions = positions[0]
+    tables = {"ginter": ginter, "base_off": base_off,
+              "genome_len": genome_len}
+    runner = _a2a_gather_runner(offsets, positions, sps=sps,
+                                n_index=n_index,
+                                p=mcfg.positions_per_seed)
+    return map_batch_device(tables, reads, lengths, icfg=icfg, mcfg=mcfg,
+                            sc=sc, gather_runner=runner)
+
+
 def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                         sc: ScoreConfig, sps: int, base_off: int,
-                        genome_len: int):
+                        genome_len: int, route: str = "psum"):
     """Jitted fn(offsets, positions, genome, reads, lengths) → out dict,
     sharded per the mesh. Genome is replicated; CSR tables live on the
     "index" axis; reads/outputs on "data"."""
     from urmap_tpu.map.pipeline import pack_out
 
     n_index = mesh.shape["index"]
-    body = functools.partial(_sharded_step, icfg=icfg, mcfg=mcfg, sc=sc,
+    step = _sharded_step_a2a if route == "a2a" else _sharded_step
+    body = functools.partial(step, icfg=icfg, mcfg=mcfg, sc=sc,
                              sps=sps, n_index=n_index, base_off=base_off,
                              genome_len=genome_len)
 
@@ -238,23 +341,34 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
         # one packed int32[b, 6] output → one D2H fetch (pipeline.pack_out)
         return pack_out(body(*args))
 
+    batch_axes = ("data", "index") if route == "a2a" else "data"
     fn = jax.shard_map(
         packed_body, mesh=mesh,
         in_specs=(P("index", None), P("index", None), P(),
-                  P("data", None), P("data")),
-        out_specs=P("data", None),
+                  P(batch_axes, None), P(batch_axes)),
+        out_specs=P(batch_axes, None),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
 class ShardedMapper:
-    """Host wrapper mirroring map.pipeline.Mapper for a sharded mesh."""
+    """Host wrapper mirroring map.pipeline.Mapper for a sharded mesh.
+
+    ``route``: how sharded seed lookups combine across the "index" axis.
+      - "a2a" (default): all_to_all query routing; reads sharded over
+        BOTH axes, compute fully data-parallel (SURVEY.md §2.8 [NS]).
+      - "psum": reads replicated over "index"; each shard answers its
+        slot range and masked partials psum-combine (round-1 design,
+        kept as the reference/ comparison path)."""
 
     def __init__(self, index: UfiIndex, mesh: Mesh,
-                 mcfg: MapConfig | None = None, sc: ScoreConfig | None = None):
+                 mcfg: MapConfig | None = None, sc: ScoreConfig | None = None,
+                 route: str = "a2a"):
+        assert route in ("a2a", "psum"), route
         self.index = index
         self.mesh = mesh
+        self.route = route
         self.icfg = index.config
         self.mcfg = mcfg or MapConfig()
         self.sc = sc or ScoreConfig()
@@ -279,13 +393,15 @@ class ShardedMapper:
         self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
                                        self._sps,
                                        base_off + POS_BIAS // gpk.BASES_PER_WORD,
-                                       index.seqdb.total_len)
+                                       index.seqdb.total_len, route=route)
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         from urmap_tpu import alphabet
 
         B = codes.shape[0]
         n_data = self.mesh.shape["data"]
+        if self.route == "a2a":
+            n_data *= self.mesh.shape["index"]   # batch sharded over both
         bs = max(self.mcfg.batch_size, n_data)
         bs = -(-bs // n_data) * n_data
         outs = []

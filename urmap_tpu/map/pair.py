@@ -304,20 +304,27 @@ class PairResult:
 
 
 class PairedMapper:
-    """Host wrapper over the single-end Mapper for paired batches."""
+    """Host wrapper over the single-end Mapper for paired batches.
+
+    Device pair-batches are HALF the configured read batch: the paired
+    step internally stacks both mates and both strands ([4·Bp] rows vs
+    the SE step's [2·B]), and device cost is superlinear in row count
+    (tools/bench_batches.py), so equalizing rows per call keeps PE
+    per-read throughput at SE levels."""
 
     def __init__(self, mapper):
         self.mapper = mapper
         self.index = mapper.index
         self.mcfg = mapper.mcfg
         self.sc = mapper.sc
+        self.pair_batch = max(1, self.mcfg.batch_size // 2)
         self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc)
 
     def start_batch(self, codes1, lengths1, codes2, lengths2):
-        """Async dispatch of one (≤batch_size) pair batch."""
+        """Async dispatch of one (≤pair_batch) pair batch."""
         B = codes1.shape[0]
-        bs = self.mcfg.batch_size
-        assert B <= bs
+        bs = self.pair_batch
+        assert B <= bs, f"pair batch {B} > {bs} (= batch_size // 2)"
         c1, l1 = _pad_block(codes1, lengths1, bs)
         c2, l2 = _pad_block(codes2, lengths2, bs)
         out = self._fn(self.mapper.tables, jnp.asarray(c1), jnp.asarray(l1),
@@ -339,7 +346,7 @@ class PairedMapper:
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
         B = codes1.shape[0]
-        bs = self.mcfg.batch_size
+        bs = self.pair_batch
         outs = []
         for s in range(0, B, bs):
             h = self.start_batch(codes1[s:s + bs], lengths1[s:s + bs],
