@@ -97,3 +97,34 @@ def test_two_process_map_equals_single(rng, tmp_path):
     a, b = canon(single), canon(multi)
     assert len(a) == len(b) == 100
     assert a == b
+
+
+def test_byte_range_reader_partitions_input(rng, tmp_path):
+    """Per-host byte-range feeding: each range parses a disjoint,
+    contiguous slice whose concatenation equals the full file, for both
+    the native and the pure-Python reader."""
+    from urmap_tpu.dist.multihost import fastq_byte_ranges
+    from urmap_tpu.io.fastq import FastqReader
+
+    reads = [plant_read(rng, make_seqdb(rng, [5_000]), length=60)
+             for _ in range(157)]
+    fq = str(tmp_path / "br.fq")
+    write_fastq(fq, reads)
+
+    full = [n for b in FastqReader(fq, batch_size=32, max_read_len=80)
+            for n in b.names]
+    for nproc in (2, 3, 5):
+        ranges = fastq_byte_ranges(fq, nproc)
+        assert ranges[0][0] == 0 and ranges[-1][1] == os.path.getsize(fq)
+        for native in (True, False):
+            got = []
+            sizes = []
+            for r in ranges:
+                names = [n for b in FastqReader(
+                    fq, batch_size=32, max_read_len=80, native=native,
+                    byte_range=r) for n in b.names]
+                got.extend(names)
+                sizes.append(len(names))
+            assert got == full, (nproc, native)
+            # balanced: every worker parses ~1/nproc of the records
+            assert max(sizes) - min(sizes) <= 2, (nproc, native, sizes)

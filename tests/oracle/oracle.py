@@ -67,6 +67,44 @@ def semiglobal_scan(genome: np.ndarray, read: np.ndarray, sc: ScoreConfig):
     return scores, starts
 
 
+def clipped_scan(genome: np.ndarray, read: np.ndarray, sc: ScoreConfig,
+                 clip_open: int):
+    """Exhaustive end-clipped scan (X-drop-analog semantics of
+    map/dp.banded_from_windows(clip_open=...)): the alignment may skip a
+    read prefix and/or suffix, each skipped side charged ``clip_open``
+    once; at least one read base aligns. Same return convention as
+    semiglobal_scan (packed per-end-offset scores/starts)."""
+    g = genome.astype(np.int64)
+    r = read.astype(np.int64)
+    G, L = len(g), len(r)
+    S = np.int64(G + 1)
+    j_idx = np.arange(G + 1, dtype=np.int64)
+    H = j_idx.copy()
+    E = np.full(G + 1, NEG * S, dtype=np.int64)
+    early = np.full(G + 1, NEG * S, dtype=np.int64)
+    open_, ext = np.int64(sc.gap_open), np.int64(sc.gap_extend)
+    clip = np.int64(clip_open)
+
+    for i in range(L):
+        if i > 0:
+            H = np.maximum(H, clip * S + j_idx)   # start-clip entry
+        sub = np.where(g == r[i], sc.match, sc.mismatch).astype(np.int64) * S
+        diag = np.concatenate(([NEG * S], H[:-1] + sub))
+        E = np.maximum(H + open_ * S, E + ext * S)
+        T = np.maximum(diag, E)
+        shifted = T - (j_idx + 1) * ext * S
+        runmax = np.maximum.accumulate(shifted)
+        F = np.concatenate(([NEG * S], runmax[:-1])) + (open_ + j_idx * ext) * S
+        H = np.maximum(T, F)
+        if i + 1 < L:
+            early = np.maximum(early, H + clip * S)  # end-clip exit
+
+    best = np.maximum(H, early)
+    scores = best // S
+    starts = best - scores * S
+    return scores, starts
+
+
 def traceback_cigar(genome: np.ndarray, read: np.ndarray, start: int,
                     sc: ScoreConfig, pad: int = 48) -> tuple[str, int]:
     """Scalar affine DP with pointers: full read vs genome window starting

@@ -36,8 +36,8 @@ Index build:
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
-      [-inflight D] [-log <file>] [-metrics <file.jsonl>] [-quiet]
-      [-resume] [-profile <dir>]  (XProf/Perfetto trace of the map loop)
+      [-inflight D] [-endclip] [-log <file>] [-metrics <file.jsonl>]
+      [-quiet] [-resume] [-profile <dir>]  (XProf trace of the map loop)
 
 Multi-host: launch the same -map command on every host of the slice
 (JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
@@ -56,7 +56,7 @@ _FLAGS = {
     "maxpos": True, "veryfast": False, "ufistats": True,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
-    "inflight": True,
+    "inflight": True, "endclip": False,
     "log": True, "metrics": True, "quiet": False, "profile": True,
     "version": False, "help": False,
 }
@@ -183,6 +183,8 @@ def cmd_map(opts: dict) -> int:
         mkw["batch_size"] = int(str(opts["batch"]))
     if "maxreadlen" in opts:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))
+    if opts.get("endclip"):
+        mkw["end_clip"] = True
     mcfg = MapConfig(**mkw)
 
     t0 = time.monotonic()
@@ -204,6 +206,7 @@ def cmd_map(opts: dict) -> int:
     resume = bool(opts.get("resume"))
 
     genome = index.seqdb.codes
+    clip_open = mapper.sc.clip_open if mcfg.end_clip else None
     n_reads = n_mapped = 0
     t_map0 = time.monotonic()
     writer = mh.ShardWriter(str(samout), rank, resume=resume)
@@ -213,12 +216,22 @@ def cmd_map(opts: dict) -> int:
               file=sys.stderr)
     from urmap_tpu.io.fastq import PrefetchIterator
 
+    # multi-host input sharding: single-file uncompressed inputs are
+    # split into record-aligned byte ranges so each host parses ONLY its
+    # own slice (gzip can't seek, paired files can't be fraction-split
+    # without desync → those fall back to round-robin batches)
+    byte_range = None
+    range_mode = (nproc > 1 and not reverse
+                  and not str(fq).endswith(".gz"))
+    if range_mode:
+        byte_range = mh.fastq_byte_ranges(fq, nproc)[rank]
     # paired mode: half the pairs per batch — the paired device step
     # carries 2x the rows per pair (PairedMapper docstring)
     reader = FastqReader(fq, str(reverse) if reverse else None,
                          batch_size=(mcfg.batch_size // 2 if reverse
                                      else mcfg.batch_size),
-                         max_read_len=mcfg.max_read_len)
+                         max_read_len=mcfg.max_read_len,
+                         byte_range=byte_range)
     native = reader.native and sam_native.available()
     # -threads N: host worker threads for the drain pool (reference
     # compat — its N maps threads over reads; our device does that part).
@@ -258,10 +271,10 @@ def cmd_map(opts: dict) -> int:
             if native:
                 c1, e1, sp1 = _cig3(cigars_nm_blob(
                     genome, fwd.codes, res.m1, mapper.sc,
-                    raw_lengths=fwd.seq_len))
+                    raw_lengths=fwd.seq_len, clip_open=clip_open))
                 c2, e2, sp2 = _cig3(cigars_nm_blob(
                     genome, rev.codes, res.m2, mapper.sc,
-                    raw_lengths=rev.seq_len))
+                    raw_lengths=rev.seq_len, clip_open=clip_open))
                 data = sam_native.format_paired(
                     fwd, rev, res, c1, e1, sp1, c2, e2, sp2, index.seqdb)
             else:
@@ -275,14 +288,15 @@ def cmd_map(opts: dict) -> int:
         if native:
             cig, nm, _span = _cig3(cigars_nm_blob(
                 genome, batch.codes, res, mapper.sc,
-                raw_lengths=batch.seq_len))
+                raw_lengths=batch.seq_len, clip_open=clip_open))
             data = sam_native.format_single_end(batch, res, cig, nm,
                                                 index.seqdb)
         else:
             strand_codes = revcomp_strand_codes(batch.codes, res)
             cigars, nms = cigars_for_result(
                 genome, strand_codes, res, mapper.sc,
-                raw_lengths=[len(sq) for sq in batch.seqs])
+                raw_lengths=[len(sq) for sq in batch.seqs],
+                clip_open=clip_open)
             recs = samio.records_single_end(batch, res, cigars, nms,
                                             index.seqdb)
             data = ("\n".join(recs) + "\n").encode("ascii")
@@ -310,8 +324,8 @@ def cmd_map(opts: dict) -> int:
     def my_batches():
         my_no = 0
         for batch_no, item in enumerate(batches):
-            if batch_no % nproc != rank:
-                continue
+            if not range_mode and batch_no % nproc != rank:
+                continue   # round-robin fallback (gzip / paired input)
             my_no += 1
             if my_no <= writer.skip_batches:
                 continue

@@ -30,6 +30,10 @@ class ScoreConfig:
     mismatch: int = -2
     gap_open: int = -4      # charged on the first base of a gap (open+extend)
     gap_extend: int = -1    # charged on every subsequent gap base
+    # One-time penalty per soft-clipped read END (X-drop-analog clipping,
+    # map/dp.py banded_from_windows). Only active with MapConfig.end_clip.
+    # PARITY-TODO: reference's X-drop threshold / clip semantics.
+    clip_open: int = -5
 
     def gap_cost(self, length: int) -> int:
         """Total (negative) score of a gap of ``length`` bases."""
@@ -80,11 +84,14 @@ class MapConfig:
     # offsets covering [0, read_len - k]. PARITY-TODO: reference's seed
     # placement rule.
     seeds_per_read: int = 8
-    # Cap on genome positions fetched per seed slot (gather width).
-    # The CSR gather is the pipeline's largest fixed cost — width 32
-    # keeps it half the price of 64 with no accuracy change on
-    # repeat-capped indexes (high-frequency slots are capped anyway).
-    positions_per_seed: int = 32
+    # Cap on genome positions fetched per seed slot (gather width) —
+    # the index is recapped to this at map time with an even, position-
+    # unbiased subsample (store.recapped). Width 16 measured identical
+    # accuracy to 32 on clean and 30%-repetitive genomes (round 2;
+    # tools/accuracy.py) at half the gather volume and half the a2a
+    # routing response size; true loci in slots with >16 surviving
+    # entries can still win via any of the other Q-1 seeds.
+    positions_per_seed: int = 16
     # Top-V candidate diagonals (by vote count) verified per read strand.
     top_candidates: int = 8
     # Banded DP half-width: band covers diagonal offsets in
@@ -94,6 +101,13 @@ class MapConfig:
     # (match=+1 ⇒ perfect read of length L scores L).
     # PARITY-TODO: reference's min identity / score threshold.
     min_score_frac: float = 0.4
+    # End-clipped alignment (the reference's X-drop can stop extension
+    # early and clip a bad tail): when True, the banded DP may enter or
+    # exit at any read row for ScoreConfig.clip_open per clipped side,
+    # so adapter/chimeric-tail reads map soft-clipped instead of dying
+    # at min_score_frac. Off by default (exact round-1 semantics);
+    # CLI -endclip. PARITY-TODO: reference's default behavior.
+    end_clip: bool = False
     # Gapped-DP trigger: a read enters the banded DP only when its best
     # ungapped candidate has more than this many mismatches (the
     # reference verifies ungapped first and extends gapped only when

@@ -208,7 +208,8 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
         s_, d0_, ung_ = banded_packed(
             ginter, base_off, sl(flat_cand), sl(flat_reads),
             sl(flat_lens), sl(flat_rp), sl(flat_rn),
-            hw=mcfg.band_halfwidth, sc=sc)
+            hw=mcfg.band_halfwidth, sc=sc,
+            clip_open=sc.clip_open if mcfg.end_clip else None)
         s = jax.lax.all_gather(s_, "index", tiled=True)[:n]
         d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
         ung = jax.lax.all_gather(ung_, "index", tiled=True)[:n]

@@ -45,16 +45,23 @@ def _strip_pair_suffix(name: str) -> str:
 
 
 class _FastqStream:
-    def __init__(self, path: str):
+    def __init__(self, path: str, byte_range: tuple[int, int] | None = None):
         self.path = path
         self._f = _open_maybe_gzip(path)
         self._lineno = 0
+        self._limit = None
+        if byte_range is not None:
+            lo, hi = byte_range
+            self._f.seek(lo)
+            self._limit = hi
 
     def close(self) -> None:
         self._f.close()
 
     def next_record(self) -> tuple[str, bytes, bytes] | None:
         """Returns (name, seq, qual) or None at EOF."""
+        if self._limit is not None and self._f.tell() >= self._limit:
+            return None
         hdr = self._f.readline()
         if not hdr:
             return None
@@ -152,12 +159,18 @@ class _NativeFastqStream:
 
     CHUNK = 8 << 20
 
-    def __init__(self, path: str, codec):
+    def __init__(self, path: str, codec,
+                 byte_range: tuple[int, int] | None = None):
         self.path = path
         self._codec = codec
         self._f = _open_maybe_gzip(path)
         self._buf = b""
         self._eof = False
+        self._remaining = None
+        if byte_range is not None:
+            lo, hi = byte_range
+            self._f.seek(lo)
+            self._remaining = hi - lo
 
     def close(self) -> None:
         self._f.close()
@@ -186,10 +199,15 @@ class _NativeFastqStream:
         need = n * (2 * max_len + 256)
         while True:
             while not self._eof and len(self._buf) < need:
-                chunk = self._f.read(max(self.CHUNK, need))
+                want = max(self.CHUNK, need)
+                if self._remaining is not None:
+                    want = min(want, self._remaining)
+                chunk = self._f.read(want) if want > 0 else b""
                 if not chunk:
                     self._eof = True
                     break
+                if self._remaining is not None:
+                    self._remaining -= len(chunk)
                 self._buf = self._buf + chunk if self._buf else chunk
             if not self._buf:
                 return None
@@ -274,20 +292,26 @@ class FastqReader:
 
     def __init__(self, path: str, reverse_path: str | None = None, *,
                  batch_size: int = 2048, max_read_len: int = 160,
-                 native: bool = True):
+                 native: bool = True,
+                 byte_range: tuple[int, int] | None = None):
+        """``byte_range``: parse only bytes [lo, hi) of ``path`` (must be
+        record-aligned — dist.multihost.fastq_byte_ranges). Single-file
+        (non-paired), uncompressed inputs only."""
         self.batch_size = batch_size
         self.max_read_len = max_read_len
+        if byte_range is not None:
+            assert reverse_path is None, "byte ranges are single-file only"
         codec = None
         if native:
             from urmap_tpu.io import native as native_mod
             codec = native_mod.lib()
         self.native = codec is not None
         if self.native:
-            self._fwd = _NativeFastqStream(path, codec)
+            self._fwd = _NativeFastqStream(path, codec, byte_range)
             self._rev = (_NativeFastqStream(reverse_path, codec)
                          if reverse_path else None)
         else:
-            self._fwd = _FastqStream(path)
+            self._fwd = _FastqStream(path, byte_range)
             self._rev = _FastqStream(reverse_path) if reverse_path else None
 
     @property

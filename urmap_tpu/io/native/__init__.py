@@ -74,8 +74,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_traceback_batch.restype = c_i64
     lib.urmap_traceback_batch.argtypes = [
         p_u8, c_i64, p_i64, p_u8, c_i64, p_i32, c_i64, c_i32, c_i32,
-        c_i32, c_i32, c_i32, ctypes.c_void_p, c_i64, p_i64, p_i32, p_i32,
-        p_i32]
+        c_i32, c_i32, c_i32, c_i32, c_i32, ctypes.c_void_p, c_i64, p_i64,
+        p_i32, p_i32, p_i32]
     return lib
 
 

@@ -292,7 +292,8 @@ int64_t urmap_traceback_batch(
     const uint8_t* genome, int64_t G, const int64_t* starts,
     const uint8_t* reads, int64_t read_stride, const int32_t* lengths,
     int64_t n, int32_t pad, int32_t match, int32_t mismatch,
-    int32_t gap_open, int32_t gap_ext, char* cig, int64_t cig_cap,
+    int32_t gap_open, int32_t gap_ext, int32_t use_clip, int32_t clip_open,
+    char* cig, int64_t cig_cap,
     int64_t* cig_off, int32_t* nm_out, int32_t* score_out,
     int32_t* span_out) {
   const int32_t NEGV = -(1 << 28);
@@ -304,7 +305,7 @@ int64_t urmap_traceback_batch(
   int32_t* H = new int32_t[L1 * W];
   int32_t* E = new int32_t[L1 * W];
   int32_t* F = new int32_t[L1 * W];
-  char* ops = new char[2 * (int64_t)maxL + pad + 4];
+  char* ops = new char[3 * (int64_t)maxL + pad + 4];
 
   char* o = cig;
   char* oend = cig + cig_cap;
@@ -348,6 +349,10 @@ int64_t urmap_traceback_batch(
         if (Fc[j] > h) h = Fc[j];
         Hc[j] = h;
       }
+      // end-clip mode: inject the start-clip state (bases [0, ii)
+      // soft-clipped, genome at POS) before the next row reads Hc
+      if (use_clip && ii >= 1 && ii <= L - 1 && Hc[0] < clip_open)
+        Hc[0] = clip_open;
     }
     // free end: best column in last row (ties -> smallest j, matching
     // numpy argmax)
@@ -356,15 +361,38 @@ int64_t urmap_traceback_batch(
     for (int64_t j = 1; j < w; ++j)
       if (HL[j] > HL[jend]) jend = j;
     int32_t score = HL[jend];
+    int64_t iend = L;
+    if (use_clip) {
+      // early exit after row i (+one clip charge); j >= 1 so the
+      // aligned segment is non-empty (matches map/cigar.py traceback)
+      for (int64_t i2 = 1; i2 < L; ++i2) {
+        int32_t* Hi = H + i2 * w;
+        int64_t jb = 1;
+        for (int64_t j = 2; j < w; ++j)
+          if (Hi[j] > Hi[jb]) jb = j;
+        if (Hi[jb] + clip_open > score) {
+          score = Hi[jb] + clip_open;
+          iend = i2;
+          jend = jb;
+        }
+      }
+    }
 
     // traceback (recompute decisions, python tie-break order)
     int64_t no = 0;
-    int64_t ii = L, j = jend;
+    int64_t ii = iend, j = jend;
     char state = 'H';
     while (ii > 0 || j > 0) {
       int32_t* Hc = H + ii * w;
       int32_t* Ec = E + ii * w;
       int32_t* Fc = F + ii * w;
+      if (use_clip && state == 'H' && j == 0 && ii > 0 && ii < L &&
+          Hc[0] == clip_open) {
+        // start-clip entry: bases [0, ii) soft-clipped
+        for (int64_t a = 0; a < ii; ++a) ops[no++] = 'S';
+        ii = 0;
+        break;
+      }
       if (state == 'H') {
         if (ii > 0 && j > 0) {
           int32_t sub = (g[j - 1] == r[ii - 1]) ? match : mismatch;
@@ -392,6 +420,8 @@ int64_t urmap_traceback_batch(
     for (int64_t a = 0, b = no - 1; a < b; ++a, --b) {
       char t = ops[a]; ops[a] = ops[b]; ops[b] = t;
     }
+    if (use_clip && iend < L)                // end-clip: bases [iend, L)
+      for (int64_t a = iend; a < L; ++a) ops[no++] = 'S';
     // leading/trailing I -> S
     int64_t s0 = 0, e0p = no;
     while (s0 < e0p && ops[s0] == 'I') ops[s0++] = 'S';

@@ -43,14 +43,18 @@ def _shift_down(x, s, b_idx, fill):
 
 
 def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
-                 wp: int, lp: int):
+                 wp: int, lp: int, clip_open: int | None):
     """wp/lp: sublane-padded row counts of the window / read slabs.
 
     Mosaic requires sublane slice starts to be 8-aligned, so the moving
     genome window is kept as a loop-carried slab rotated by a STATIC
-    shift of 1 per step; the kernel always reads rows [0:W) / [0:1)."""
+    shift of 1 per step; the kernel always reads rows [0:W) / [0:1).
+
+    ``clip_open``: end-clipped mode (map/dp.py banded_from_windows) —
+    fresh-start lanes max'd into H each row, early-exit running best in
+    the carry; identical packing/semantics to the jnp twin."""
     W = 2 * hw + 1
-    S = W + 1
+    S = (L + 2 * hw + 1) if clip_open is not None else (W + 1)
     # plain Python ints: embedded as literals (captured jnp scalars are
     # rejected by pallas_call)
     NEGP = NEG * S
@@ -58,6 +62,7 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
     ext_s = sc.gap_extend * S
     match_s = sc.match * S
     mis_s = sc.mismatch * S
+    clip_s = (clip_open or 0) * S
 
     def kernel(win_ref, read_ref, len_ref, out_ref):
         b_idx = jax.lax.broadcasted_iota(jnp.int32, (W, block_r), 0)
@@ -67,9 +72,13 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
 
         H0 = b_idx                                   # packed (0, d0=b-hw)
         E0 = jnp.full((W, block_r), NEGP, jnp.int32)
+        early0 = jnp.full((1, block_r), NEGP, jnp.int32)
 
         def step(i, carry):
-            H, E, final, wslab, rslab = carry
+            H, E, final, early, wslab, rslab = carry
+            if clip_open is not None:
+                fresh = jnp.where(i == 0, H0, clip_s + b_idx + i)
+                H = jnp.maximum(H, jnp.where(i < lens, fresh, NEGP))
             win = wslab[0:W, :]                      # [W, R] uint8
             rd = rslab[0:1, :]                       # [1, R]
             sub = jnp.where(win == rd, match_s, mis_s)
@@ -85,25 +94,33 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
                 s <<= 1
             H = jnp.maximum(T, y + f_post)
             final = jnp.where(i + 1 == lens, H, final)
+            if clip_open is not None:
+                row_best = jnp.max(jnp.where(i + 1 < lens, H, NEGP),
+                                   axis=0, keepdims=True)
+                early = jnp.maximum(early, row_best + clip_s)
             wslab = pltpu.roll(wslab, wp - 1, axis=0)   # row r+1 → row r
             rslab = pltpu.roll(rslab, lp - 1, axis=0)
-            return H, E, final, wslab, rslab
+            return H, E, final, early, wslab, rslab
 
         # int32 slabs: Mosaic's sublane rotate doesn't lower for int8
-        _, _, final, _, _ = jax.lax.fori_loop(
-            0, L, step, (H0, E0, H0,
+        _, _, final, early, _, _ = jax.lax.fori_loop(
+            0, L, step, (H0, E0, H0, early0,
                          win_ref[:].astype(jnp.int32),
                          read_ref[:].astype(jnp.int32)))
-        out_ref[0, :] = jnp.max(final, axis=0)
+        best = jnp.max(final, axis=0)
+        if clip_open is not None:
+            best = jnp.maximum(best, early[0, :])
+        out_ref[0, :] = best
 
     return kernel, W, S
 
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
-                                             "interpret"))
+                                             "interpret", "clip_open"))
 def pallas_from_windows(windows, reads, lengths, *, hw: int,
                         sc: ScoreConfig, block_r: int = DEFAULT_BLOCK_R,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        clip_open: int | None = None):
     """Kernel twin of map.dp.banded_from_windows → (scores, d0)."""
     N, L = reads.shape
     wlen = L + 2 * hw
@@ -117,7 +134,7 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
     reads_t = jnp.pad(reads, ((0, npad - N), (0, lp - L))).T     # [lp, Np]
     lens_p = jnp.pad(lengths, (0, npad - N)).reshape(1, npad)    # [1, Np]
 
-    kernel, W, S = _make_kernel(L, hw, sc, R, wp, lp)
+    kernel, W, S = _make_kernel(L, hw, sc, R, wp, lp, clip_open)
     packed = pl.pallas_call(
         kernel,
         grid=(npad // R,),
@@ -141,11 +158,12 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
-                                             "interpret"))
+                                             "interpret", "clip_open"))
 def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
                              hw: int, sc: ScoreConfig,
                              block_r: int = DEFAULT_BLOCK_R,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             clip_open: int | None = None):
     """Drop-in twin of map.dp.banded_semiglobal (same signature/returns)."""
     N, L = reads.shape
     G = genome.shape[0]
@@ -154,7 +172,8 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
     windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
                        axis=0)                                  # [N, wlen]
     scores, d0 = pallas_from_windows(windows, reads, lengths, hw=hw, sc=sc,
-                                     block_r=block_r, interpret=interpret)
+                                     block_r=block_r, interpret=interpret,
+                                     clip_open=clip_open)
 
     # ungapped rescore at POS = cand + d0 (M-only CIGAR fast path), same
     # as the jnp version

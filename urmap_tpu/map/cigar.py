@@ -23,9 +23,15 @@ NEG = -(1 << 28)
 
 
 def traceback(genome: np.ndarray, read: np.ndarray, start: int,
-              sc: ScoreConfig, pad: int = 48) -> tuple[str, int, int]:
-    """Returns (cigar, score, nm) for the alignment of the full read
-    starting at genome position ``start``. nm = edit distance (SAM NM)."""
+              sc: ScoreConfig, pad: int = 48,
+              clip_open: int | None = None) -> tuple[str, int, int]:
+    """Returns (cigar, score, nm) for the alignment of the read starting
+    at genome position ``start``. nm = edit distance (SAM NM).
+
+    ``clip_open``: end-clipped mode (map/dp.py banded_from_windows) —
+    the alignment may begin at any read row (prefix soft-clipped, one
+    clip_open charge, genome start stays exactly ``start``) and end at
+    any read row (suffix clipped, one charge)."""
     g = genome[start : start + len(read) + pad].astype(np.int16)
     r = read.astype(np.int16)
     G, L = len(g), len(r)
@@ -36,6 +42,9 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
     H[0, 0] = 0
     j1 = np.arange(1, G + 1)
     for i in range(1, L + 1):
+        if clip_open is not None and i >= 2:
+            # start-clip state: read bases [0, i-1) clipped, genome at POS
+            H[i - 1, 0] = max(int(H[i - 1, 0]), clip_open)
         E[i] = np.maximum(H[i - 1] + open_, E[i - 1] + ext)
         sub = np.where(g == r[i - 1], sc.match, sc.mismatch).astype(np.int32)
         diag = np.full(G + 1, NEG, np.int32)
@@ -45,13 +54,27 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
         runmax = np.maximum.accumulate(T - np.arange(1, G + 2) * ext)
         F[i, 1:] = runmax[:-1] + open_ + j1 * ext
         H[i] = np.maximum(T, F[i])
-    jend = int(np.argmax(H[L]))
+    iend, jend = L, int(np.argmax(H[L]))
     score = int(H[L, jend])
+    if clip_open is not None:
+        for i in range(1, L):
+            # j ≥ 1: an end-clip must leave a non-empty aligned segment
+            # (H[i, 0] holds the injected bare start-clip state)
+            j = int(np.argmax(H[i, 1:])) + 1
+            s = int(H[i, j]) + clip_open
+            if s > score:
+                score, iend, jend = s, i, j
 
     ops: list[str] = []
-    i, j = L, jend
+    i, j = iend, jend
     state = "H"
     while i > 0 or j > 0:
+        if (clip_open is not None and state == "H" and j == 0
+                and 0 < i < L and H[i, 0] == clip_open):
+            # start-clip entry: bases [0, i) are soft-clipped
+            ops.extend("S" * i)
+            i = 0
+            break
         if state == "H":
             if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + (
                 sc.match if g[j - 1] == r[i - 1] else sc.mismatch
@@ -75,6 +98,8 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
                 state = "H"
             j -= 1
     ops.reverse()
+    if clip_open is not None and iend < L:
+        ops.extend("S" * (L - iend))       # end-clip: bases [iend, L)
     s, e = 0, len(ops)
     while s < e and ops[s] == "I":
         ops[s] = "S"; s += 1
@@ -96,7 +121,8 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
 
 
 def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
-                   sc: ScoreConfig, raw_lengths=None):
+                   sc: ScoreConfig, raw_lengths=None,
+                   clip_open: int | None = None):
     """Vectorized CIGAR/NM for a MapResult (native-writer fast path).
 
     M-only winners (the vast majority) get "{L}M" and an NM derived from
@@ -121,10 +147,12 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
         rows = np.nonzero(mapped & gapped)[0]
         nat = traceback_batch_native(
             genome, result.pos[rows], strand_codes[rows],
-            result.lengths[rows], sc)
+            result.lengths[rows], sc, clip_open=clip_open)
         if nat is not None:
             cigs, nms_, scores_, spans_ = nat
-            bad = np.nonzero(scores_ != np.asarray(result.score)[rows])[0]
+            dev_s = np.asarray(result.score)[rows]
+            bad = np.nonzero((scores_ < dev_s) if clip_open is not None
+                             else (scores_ != dev_s))[0]
             if bad.size:  # pragma: no cover - consistency
                 raise AssertionError(
                     f"native traceback score mismatch at rows {rows[bad[:5]]}")
@@ -137,8 +165,11 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
             for i in rows:
                 li = int(L[i])
                 c, score, e = traceback(genome, strand_codes[i][:li],
-                                        int(result.pos[i]), sc)
-                if score != int(result.score[i]):  # pragma: no cover
+                                        int(result.pos[i]), sc,
+                                        clip_open=clip_open)
+                dev_i = int(result.score[i])
+                if (score < dev_i if clip_open is not None
+                        else score != dev_i):  # pragma: no cover
                     raise AssertionError(
                         f"traceback score {score} != device "
                         f"{result.score[i]}")
@@ -152,7 +183,8 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
 
 def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
                            reads: np.ndarray, lengths: np.ndarray,
-                           sc: ScoreConfig, pad: int = 48, raw: bool = False):
+                           sc: ScoreConfig, pad: int = 48, raw: bool = False,
+                           clip_open: int | None = None):
     """C++ batch traceback (codecs.cpp) — byte-identical CIGARs to
     traceback(), ~50x faster per read. Returns (cigars list[str],
     nm int32[n], score int32[n], span int32[n]) or None if the native
@@ -171,7 +203,7 @@ def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
     starts64 = np.ascontiguousarray(starts, np.int64)
     lens32 = np.ascontiguousarray(lengths, np.int32)
     maxL = int(lens32.max()) if n else 0
-    cap = n * (2 * (2 * maxL + pad) + 16) + 64
+    cap = n * (2 * (3 * maxL + pad) + 16) + 64
     cig = np.empty(cap, np.uint8)
     cig_off = np.empty(n + 1, np.int64)
     nm = np.empty(n, np.int32)
@@ -183,6 +215,7 @@ def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
         reads.ctypes.data_as(native.p_u8), reads.shape[1] if n else 0,
         lens32.ctypes.data_as(native.p_i32), n, pad,
         sc.match, sc.mismatch, sc.gap_open, sc.gap_extend,
+        int(clip_open is not None), int(clip_open or 0),
         cig.ctypes.data_as(ctypes.c_void_p), cap,
         cig_off.ctypes.data_as(native.p_i64),
         nm.ctypes.data_as(native.p_i32),
@@ -212,7 +245,8 @@ def strand_codes_subset(raw_codes: np.ndarray, strand, lengths) -> np.ndarray:
 
 
 def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
-                   sc: ScoreConfig, raw_lengths=None):
+                   sc: ScoreConfig, raw_lengths=None,
+                   clip_open: int | None = None):
     """Fully native CIGAR/NM for a MapResult: no per-read Python objects.
 
     Returns (cig_blob bytes, cig_off int64[n+1], nm int32[n],
@@ -248,11 +282,16 @@ def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
         sub = strand_codes_subset(raw_codes[rows],
                                   np.asarray(result.strand)[rows], lens)
         nat = traceback_batch_native(genome, np.asarray(result.pos)[rows],
-                                     sub, lens, sc, raw=True)
+                                     sub, lens, sc, raw=True,
+                                     clip_open=clip_open)
         if nat is None:
             return None
         tcig_blob, tcig_off, nms_, scores_, spans_ = nat
-        bad = np.nonzero(scores_ != np.asarray(result.score)[rows])[0]
+        dev = np.asarray(result.score)[rows]
+        # clipped mode: the host DP at POS is a superset of the banded
+        # device paths (start rows outside the band), so >= is legal
+        bad = np.nonzero((scores_ < dev) if clip_open is not None
+                         else (scores_ != dev))[0]
         if bad.size:  # pragma: no cover - consistency
             raise AssertionError(
                 f"native traceback score mismatch at rows {rows[bad[:5]]}")
@@ -300,8 +339,8 @@ def add_truncation_clips(cig, result, raw_lengths) -> None:
 
 
 def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
-                      result, sc: ScoreConfig,
-                      raw_lengths=None) -> tuple[list[str], list[int]]:
+                      result, sc: ScoreConfig, raw_lengths=None,
+                      clip_open: int | None = None) -> tuple[list[str], list[int]]:
     """CIGAR + NM per read for a MapResult. ``reads_codes`` must be
     strand-applied (rc already taken for strand==1 reads)."""
     cigars: list[str] = []
@@ -318,8 +357,11 @@ def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
             nms.append(int(np.sum(seg != reads_codes[i][:L])))
             continue
         cigar, score, nm = traceback(
-            genome, reads_codes[i][:L], int(result.pos[i]), sc)
-        if score != int(result.score[i]):  # pragma: no cover - consistency
+            genome, reads_codes[i][:L], int(result.pos[i]), sc,
+            clip_open=clip_open)
+        dev_i = int(result.score[i])
+        if (score < dev_i if clip_open is not None
+                else score != dev_i):  # pragma: no cover - consistency
             raise AssertionError(
                 f"traceback score {score} != device score {result.score[i]}")
         cigars.append(cigar); nms.append(nm)

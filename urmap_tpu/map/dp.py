@@ -46,15 +46,17 @@ def on_tpu() -> bool:
 
 
 def banded_dispatch(genome, cand_starts, reads, lengths, *, hw: int,
-                    sc: ScoreConfig, use_pallas: bool = True):
+                    sc: ScoreConfig, use_pallas: bool = True,
+                    clip_open: int | None = None):
     """banded_semiglobal, via the Pallas kernel on TPU backends."""
     if use_pallas and on_tpu():
         from urmap_tpu.kernels.banded_dp import banded_semiglobal_pallas
 
         return banded_semiglobal_pallas(genome, cand_starts, reads,
-                                        lengths, hw=hw, sc=sc)
+                                        lengths, hw=hw, sc=sc,
+                                        clip_open=clip_open)
     return banded_semiglobal(genome, cand_starts, reads, lengths,
-                             hw=hw, sc=sc)
+                             hw=hw, sc=sc, clip_open=clip_open)
 
 
 def _shift_right(x, s, fill):
@@ -78,16 +80,26 @@ def _exclusive_runmax(x, fill):
 
 
 def banded_from_windows(windows, reads, lengths, *, hw: int,
-                        sc: ScoreConfig):
+                        sc: ScoreConfig, clip_open: int | None = None):
     """Core banded DP over pre-gathered genome windows.
 
     windows uint8[N, L + 2*hw] (row n = genome[cand_n - hw : +L + hw],
     out-of-range cells = any N code), reads uint8[N, L], lengths
     int32[N]. Returns (scores int32[N], d0 int32[N]).
+
+    ``clip_open`` (TPU-friendly X-drop analog, SURVEY.md §2.9): when
+    set, the alignment may ENTER at any read row (bases before it
+    soft-clipped) and EXIT at any read row (bases after it clipped),
+    each clipped side charged ``clip_open`` once. Implemented with no
+    data-dependent control flow: a fresh-start lane is max'd into H
+    every row, and a running best-early-exit rides the scan carry. The
+    (score, start) packing widens so d0 covers [-hw, len-1+hw]:
+    POS = cand + d0 exactly as in the unclipped case.
     """
     N, L = reads.shape
     W = 2 * hw + 1
-    S = W + 1  # packing stride
+    # packing stride: d0 + hw ∈ [0, W-1] unclipped, [0, L-1+2*hw] clipped
+    S = (L + 2 * hw + 1) if clip_open is not None else (W + 1)
     NEGP = jnp.int32(NEG * S)
     open_s = jnp.int32(sc.gap_open * S)
     ext_s = jnp.int32(sc.gap_extend * S)
@@ -104,7 +116,14 @@ def banded_from_windows(windows, reads, lengths, *, hw: int,
     lengths_col = lengths[:, None]
 
     def row(carry, i):
-        H, E, final = carry
+        H, E, final, early = carry
+        if clip_open is not None and i is not None:
+            # fresh start: first aligned base = read base i (i clipped),
+            # d0 = b - hw + i, packed d-term = b + i; no penalty at i=0
+            fresh = jnp.where(
+                i == 0, H0,
+                jnp.int32(clip_open) * jnp.int32(S) + b_idx[None, :] + i)
+            H = jnp.maximum(H, jnp.where(i < lengths_col, fresh, NEGP))
         sub = jnp.where(
             jax.lax.dynamic_slice_in_dim(windows, i, W, axis=1)
             == reads[:, i][:, None],
@@ -117,26 +136,36 @@ def banded_from_windows(windows, reads, lengths, *, hw: int,
         F = _exclusive_runmax(T - f_pre, NEGP) + f_post
         H = jnp.maximum(T, F)
         final = jnp.where(i + 1 == lengths_col, H, final)
-        return (H, E, final), None
+        if clip_open is not None:
+            # early exit after row i (+clip penalty), rows within length
+            row_best = jnp.max(jnp.where(i + 1 < lengths_col, H, NEGP),
+                               axis=-1)
+            early = jnp.maximum(early,
+                                row_best + jnp.int32(clip_open) * jnp.int32(S))
+        return (H, E, final, early), None
 
     # scan over read rows; `windows` row slice moves with i so the band
     # stays centered on the candidate diagonal
     def row_fn(carry, i):
         return row(carry, i)
 
-    (H, E, final), _ = jax.lax.scan(
-        row_fn, (H0, E0, H0), jnp.arange(L, dtype=jnp.int32))
+    early0 = jnp.full((N,), NEG * S, jnp.int32)
+    (H, E, final, early), _ = jax.lax.scan(
+        row_fn, (H0, E0, H0, early0), jnp.arange(L, dtype=jnp.int32))
 
     packed = jnp.max(final, axis=-1)
+    if clip_open is not None:
+        packed = jnp.maximum(packed, early)
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
     return scores.astype(jnp.int32), d0
 
 
-@functools.partial(jax.jit, static_argnames=("hw", "sc"))
+@functools.partial(jax.jit, static_argnames=("hw", "sc", "clip_open"))
 def banded_semiglobal(genome, cand_starts, reads, lengths, *,
-                      hw: int, sc: ScoreConfig):
+                      hw: int, sc: ScoreConfig,
+                      clip_open: int | None = None):
     """Batched banded DP (byte-genome reference path).
 
     Args:
@@ -162,7 +191,8 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
     # (clipped cells read boundary codes — separators are N, auto-mismatch)
     widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
     windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32), axis=0)
-    scores, d0 = banded_from_windows(windows, reads, lengths, hw=hw, sc=sc)
+    scores, d0 = banded_from_windows(windows, reads, lengths, hw=hw, sc=sc,
+                                     clip_open=clip_open)
 
     # ungapped rescore at POS = cand + d0 (for the M-only CIGAR fast path)
     pos = cand_starts + d0
@@ -179,7 +209,7 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
 
 def banded_packed(ginter, base_off: int, cand_starts, reads,
                   lengths, rpacked, rnplane, *, hw: int, sc: ScoreConfig,
-                  use_pallas: bool = True):
+                  use_pallas: bool = True, clip_open: int | None = None):
     """Banded DP fed from the bit-packed genome planes (genome_pack.py).
 
     Gathers L/16-word windows instead of L bytes and rescores ungapped
@@ -194,10 +224,10 @@ def banded_packed(ginter, base_off: int, cand_starts, reads,
         from urmap_tpu.kernels.banded_dp import pallas_from_windows
 
         scores, d0 = pallas_from_windows(windows, reads, lengths,
-                                         hw=hw, sc=sc)
+                                         hw=hw, sc=sc, clip_open=clip_open)
     else:
         scores, d0 = banded_from_windows(windows, reads, lengths,
-                                         hw=hw, sc=sc)
+                                         hw=hw, sc=sc, clip_open=clip_open)
     mm = gpk.mismatch_counts(ginter, base_off, cand_starts + d0,
                              rpacked, rnplane, lengths)
     ungapped = ((lengths - mm) * sc.match + mm * sc.mismatch).astype(jnp.int32)

@@ -141,7 +141,8 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
     score, d0, ungapped = banded_packed(
         tables["ginter"], tables["base_off"],
         cand, other_codes, other_len, rp, rn,
-        hw=mc.band_halfwidth, sc=sc)
+        hw=mc.band_halfwidth, sc=sc,
+        clip_open=sc.clip_open if mc.end_clip else None)
     return {"pos": cand + d0, "score": score, "ungapped": ungapped}
 
 

@@ -177,11 +177,13 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                - mcfg.dp_trigger_mismatches * (sc.match - sc.mismatch))
     need_dp = (best_ung > neg) & (best_ung < trigger) & (lengths >= icfg.k)
     D = max(B // mcfg.dp_capacity_frac, 1)
+    clip = sc.clip_open if mcfg.end_clip else None
     if dp_runner is None:
         def dp_runner(c, r, ln, rp, rn):
             return banded_packed(
                 tables["ginter"], tables["base_off"],
-                c, r, ln, rp, rn, hw=mcfg.band_halfwidth, sc=sc)
+                c, r, ln, rp, rn, hw=mcfg.band_halfwidth, sc=sc,
+                clip_open=clip)
 
     def unfold(x):                                           # [2D*V] → [D, 2V]
         x = x.reshape(2, D, v)
