@@ -190,6 +190,11 @@ def main(argv=None):
     ap.add_argument("--inflight", type=int, default=1,
                     help="batches in flight on the device (the axon "
                          "relay hangs with >1 outstanding execute)")
+    ap.add_argument("--check-kernel", action="store_true",
+                    help="before timing, assert the Pallas banded-DP "
+                         "kernel equals the jnp twin ON DEVICE (catches "
+                         "Mosaic lowering regressions; costs one extra "
+                         "compile)")
     ap.add_argument("--workers", type=int, default=0,
                     help="host formatting worker threads (0 = inline; measured fastest on the axon relay, which serializes execute+fetch anyway)")
     args = ap.parse_args(argv)
@@ -221,6 +226,40 @@ def main(argv=None):
 
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
     mapper = Mapper(index, mcfg)
+
+    if args.check_kernel:
+        # on-device Pallas-vs-jnp parity (tests run interpret mode on
+        # CPU; this exercises the real Mosaic lowering)
+        import jax.numpy as jnp
+
+        from urmap_tpu.config import ScoreConfig
+        from urmap_tpu.kernels.banded_dp import pallas_from_windows
+        from urmap_tpu.map.dp import banded_from_windows
+
+        sc = ScoreConfig()
+        hw = mcfg.band_halfwidth
+        ck_rng = np.random.default_rng(1)
+        wlen = args.read_len + 2 * hw
+        kw = ck_rng.integers(0, 5, size=(2048, wlen)).astype(np.uint8)
+        kr = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
+            .astype(np.uint8)
+        kr[:512] = kw[:512, hw : hw + args.read_len]  # planted matches
+        kl = ck_rng.integers(30, args.read_len + 1, size=2048) \
+            .astype(np.int32)
+        for clip in (None, sc.clip_open):
+            s_p, d_p = pallas_from_windows(
+                jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
+                hw=hw, sc=sc, clip_open=clip)
+            s_j, d_j = banded_from_windows(
+                jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
+                hw=hw, sc=sc, clip_open=clip)
+            if not (np.array_equal(np.asarray(s_p), np.asarray(s_j))
+                    and np.array_equal(np.asarray(d_p), np.asarray(d_j))):
+                print(json.dumps({"metric": "kernel_parity",
+                                  "value": 0, "clip": clip is not None}))
+                return 1
+        print(f"# kernel parity ok on {dev}", file=sys.stderr)
+
     if args.paired:
         return run_paired(args, db, index, mapper, rng, t_index, dev)
 

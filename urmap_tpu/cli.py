@@ -36,8 +36,8 @@ Index build:
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
-      [-inflight D] [-endclip] [-log <file>] [-metrics <file.jsonl>]
-      [-quiet] [-resume] [-profile <dir>]  (XProf trace of the map loop)
+      [-inflight D] [-endclip] [-selfcheck] [-log <file>]
+      [-metrics <file.jsonl>] [-quiet] [-resume] [-profile <dir>]
 
 Multi-host: launch the same -map command on every host of the slice
 (JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
@@ -56,7 +56,7 @@ _FLAGS = {
     "maxpos": True, "veryfast": False, "ufistats": True,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
-    "inflight": True, "endclip": False,
+    "inflight": True, "endclip": False, "selfcheck": False,
     "log": True, "metrics": True, "quiet": False, "profile": True,
     "version": False, "help": False,
 }
@@ -207,6 +207,32 @@ def cmd_map(opts: dict) -> int:
 
     genome = index.seqdb.codes
     clip_open = mapper.sc.clip_open if mcfg.end_clip else None
+    selfcheck = bool(opts.get("selfcheck"))
+
+    def _selfcheck_batch(codes, res):
+        """Debug-mode consistency audit (SURVEY.md §5.2): re-derive a
+        sample of M-only calls on the host genome and compare with the
+        device's bit-parallel ungapped scores. (Gapped calls are already
+        audited on EVERY batch: the traceback asserts score equality.)"""
+        from urmap_tpu.map.cigar import strand_codes_subset
+
+        rows = np.nonzero(res.mapped & ~res.gapped)[0][:8]
+        if rows.size == 0:
+            return
+        sub = strand_codes_subset(codes[rows],
+                                  np.asarray(res.strand)[rows],
+                                  np.asarray(res.lengths)[rows])
+        for k, i in enumerate(rows):
+            li = int(res.lengths[i])
+            seg = genome[int(res.pos[i]) : int(res.pos[i]) + li]
+            mm = int(np.sum(seg != sub[k][:li]))
+            want = ((li - mm) * mapper.sc.match
+                    + mm * mapper.sc.mismatch)
+            got = int(res.ungapped[i])
+            if got != want:
+                raise AssertionError(
+                    f"selfcheck: device ungapped {got} != host {want} "
+                    f"(read row {i}, pos {int(res.pos[i])})")
     n_reads = n_mapped = 0
     t_map0 = time.monotonic()
     writer = mh.ShardWriter(str(samout), rank, resume=resume)
@@ -262,6 +288,9 @@ def cmd_map(opts: dict) -> int:
         """Host formatting (CPU only) → (SAM bytes, stats). Worker pool."""
         if pmapper is not None:
             fwd, rev = item
+            if selfcheck:
+                _selfcheck_batch(fwd.codes, res.m1)
+                _selfcheck_batch(rev.codes, res.m2)
             stats = {"reads": 2 * len(fwd),
                      "mapped": int(res.m1.mapped.sum())
                      + int(res.m2.mapped.sum()),
@@ -282,6 +311,8 @@ def cmd_map(opts: dict) -> int:
                 data = ("\n".join(recs) + "\n").encode("ascii")
             return data, stats
         batch = item
+        if selfcheck:
+            _selfcheck_batch(batch.codes, res)
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum()),
                  "gapped": int(res.gapped.sum()),
                  "mapq_ge20": int((res.mapq >= 20).sum())}
