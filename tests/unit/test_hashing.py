@@ -43,3 +43,15 @@ def test_hash_spreads(rng):
     slots = np.asarray(hashing.words_to_slots(lo, hi, 20))
     _, counts = np.unique(slots, return_counts=True)
     assert counts.max() <= 4  # ~Poisson(0.01) tail
+
+
+def test_rescue_window_coverage_validated():
+    """MapConfig refuses a rescue_window too small for the fragment
+    range (round-1 verdict weak item 7)."""
+    import pytest
+
+    from urmap_tpu.config import MapConfig
+
+    MapConfig(max_fragment_len=1000, rescue_window=1200)  # fine
+    with pytest.raises(ValueError, match="rescue_window"):
+        MapConfig(max_fragment_len=2000, rescue_window=1200)
