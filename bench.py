@@ -153,6 +153,12 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
             yield s, b1, b2
             s += len(b1)
 
+    import itertools
+
+    run_stream(itertools.islice(items(), 4), start, sync, fmt,
+               lambda out: None, inflight=args.inflight,
+               workers=args.workers)
+    n_mapped = n_correct = n_proper = 0
     t1w = time.monotonic()
     run_stream(items(), start, sync, fmt, write,
                inflight=args.inflight, workers=args.workers)
@@ -188,15 +194,21 @@ def main(argv=None):
     ap.add_argument("--paired", action="store_true",
                     help="paired-end mode (BASELINE.json's PE metric)")
     ap.add_argument("--inflight", type=int, default=1,
-                    help="batches in flight on the device (the axon "
-                         "relay hangs with >1 outstanding execute)")
+                    help="device batches outstanding beyond the one "
+                         "being synced. 2 measured +10%% (227k vs 206k "
+                         "reads/s SE) and did not hang the axon relay "
+                         "in round 2, but a round-1 hang is on record "
+                         "-> default stays 1")
     ap.add_argument("--check-kernel", action="store_true",
                     help="before timing, assert the Pallas banded-DP "
                          "kernel equals the jnp twin ON DEVICE (catches "
                          "Mosaic lowering regressions; costs one extra "
                          "compile)")
-    ap.add_argument("--workers", type=int, default=0,
-                    help="host formatting worker threads (0 = inline; measured fastest on the axon relay, which serializes execute+fetch anyway)")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="host formatting worker threads (1 lets the "
+                         "next execute overlap host formatting: 110k -> "
+                         "~190k reads/s on the axon relay with the "
+                         "all-native CIGAR path; 0 = inline)")
     args = ap.parse_args(argv)
 
     import jax
@@ -337,6 +349,15 @@ def main(argv=None):
             yield s, batch
             s += len(batch)
 
+    # warm pass: the relay ramps over the first batches (first-pass
+    # rates are ~2x below steady state); run a few batches through the
+    # FULL path untimed, then time a complete pass
+    import itertools
+
+    run_stream(itertools.islice(items(), 4), start, sync, fmt,
+               lambda out: None, inflight=args.inflight,
+               workers=args.workers)
+    n_mapped = n_correct = 0
     t1 = time.monotonic()
     run_stream(items(), start, sync, fmt, write,
                inflight=args.inflight, workers=args.workers)

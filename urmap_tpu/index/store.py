@@ -27,7 +27,8 @@ from urmap_tpu.io.fasta import SeqDB
 FORMAT_VERSION = 1
 
 
-def evenly_cap_runs(counts: np.ndarray, cap: int) -> np.ndarray:
+def evenly_cap_runs(counts: np.ndarray, cap: int,
+                    chunk_entries: int = 1 << 26) -> np.ndarray:
     """Per-entry bool keep-mask capping each CSR run to ≤ ``cap`` entries,
     sampled EVENLY across the run rather than keeping the lowest genome
     coordinates — truncation of repeat-heavy slots must not be position-
@@ -35,14 +36,31 @@ def evenly_cap_runs(counts: np.ndarray, cap: int) -> np.ndarray:
 
     For a run of length c > cap the kept ranks are ceil(m*c/cap) for
     m in [0, cap): exactly cap entries, uniformly strided.
-    """
+
+    Processed in whole-run chunks of ≈``chunk_entries`` so peak memory
+    stays bounded on GRCh38-scale indexes (the naive per-entry repeats
+    were ~40 bytes/entry → >100 GB at 3.1e9 entries)."""
     counts = counts.astype(np.int64)
-    n = int(counts.sum())
-    cnt_e = np.repeat(counts, counts)                  # run length per entry
-    starts = np.cumsum(counts) - counts
-    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-    mark = (rank * cap) // cnt_e
-    return mark != ((rank - 1) * cap) // cnt_e         # first entry per mark
+    ends = np.cumsum(counts)
+    n = int(ends[-1]) if counts.size else 0
+    keep = np.empty(n, bool)
+    S = counts.shape[0]
+    s = 0
+    pos = 0
+    while s < S:
+        e = int(np.searchsorted(ends, pos + chunk_entries, side="left"))
+        e = max(e, s)                                  # ≥ 1 run per chunk
+        sub = counts[s : e + 1]
+        m = int(sub.sum())
+        if m:
+            cnt_e = np.repeat(sub, sub)                # run length per entry
+            starts = np.cumsum(sub) - sub
+            rank = np.arange(m, dtype=np.int64) - np.repeat(starts, sub)
+            mark = (rank * cap) // cnt_e
+            keep[pos : pos + m] = mark != ((rank - 1) * cap) // cnt_e
+        pos += m
+        s = e + 1
+    return keep
 
 
 @dataclass
