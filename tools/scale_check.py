@@ -79,8 +79,10 @@ def main():
     assert int(index.offsets[-1]) == index.num_positions
 
     # plant reads; force at least half beyond 2^31
+    print("# map phase: building device tables", flush=True)
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
     mapper = Mapper(index, mcfg)
+    print("# map phase: tables ready, mapping", flush=True)
     codes, truth, strand = synth_reads(rng, db, args.reads, args.read_len)
     hi = truth > (1 << 31)
     print(f"# {int(hi.sum())}/{args.reads} reads planted past 2^31",
