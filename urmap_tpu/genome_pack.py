@@ -36,9 +36,11 @@ _EVEN = np.uint32(0x5555_5555)
 def row_gather_window(table, starts, width: int):
     """table_1d[starts[i] : starts[i]+width] for every row, via ROW-slice
     gathers: XLA lowers whole-row gathers of a [M/32, 32] view to
-    contiguous 128-byte copies, ~1.6× the element-gather rate on TPU;
-    the unaligned offset is resolved with a 32-way static-shift select
-    (measured faster than take_along_axis within rows).
+    contiguous 128-byte copies, ~1.6× the element-gather rate on TPU.
+    The unaligned offset (0..31 within the first row) is resolved with
+    log2(32) = 5 conditional static shifts — one `where` per offset bit
+    (the earlier 32-way one-hot select was the dominant cost of the
+    gather AND verify stages; take_along_axis was slower still).
 
     Requirements: 0 <= starts (clipped), and the table padded so reads
     beyond len(table) land in caller-provided guard rows (indexes here
@@ -52,14 +54,13 @@ def row_gather_window(table, starts, width: int):
     span = -(-width // ROW_WORDS) + 1
     rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
             for i in range(span)]
-    ab = jnp.concatenate(rows, axis=1)               # [N, 32*span]
+    cur = jnp.concatenate(rows, axis=1)              # [N, 32*span]
     off = (s - r0 * ROW_WORDS).astype(jnp.int32)
-    out = jnp.zeros((starts.shape[0], width), table.dtype)
-    for k in range(ROW_WORDS):                       # static unroll
-        out = jnp.where((off == k)[:, None],
-                        jax.lax.dynamic_slice_in_dim(ab, k, width, axis=1),
-                        out)
-    return out
+    for bit, sh in ((4, 16), (3, 8), (2, 4), (1, 2), (0, 1)):
+        cur = jnp.where(
+            (((off >> bit) & 1) == 1)[:, None],
+            cur[:, sh:], cur[:, :-sh])               # [N, curW - sh] both
+    return cur[:, :width]
 
 
 def pack_genome(codes: np.ndarray):
