@@ -65,18 +65,40 @@ def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
     m = L - k + 1
     offs = seed_offsets(lengths, k, q)
 
-    lo = jnp.zeros((n, m), jnp.uint32)
-    hi = jnp.zeros((n, m), jnp.uint32)
-    ok = jnp.ones((n, m), jnp.bool_)
     lo_bases = min(k, 16)
-    for i in range(k):
-        c = reads[:, i : i + m]
-        ok = ok & (c < 4)
-        c32 = (c & 3).astype(jnp.uint32)
-        if i < k - lo_bases:
-            hi = (hi << 2) | c32
-        else:
-            lo = (lo << 2) | c32
+    if k % 4 == 0 and (k - lo_bases) % 4 == 0:
+        # grouped extraction: pre-pack 4-base bytes (4 passes), then
+        # combine k/4 groups with 8-bit shifts — ~half the passes of
+        # the per-base loop (same trick as hashing.extract_words_np)
+        mg = L - 3
+        c3 = (reads & jnp.uint8(3)).astype(jnp.uint32)
+        b4 = ((c3[:, 0:mg] << 6) | (c3[:, 1 : mg + 1] << 4)
+              | (c3[:, 2 : mg + 2] << 2) | c3[:, 3 : mg + 3])
+        v4 = ((reads[:, 0:mg] | reads[:, 1 : mg + 1]
+               | reads[:, 2 : mg + 2] | reads[:, 3 : mg + 3]) < 4)
+        hi = jnp.zeros((n, m), jnp.uint32)
+        lo = jnp.zeros((n, m), jnp.uint32)
+        ok = jnp.ones((n, m), jnp.bool_)
+        ng_hi = (k - lo_bases) // 4
+        for g in range(k // 4):
+            grp = b4[:, 4 * g : 4 * g + m]
+            ok = ok & v4[:, 4 * g : 4 * g + m]
+            if g < ng_hi:
+                hi = (hi << 8) | grp
+            else:
+                lo = (lo << 8) | grp
+    else:
+        lo = jnp.zeros((n, m), jnp.uint32)
+        hi = jnp.zeros((n, m), jnp.uint32)
+        ok = jnp.ones((n, m), jnp.bool_)
+        for i in range(k):
+            c = reads[:, i : i + m]
+            ok = ok & (c < 4)
+            c32 = (c & 3).astype(jnp.uint32)
+            if i < k - lo_bases:
+                hi = (hi << 2) | c32
+            else:
+                lo = (lo << 2) | c32
     slots_dense = words_to_slots(lo, hi, slot_bits)         # [N, m]
 
     offs_c = jnp.clip(offs, 0, m - 1)
