@@ -99,6 +99,66 @@ def test_two_process_map_equals_single(rng, tmp_path):
     assert a == b
 
 
+@pytest.mark.skipif(os.environ.get("URMAP_SKIP_MULTIPROC") == "1",
+                    reason="multiprocess test disabled")
+def test_two_process_paired_map_equals_single(rng, tmp_path):
+    """Paired-end 2-process run over byte-range-split mate files: merged
+    SAM must equal the single-process output canonically."""
+    from tests.utils import plant_pair
+
+    db = make_seqdb(rng, [100_000])
+    index = build_index(db, IndexConfig(slot_bits=16), backend="host")
+    ufi = str(tmp_path / "g.ufi")
+    index.save(ufi)
+    p1 = str(tmp_path / "r1.fq")
+    p2 = str(tmp_path / "r2.fq")
+    pairs = [plant_pair(rng, db, length=100) for _ in range(80)]
+    write_fastq(p1, [a for a, _, _ in pairs])
+    write_fastq(p2, [b for _, b, _ in pairs])
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+
+    def run_map(out, extra_env=None):
+        argv = ["-map", p1, "-reverse", p2, "-ufi", ufi, "-samout", out,
+                "-batch", "32", "-maxreadlen", "120", "-quiet"]
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_urmap_tpu"
+        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1"
+        env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        if extra_env:
+            env.update(extra_env)
+        return subprocess.Popen(
+            [sys.executable, "-c",
+             _WORKER.format(repo=repo, argv=argv)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+
+    single = str(tmp_path / "single.sam")
+    p = run_map(single)
+    _, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()[-2000:]
+
+    multi = str(tmp_path / "multi.sam")
+    port = _free_port()
+    procs = [run_map(multi, {
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PROCESS_ID": str(pid),
+    }) for pid in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    def canon(path):
+        return sorted(l for l in open(path) if not l.startswith("@"))
+
+    a, b = canon(single), canon(multi)
+    assert len(a) == len(b) == 160
+    assert a == b
+
+
 def test_byte_range_reader_partitions_input(rng, tmp_path):
     """Per-host byte-range feeding: each range parses a disjoint,
     contiguous slice whose concatenation equals the full file, for both

@@ -104,6 +104,27 @@ def test_ungapped_scores_packed_equals_byte(rng):
     np.testing.assert_array_equal(byte_scores, packed_scores)
 
 
+def test_row_gather_window_row_words(rng):
+    """row_gather_window must return table[s:s+w] for every power-of-two
+    row granularity (the pipeline picks small rows to cut gathered
+    elements; all must agree bit-for-bit)."""
+    import jax.numpy as jnp
+
+    M = 4096
+    table = rng.integers(0, 1 << 30, size=M).astype(np.uint32)
+    starts = np.concatenate([
+        rng.integers(0, M - 64, size=200),
+        np.array([0, 1, 7, 8, 15, 16, 31, 32, 33, M - 64]),
+    ]).astype(np.int32)
+    tj = jnp.asarray(table)
+    for width in (16, 22, 31):
+        want = np.stack([table[s : s + width] for s in starts])
+        for rw in (8, 16, 32):
+            got = np.asarray(gp.row_gather_window(
+                tj, jnp.asarray(starts), width, row_words=rw))
+            np.testing.assert_array_equal(got, want, err_msg=f"{width=} {rw=}")
+
+
 def test_biased_coordinates_past_2_31(rng):
     """GRCh38-scale plumbing: device coordinates are biased int32
     (seed.POS_BIAS); verify the packed-genome gather arithmetic at

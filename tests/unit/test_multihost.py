@@ -16,14 +16,14 @@ def _write_fastq(path, n, seq="ACGTACGTAA"):
             f.write(f"@read{i} extra\n{seq}\n+\n{'@' * len(seq)}\n")
 
 
-def _records_in_range(path, start, end):
+def _records_in_range(path, start, end, prefix=b"@read"):
     out = []
     with open(path, "rb") as f:
         f.seek(start)
         data = f.read(end - start)
     for line_no, line in enumerate(data.splitlines()):
         if line_no % 4 == 0:
-            assert line.startswith(b"@read"), line
+            assert line.startswith(prefix), line
             out.append(line.split()[0][1:].decode())
     return out
 
@@ -40,6 +40,60 @@ def test_fastq_byte_ranges_partition(tmp_path):
             assert s <= e
             all_names += _records_in_range(path, s, e)
         assert all_names == [f"read{i}" for i in range(103)]
+
+
+def test_paired_fastq_byte_ranges_cut_same_records(tmp_path, rng):
+    # mate files with DIFFERENT record byte sizes (r2 longer reads +
+    # '/2' suffixes) so proportional offsets are inexact and the
+    # name search must do the aligning
+    p1 = str(tmp_path / "r1.fq")
+    p2 = str(tmp_path / "r2.fq")
+    n_rec = 211
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(n_rec):
+            s1 = "ACGT" * int(rng.integers(3, 10))
+            s2 = "TTGCA" * int(rng.integers(6, 14))
+            f1.write(f"@pair{i}/1 x\n{s1}\n+\n{'@' * len(s1)}\n")
+            f2.write(f"@pair{i}/2 x\n{s2}\n+\n{'#' * len(s2)}\n")
+    for n in (2, 3, 8):
+        got = mh.paired_fastq_byte_ranges(p1, p2, n)
+        assert got is not None
+        r1, r2 = got
+        assert r1[0][0] == 0 and r2[0][0] == 0
+        assert r1[-1][1] == os.path.getsize(p1)
+        assert r2[-1][1] == os.path.getsize(p2)
+        all1 = all2 = ()
+        for (s1, e1), (s2, e2) in zip(r1, r2):
+            part1 = _records_in_range(p1, s1, e1, b"@pair")
+            part2 = _records_in_range(p2, s2, e2, b"@pair")
+            # same records in the same order on both sides of every cut
+            assert [x.split("/")[0] for x in part1] \
+                == [x.split("/")[0] for x in part2]
+            all1 += tuple(part1)
+            all2 += tuple(part2)
+        assert len(all1) == n_rec and len(all2) == n_rec
+
+
+def test_paired_byte_ranges_feed_reader(tmp_path, rng):
+    """Each range pair must stream through FastqReader's paired desync
+    guard cleanly and reproduce the full pairing."""
+    from urmap_tpu.io.fastq import FastqReader
+
+    p1 = str(tmp_path / "a1.fq")
+    p2 = str(tmp_path / "a2.fq")
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for i in range(97):
+            s = "ACGTAACC" * int(rng.integers(2, 6))
+            f1.write(f"@m{i}/1\n{s}\n+\n{'@' * len(s)}\n")
+            f2.write(f"@m{i}/2\n{s[::-1]}\n+\n{'!' * len(s)}\n")
+    r1, r2 = mh.paired_fastq_byte_ranges(p1, p2, 3)
+    names = []
+    for br1, br2 in zip(r1, r2):
+        reader = FastqReader(p1, p2, batch_size=16, byte_range=br1,
+                             reverse_byte_range=br2)
+        for fwd, rev in reader:
+            names += fwd.names
+    assert names == [f"m{i}" for i in range(97)]
 
 
 def test_shard_writer_resume_and_merge(tmp_path):

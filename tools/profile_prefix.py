@@ -1,0 +1,134 @@
+"""Cumulative-prefix profile of the FULL jitted map step.
+
+Stage-isolated timings (tools/profile_map.py) disagree with micro-bench
+timings of the same ops by 100× on the axon relay, so neither is a
+trustworthy decomposition of the fused program. This times jitted
+PREFIXES of the real pipeline — each truncated after stage k and
+reduced to one scalar (so D2H fetch is constant) with tables passed as
+arguments (so residency is identical to production). Successive deltas
+are the true fused cost of each stage.
+
+Usage: python tools/profile_prefix.py [--batch 32768] [--genome-mbp 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_urmap_tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def timeit(fn, *args, n=5):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32768)
+    ap.add_argument("--genome-mbp", type=float, default=16.0)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from bench import synth_reads
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
+    from urmap_tpu.index.build import build_index
+    from urmap_tpu.io.fasta import SeqDB
+    from urmap_tpu.map import seed as seedmod
+    from urmap_tpu.map.pipeline import (make_map_batch_fn, map_batch_device,
+                                        revcomp_batch)
+
+    rng = np.random.default_rng(0)
+    glen = int(args.genome_mbp * 1e6)
+    db = SeqDB.from_seqs(["chr1"],
+                         [rng.integers(0, 4, size=glen).astype(np.uint8)])
+    icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
+    t0 = time.monotonic()
+    index = build_index(db, icfg, backend="host")
+    print(f"index build (host): {time.monotonic() - t0:.1f}s")
+    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
+    sc = ScoreConfig()
+
+    codes, _, _ = synth_reads(rng, db, args.batch, args.read_len)
+    lengths = np.full(args.batch, args.read_len, np.int32)
+    tables = index.device_tables(cap=mcfg.positions_per_seed)
+    reads = jnp.asarray(codes)
+    lens = jnp.asarray(lengths)
+    q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
+
+    def upto(stage):
+        def fn(tables, reads, lengths):
+            rc = revcomp_batch(reads, lengths)
+            reads2 = jnp.concatenate([reads, rc], axis=0)
+            lengths2 = jnp.concatenate([lengths, lengths], axis=0)
+            if stage == "revcomp":
+                return jnp.sum(reads2.astype(jnp.int32))
+            slots, offs, valid = seedmod.extract_seed_slots(
+                reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
+            if stage == "seed":
+                return jnp.sum(slots.astype(jnp.int32))
+            cand = seedmod.gather_candidates(
+                tables["offsets"], tables["positions"], slots, offs,
+                valid, p=p)
+            if stage == "gather":
+                return jnp.sum(cand)
+            top_cand, votes = seedmod.vote_top_candidates(cand, v=v)
+            if stage == "vote":
+                return jnp.sum(top_cand) + jnp.sum(votes)
+            # verify: inline the pipeline's ungapped block
+            B, L = reads.shape
+            nw = -(-L // gpk.BASES_PER_WORD)
+            rp2, rn2 = gpk.pack_reads(reads2, lengths2, nw)
+            flat_cand = top_cand.reshape(-1)
+            flat_lens = jnp.repeat(lengths2, v, axis=0)
+            mm = gpk.mismatch_counts(
+                tables["ginter"], tables["base_off"],
+                jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
+                jnp.repeat(rp2, v, axis=0), jnp.repeat(rn2, v, axis=0),
+                flat_lens)
+            return jnp.sum(mm)
+
+        return jax.jit(fn)
+
+    results = []
+    for stage in ("revcomp", "seed", "gather", "vote", "verify"):
+        dt = timeit(upto(stage), tables, reads, lens)
+        results.append((stage, dt))
+        print(f"  upto {stage:10s} {dt * 1e3:8.2f} ms", flush=True)
+
+    full = make_map_batch_fn(icfg, mcfg, sc)
+    dt = timeit(full, tables, reads, lens)
+    results.append(("FULL", dt))
+    print(f"  FULL (packed)   {dt * 1e3:8.2f} ms")
+    prev = 0.0
+    print("deltas:")
+    for stage, dt in results:
+        print(f"  {stage:10s} +{(dt - prev) * 1e3:7.2f} ms")
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()

@@ -242,22 +242,27 @@ def cmd_map(opts: dict) -> int:
               file=sys.stderr)
     from urmap_tpu.io.fastq import PrefetchIterator
 
-    # multi-host input sharding: single-file uncompressed inputs are
-    # split into record-aligned byte ranges so each host parses ONLY its
-    # own slice (gzip can't seek, paired files can't be fraction-split
-    # without desync → those fall back to round-robin batches)
-    byte_range = None
-    range_mode = (nproc > 1 and not reverse
-                  and not str(fq).endswith(".gz"))
-    if range_mode:
-        byte_range = mh.fastq_byte_ranges(fq, nproc)[rank]
+    # multi-host input sharding: uncompressed inputs are split into
+    # record-aligned byte ranges so each host parses ONLY its own slice.
+    # Paired files are cut at the SAME records by mate-name search
+    # (paired_fastq_byte_ranges); gzip can't seek, and an unlocatable
+    # mate cut falls back to round-robin batches (every host parses all)
+    byte_range = rev_byte_range = None
+    if nproc > 1 and not str(fq).endswith(".gz"):
+        if reverse and not str(reverse).endswith(".gz"):
+            pr = mh.paired_fastq_byte_ranges(fq, str(reverse), nproc)
+            if pr is not None:
+                byte_range, rev_byte_range = pr[0][rank], pr[1][rank]
+        elif not reverse:
+            byte_range = mh.fastq_byte_ranges(fq, nproc)[rank]
     # paired mode: half the pairs per batch — the paired device step
     # carries 2x the rows per pair (PairedMapper docstring)
     reader = FastqReader(fq, str(reverse) if reverse else None,
                          batch_size=(mcfg.batch_size // 2 if reverse
                                      else mcfg.batch_size),
                          max_read_len=mcfg.max_read_len,
-                         byte_range=byte_range)
+                         byte_range=byte_range,
+                         reverse_byte_range=rev_byte_range)
     native = reader.native and sam_native.available()
     # -threads N: host worker threads for the drain pool (reference
     # compat — its N maps threads over reads; our device does that part).
@@ -355,7 +360,8 @@ def cmd_map(opts: dict) -> int:
     def my_batches():
         my_no = 0
         for batch_no, item in enumerate(batches):
-            if not range_mode and batch_no % nproc != rank:
+            if byte_range is None and nproc > 1 \
+                    and batch_no % nproc != rank:
                 continue   # round-robin fallback (gzip / paired input)
             my_no += 1
             if my_no <= writer.skip_batches:

@@ -28,7 +28,8 @@ from dataclasses import dataclass
 
 __all__ = [
     "maybe_init_distributed", "process_index", "process_count",
-    "fastq_byte_ranges", "ShardWriter", "merge_shards", "barrier",
+    "fastq_byte_ranges", "paired_fastq_byte_ranges", "ShardWriter",
+    "merge_shards", "barrier",
 ]
 
 
@@ -110,6 +111,78 @@ def fastq_byte_ranges(path: str, n: int) -> list[tuple[int, int]]:
     for i in range(1, len(cuts)):
         cuts[i] = max(cuts[i], cuts[i - 1])
     return [(cuts[i], cuts[i + 1]) for i in range(n)]
+
+
+def _norm_name(hdr_line: bytes) -> bytes:
+    """QNAME from a '@...' header line, matching the readers' semantics:
+    first whitespace token, '/1' '/2' pair suffix stripped."""
+    name = hdr_line[1:].split()[0] if hdr_line.startswith(b"@") else b""
+    if len(name) > 2 and name[-2:-1] == b"/" and name[-1:] in b"12":
+        name = name[:-2]
+    return name
+
+
+def _find_record_by_name(f, name: bytes, approx: int, size: int) -> int | None:
+    """Byte offset of the record whose (normalized) QNAME is ``name``,
+    searched in expanding windows around ``approx``. Records are walked
+    4-line from a structurally aligned boundary, so quality lines that
+    start with '@' can't confuse the match."""
+    for w in (1 << 22, 1 << 25, 1 << 28):
+        lo = max(approx - w, 0)
+        hi = min(approx + w, size)
+        start = _align_to_record(f, lo, size)
+        f.seek(start)
+        while start < hi:
+            hdr = f.readline()
+            if not hdr:
+                break
+            if _norm_name(hdr) == name:
+                return start
+            f.readline(); f.readline(); f.readline()
+            start = f.tell()
+        if lo == 0 and hi == size:
+            break
+    return None
+
+
+def paired_fastq_byte_ranges(path1: str, path2: str, n: int):
+    """Split two synchronized paired FASTQ files into n byte-range pairs
+    that cut BOTH files at the SAME records, so each host can parse only
+    its own slice of each file (the reference parses everything on its
+    one node; multi-host feeding is ours alone).
+
+    File 1 is cut at record-aligned fractions; each cut's mate record in
+    file 2 is located by QNAME near the proportional byte offset (mates
+    carry equal names modulo a '/1' '/2' suffix — the same normalization
+    the readers' desync guard uses, which also backstops any mismatch at
+    map time). Returns (ranges1, ranges2) or None when a mate record
+    cannot be located (caller falls back to round-robin batches).
+    Uncompressed files only."""
+    size1 = os.path.getsize(path1)
+    size2 = os.path.getsize(path2)
+    ranges1 = fastq_byte_ranges(path1, n)
+    cuts2 = [0]
+    with open(path1, "rb") as f1, open(path2, "rb") as f2:
+        for i in range(1, n):
+            c1 = ranges1[i][0]
+            if c1 >= size1:          # collapsed (tiny-file) trailing range
+                cuts2.append(size2)
+                continue
+            f1.seek(c1)
+            name = _norm_name(f1.readline())
+            if not name:
+                return None
+            c2 = _find_record_by_name(
+                f2, name, c1 * size2 // max(size1, 1), size2)
+            if c2 is None:
+                return None
+            cuts2.append(c2)
+    cuts2.append(size2)
+    for i in range(1, len(cuts2)):
+        if cuts2[i] < cuts2[i - 1]:
+            return None              # out-of-order names near a cut
+    ranges2 = [(cuts2[i], cuts2[i + 1]) for i in range(n)]
+    return ranges1, ranges2
 
 
 @dataclass

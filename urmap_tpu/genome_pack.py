@@ -33,33 +33,41 @@ ROW_WORDS = 32  # row-gather granularity (128 B — one HBM transaction)
 _EVEN = np.uint32(0x5555_5555)
 
 
-def row_gather_window(table, starts, width: int):
+def row_gather_window(table, starts, width: int, *,
+                      row_words: int = ROW_WORDS):
     """table_1d[starts[i] : starts[i]+width] for every row, via ROW-slice
-    gathers: XLA lowers whole-row gathers of a [M/32, 32] view to
-    contiguous 128-byte copies, ~1.6× the element-gather rate on TPU.
-    The unaligned offset (0..31 within the first row) is resolved with
-    log2(32) = 5 conditional static shifts — one `where` per offset bit
-    (the earlier 32-way one-hot select was the dominant cost of the
-    gather AND verify stages; take_along_axis was slower still).
+    gathers of a [M/row_words, row_words] view. XLA's TPU gather runs at
+    ~1 element/cycle regardless of row contiguity (measured: 36 ms for
+    34M words at batch 32k), so the win is gathering FEWER ELEMENTS:
+    span rows of ``row_words`` quantize the fetch, and a small row size
+    (8–16) fetches ~width+row_words words instead of 64 for width 16.
+    The unaligned offset within the first row is resolved with
+    log2(row_words) conditional static shifts — one `where` per offset
+    bit (a one-hot select or take_along_axis here was the dominant cost
+    of the gather AND verify stages).
 
     Requirements: 0 <= starts (clipped), and the table padded so reads
     beyond len(table) land in caller-provided guard rows (indexes here
-    are clipped to the last row).
+    are clipped to the last row). ``row_words`` must be a power of two
+    dividing the caller's table padding granularity.
     """
     M = table.shape[0]
-    nrows = M // ROW_WORDS
-    t2 = table[: nrows * ROW_WORDS].reshape(nrows, ROW_WORDS)
+    nrows = M // row_words
+    t2 = table[: nrows * row_words].reshape(nrows, row_words)
     s = jnp.clip(starts, 0, M - 1)
-    r0 = s // ROW_WORDS
-    span = -(-width // ROW_WORDS) + 1
+    r0 = s // row_words
+    span = -(-width // row_words) + 1
     rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
             for i in range(span)]
-    cur = jnp.concatenate(rows, axis=1)              # [N, 32*span]
-    off = (s - r0 * ROW_WORDS).astype(jnp.int32)
-    for bit, sh in ((4, 16), (3, 8), (2, 4), (1, 2), (0, 1)):
+    cur = jnp.concatenate(rows, axis=1)              # [N, row_words*span]
+    off = (s - r0 * row_words).astype(jnp.int32)
+    bit = row_words.bit_length() - 2                 # log2(row_words) - 1
+    while bit >= 0:
+        sh = 1 << bit
         cur = jnp.where(
             (((off >> bit) & 1) == 1)[:, None],
             cur[:, sh:], cur[:, :-sh])               # [N, curW - sh] both
+        bit -= 1
     return cur[:, :width]
 
 

@@ -293,14 +293,19 @@ class FastqReader:
     def __init__(self, path: str, reverse_path: str | None = None, *,
                  batch_size: int = 2048, max_read_len: int = 160,
                  native: bool = True,
-                 byte_range: tuple[int, int] | None = None):
+                 byte_range: tuple[int, int] | None = None,
+                 reverse_byte_range: tuple[int, int] | None = None):
         """``byte_range``: parse only bytes [lo, hi) of ``path`` (must be
-        record-aligned — dist.multihost.fastq_byte_ranges). Single-file
-        (non-paired), uncompressed inputs only."""
+        record-aligned — dist.multihost.fastq_byte_ranges). Paired inputs
+        additionally need ``reverse_byte_range`` cutting the second file
+        at the SAME records (dist.multihost.paired_fastq_byte_ranges);
+        the per-batch name guard aborts on any mismatch. Uncompressed
+        inputs only."""
         self.batch_size = batch_size
         self.max_read_len = max_read_len
-        if byte_range is not None:
-            assert reverse_path is None, "byte ranges are single-file only"
+        if byte_range is not None and reverse_path is not None:
+            assert reverse_byte_range is not None, \
+                "paired byte ranges need both files' ranges"
         codec = None
         if native:
             from urmap_tpu.io import native as native_mod
@@ -308,11 +313,13 @@ class FastqReader:
         self.native = codec is not None
         if self.native:
             self._fwd = _NativeFastqStream(path, codec, byte_range)
-            self._rev = (_NativeFastqStream(reverse_path, codec)
+            self._rev = (_NativeFastqStream(reverse_path, codec,
+                                            reverse_byte_range)
                          if reverse_path else None)
         else:
             self._fwd = _FastqStream(path, byte_range)
-            self._rev = _FastqStream(reverse_path) if reverse_path else None
+            self._rev = (_FastqStream(reverse_path, reverse_byte_range)
+                         if reverse_path else None)
 
     @property
     def paired(self) -> bool:
