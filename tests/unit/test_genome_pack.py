@@ -125,6 +125,51 @@ def test_row_gather_window_row_words(rng):
             np.testing.assert_array_equal(got, want, err_msg=f"{width=} {rw=}")
 
 
+def test_gather_row_words_invariance(rng, monkeypatch):
+    """The GATHER_ROW_WORDS tuning knob must not change any result:
+    mismatch counts and CSR candidate gathers are bit-identical at every
+    granularity."""
+    import jax.numpy as jnp
+
+    from urmap_tpu.map.seed import gather_candidates
+
+    db = make_seqdb(rng, [6_000])
+    genome = db.codes
+    G = genome.shape[0]
+    N, L = 96, 100
+    NW = -(-L // 16)
+    starts = rng.integers(0, G - L, size=N).astype(np.int32)
+    reads = rng.integers(0, 4, size=(N, L)).astype(np.uint8)
+    lengths = rng.integers(30, L + 1, size=N).astype(np.int32)
+    ginter, off = gp.pack_genome(genome)
+    rp, rn = gp.pack_reads(jnp.asarray(reads), jnp.asarray(lengths), NW)
+
+    nslots, p = 512, 16
+    offsets = np.sort(rng.integers(0, 4000, size=nslots + 1)) \
+        .astype(np.uint32)
+    positions = np.concatenate(
+        [rng.integers(0, G, size=4096).astype(np.int32),
+         np.zeros(2 * gp.ROW_WORDS, np.int32)])
+    slots = rng.integers(0, nslots, size=(8, 4)).astype(np.uint32)
+    soffs = rng.integers(0, 40, size=(8, 4)).astype(np.int32)
+    valid = rng.integers(0, 2, size=(8, 4)).astype(bool)
+
+    outs = []
+    for rw in (32, 16, 8):
+        monkeypatch.setattr(gp, "GATHER_ROW_WORDS", rw)
+        mm = np.asarray(gp.mismatch_counts(
+            jnp.asarray(ginter), off, jnp.asarray(starts), rp, rn,
+            jnp.asarray(lengths)))
+        cand = np.asarray(gather_candidates(
+            jnp.asarray(offsets), jnp.asarray(positions),
+            jnp.asarray(slots), jnp.asarray(soffs), jnp.asarray(valid),
+            p=p))
+        outs.append((mm, cand))
+    for mm, cand in outs[1:]:
+        np.testing.assert_array_equal(mm, outs[0][0])
+        np.testing.assert_array_equal(cand, outs[0][1])
+
+
 def test_biased_coordinates_past_2_31(rng):
     """GRCh38-scale plumbing: device coordinates are biased int32
     (seed.POS_BIAS); verify the packed-genome gather arithmetic at

@@ -278,9 +278,11 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
             st = jnp.take(offsets, relc, axis=0)
             cnt = (jnp.take(offsets, relc + 1, axis=0) - st) \
                 .astype(jnp.int32)
-            from urmap_tpu.genome_pack import row_gather_window
+            from urmap_tpu import genome_pack as gpk
 
-            posr = row_gather_window(positions, st, p)          # [S*K, P]
+            posr = gpk.row_gather_window(
+                positions, st, p,
+                row_words=gpk.GATHER_ROW_WORDS)                 # [S*K, P]
             lane_ok = (jnp.arange(p, dtype=jnp.int32)[None, :]
                        < cnt[:, None]) & owned.reshape(-1)[:, None]
             resp = jnp.where(lane_ok, posr.astype(jnp.int32), SENTINEL)

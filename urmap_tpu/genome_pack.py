@@ -29,7 +29,11 @@ import numpy as np
 
 BASES_PER_WORD = 16
 WORD_PAD = 16  # all-N guard words at each end
-ROW_WORDS = 32  # row-gather granularity (128 B — one HBM transaction)
+ROW_WORDS = 32  # table PADDING granularity (guard rows, shard pads)
+# row granularity actually used by the hot gathers (CSR positions,
+# verify windows). Must divide ROW_WORDS. Read at trace time —
+# tools/bench_step.py sweeps it; change here if a sweep wins.
+GATHER_ROW_WORDS = 32
 _EVEN = np.uint32(0x5555_5555)
 
 
@@ -152,7 +156,8 @@ def _gather_aligned(ginter, starts, n_words: int, base_off: int):
     the all-N guard words)."""
     w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
     r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
-    both = row_gather_window(ginter, 2 * w0, 2 * (n_words + 1))
+    both = row_gather_window(ginter, 2 * w0, 2 * (n_words + 1),
+                             row_words=GATHER_ROW_WORDS)
     both = both.reshape(both.shape[0], n_words + 1, 2)
 
     def funnel(words):

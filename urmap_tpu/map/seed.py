@@ -116,7 +116,7 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     so fetching 128-byte rows beats per-element gathering ~1.6× on TPU.
     ``positions`` must carry ≥ 2*ROW_WORDS zero padding (store/shard
     builders do)."""
-    from urmap_tpu.genome_pack import row_gather_window
+    from urmap_tpu import genome_pack as gpk
 
     n, q = slots.shape
     slots_i = slots.astype(jnp.int32)
@@ -125,7 +125,8 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     # per-slot counts are small (≤ the gather cap) → safe in int32
     cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
-    pos = row_gather_window(positions, start.reshape(-1), p) \
+    pos = gpk.row_gather_window(positions, start.reshape(-1), p,
+                                row_words=gpk.GATHER_ROW_WORDS) \
         .reshape(n, q, p)
     ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
     cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
