@@ -125,6 +125,20 @@ def test_row_gather_window_row_words(rng):
             np.testing.assert_array_equal(got, want, err_msg=f"{width=} {rw=}")
 
 
+def test_read_code_pack_roundtrip(rng):
+    """Host pack → device unpack is exact for every legal read code
+    ({0..3, 5}; reads never carry genome-N 4), at non-multiple-of-4/8
+    widths."""
+    for L in (150, 152, 7, 33):
+        codes = rng.integers(0, 4, size=(64, L)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.05] = 5
+        packed, nmask = gp.pack_read_codes_host(codes)
+        assert packed.shape == (64, -(-L // 4))
+        assert nmask.shape == (64, -(-L // 8))
+        got = np.asarray(gp.unpack_read_codes_device(packed, nmask, L))
+        np.testing.assert_array_equal(got, codes)
+
+
 def test_gather_row_words_invariance(rng, monkeypatch):
     """The GATHER_ROW_WORDS tuning knob must not change any result:
     mismatch counts and CSR candidate gathers are bit-identical at every

@@ -31,9 +31,10 @@ BASES_PER_WORD = 16
 WORD_PAD = 16  # all-N guard words at each end
 ROW_WORDS = 32  # table PADDING granularity (guard rows, shard pads)
 # row granularity actually used by the hot gathers (CSR positions,
-# verify windows). Must divide ROW_WORDS. Read at trace time —
-# tools/bench_step.py sweeps it; change here if a sweep wins.
-GATHER_ROW_WORDS = 32
+# verify windows). Must divide ROW_WORDS. Read at trace time — swept
+# fetch-forced on v5e by tools/bench_step.py (batch 32k, P=16):
+# rw=32 411k, rw=16 476k, rw=8 328k reads/s device pipeline → 16.
+GATHER_ROW_WORDS = 16
 _EVEN = np.uint32(0x5555_5555)
 
 
@@ -125,6 +126,49 @@ def pack_genome(codes: np.ndarray):
     inter[0::2] = packed
     inter[1::2] = nplane
     return inter, WORD_PAD
+
+
+def pack_read_codes_host(codes: np.ndarray):
+    """Host-side 4-bases/byte packing of read codes for the H2D upload.
+
+    The axon relay upload is the e2e bottleneck (tools/bench_upload.py);
+    packing shrinks the [B, L] uint8 batch ~3.2×: 2-bit base codes
+    (4/byte) plus a 1-bit N plane (8/byte). Read codes are in
+    {0,1,2,3,5} (alphabet.py: reads never carry genome-N 4), so
+    (code & 3) + N-bit round-trips exactly: N ⇒ code 5.
+
+    Returns (packed uint8[B, ceil(L/4)], nmask uint8[B, ceil(L/8)]).
+    unpack_read_codes_device inverts on device.
+    """
+    B, L = codes.shape
+    L4 = -(-L // 4) * 4
+    L8 = -(-L // 8) * 8
+    c = np.pad(codes, ((0, 0), (0, L4 - L)), constant_values=0)
+    two = (c & 3).reshape(B, L4 // 4, 4)
+    sh = np.array([0, 2, 4, 6], np.uint8)
+    packed = np.bitwise_or.reduce(
+        (two << sh[None, None, :]).astype(np.uint8), axis=2)
+    isn = (np.pad(codes, ((0, 0), (0, L8 - L)), constant_values=0)
+           >= 4).astype(np.uint8).reshape(B, L8 // 8, 8)
+    shn = np.arange(8, dtype=np.uint8)
+    nmask = np.bitwise_or.reduce(
+        (isn << shn[None, None, :]).astype(np.uint8), axis=2)
+    return packed, nmask
+
+
+def unpack_read_codes_device(packed, nmask, L: int):
+    """Device inverse of pack_read_codes_host → uint8[B, L] read codes
+    (N restored as code 5)."""
+    import jax.numpy as jnp
+
+    B = packed.shape[0]
+    sh = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    code = ((packed[:, :, None] >> sh) & jnp.uint8(3)) \
+        .reshape(B, packed.shape[1] * 4)[:, :L]
+    shn = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    isn = ((nmask[:, :, None] >> shn) & jnp.uint8(1)) \
+        .reshape(B, nmask.shape[1] * 8)[:, :L]
+    return jnp.where(isn == 1, jnp.uint8(5), code)
 
 
 def pack_reads(codes, lengths, n_words: int):

@@ -72,7 +72,13 @@ def _pair_cross(c1, c2, l1, l2, mc: MapConfig):
     Lr = jnp.where(fwd1, L2, L1)
     # (pr - pf) first: positions are biased int32 (seed.POS_BIAS) and
     # may sit near INT32_MAX on large genomes — adding Lr before the
-    # subtraction could overflow; the difference is always small
+    # subtraction could overflow; the difference is always small.
+    # Known deviation: this concordance TLEN uses the read length as the
+    # rightmost ref span (the DP carries start offsets only, not end
+    # offsets), while the emitted SAM TLEN uses the CIGAR ref span —
+    # an indel-bearing pair within |D - I| bases of the fragment window
+    # edge can be accepted here yet print a TLEN just outside the
+    # window (or vice versa). PARITY-TODO once a reference exists.
     tlen = (pr - pf) + Lr
     ok = ((st1 != st2) & c1["valid"][:, :, None] & c2["valid"][:, None, :]
           & (pf <= pr) & (tlen >= mc.min_fragment_len)
@@ -279,22 +285,36 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 
 
 def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
-                      sc: ScoreConfig | None = None):
+                      sc: ScoreConfig | None = None, *,
+                      packed_input: bool = False):
     """Jitted paired step → ONE packed int32[B, 13] (cols 0-5 mate1,
     6-11 mate2 — pipeline.pack_out layout — col 12 proper): a single
-    D2H fetch per batch (see pipeline.PACKED_COLS note)."""
+    D2H fetch per batch (see pipeline.PACKED_COLS note).
+    ``packed_input``: mate blocks arrive packed 4 bases/byte + N plane
+    (see pipeline.make_map_batch_fn) and unpack on device."""
     from urmap_tpu.map.pipeline import pack_out
 
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc)
 
-    def packed_fn(tables, r1, l1, r2, l2):
+    def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
         return jnp.concatenate(
             [pack_out(out["m1"]), pack_out(out["m2"]),
              out["proper"].astype(jnp.int32)[:, None]], axis=1)
 
-    return jax.jit(packed_fn)
+    if packed_input:
+        from urmap_tpu import genome_pack as gpk
+
+        def packed_in_fn(tables, pk1, nm1, l1, pk2, nm2, l2):
+            L = mcfg.max_read_len
+            return combine(tables,
+                           gpk.unpack_read_codes_device(pk1, nm1, L), l1,
+                           gpk.unpack_read_codes_device(pk2, nm2, L), l2)
+
+        return jax.jit(packed_in_fn)
+
+    return jax.jit(combine)
 
 
 @dataclass
@@ -319,17 +339,31 @@ class PairedMapper:
         self.mcfg = mapper.mcfg
         self.sc = mapper.sc
         self.pair_batch = max(1, self.mcfg.batch_size // 2)
-        self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc)
+        self.packed_upload = getattr(mapper, "packed_upload", False)
+        self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc,
+                                     packed_input=self.packed_upload)
 
     def start_batch(self, codes1, lengths1, codes2, lengths2):
         """Async dispatch of one (≤pair_batch) pair batch."""
         B = codes1.shape[0]
         bs = self.pair_batch
         assert B <= bs, f"pair batch {B} > {bs} (= batch_size // 2)"
-        c1, l1 = _pad_block(codes1, lengths1, bs)
-        c2, l2 = _pad_block(codes2, lengths2, bs)
-        out = self._fn(self.mapper.tables, jnp.asarray(c1), jnp.asarray(l1),
-                       jnp.asarray(c2), jnp.asarray(l2))
+        c1, l1 = _pad_block(codes1, lengths1, bs, self.mcfg.max_read_len)
+        c2, l2 = _pad_block(codes2, lengths2, bs, self.mcfg.max_read_len)
+        if self.packed_upload:
+            from urmap_tpu import genome_pack as gpk
+
+            pk1, nm1 = gpk.pack_read_codes_host(c1)
+            pk2, nm2 = gpk.pack_read_codes_host(c2)
+            out = self._fn(self.mapper.tables,
+                           jnp.asarray(pk1), jnp.asarray(nm1),
+                           jnp.asarray(l1),
+                           jnp.asarray(pk2), jnp.asarray(nm2),
+                           jnp.asarray(l2))
+        else:
+            out = self._fn(self.mapper.tables,
+                           jnp.asarray(c1), jnp.asarray(l1),
+                           jnp.asarray(c2), jnp.asarray(l2))
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
@@ -400,11 +434,16 @@ class PairedMapper:
         return recs, stats
 
 
-def _pad_block(codes, lengths, bs):
-    if codes.shape[0] == bs:
+def _pad_block(codes, lengths, bs, max_len=None):
+    """Pad rows to ``bs`` and (when max_len is given) columns to
+    ``max_len`` with READ_N — semantics-free, lengths mask everything."""
+    Lm = codes.shape[1] if max_len is None else max_len
+    assert codes.shape[1] <= Lm, \
+        f"read block width {codes.shape[1]} > max_read_len {Lm}"
+    if codes.shape[0] == bs and codes.shape[1] == Lm:
         return codes, lengths.astype(np.int32)
     pad = bs - codes.shape[0]
-    codes = np.concatenate(
-        [codes, np.full((pad, codes.shape[1]), alphabet.READ_N, np.uint8)])
+    block = np.full((bs, Lm), alphabet.READ_N, np.uint8)
+    block[: codes.shape[0], : codes.shape[1]] = codes
     lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-    return codes, lengths.astype(np.int32)
+    return block, lengths.astype(np.int32)

@@ -293,13 +293,31 @@ def unpack_out(arr: np.ndarray) -> dict:
 
 
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
-                      sc: ScoreConfig | None = None, *, packed: bool = True):
+                      sc: ScoreConfig | None = None, *, packed: bool = True,
+                      packed_input: bool = False):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
-    (or the raw output dict with packed=False)."""
+    (or the raw output dict with packed=False).
+
+    ``packed_input``: fn takes (tables, rpacked, nmask, lengths) with the
+    read block packed 4 bases/byte + N plane (genome_pack.
+    pack_read_codes_host) and unpacks on device — the H2D batch upload
+    is the e2e bottleneck on the axon relay (tools/bench_upload.py:
+    407k vs 176k reads/s), and 3.2× fewer uploaded bytes hide it in the
+    pipeline bubble. Bit-identical to the unpacked path."""
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc)
     if not packed:
         return jax.jit(fn)
+
+    if packed_input:
+        from urmap_tpu import genome_pack as gpk
+
+        def packed_in_fn(tables, rpk, rnm, lengths):
+            reads = gpk.unpack_read_codes_device(
+                rpk, rnm, mcfg.max_read_len)
+            return pack_out(fn(tables, reads, lengths))
+
+        return jax.jit(packed_in_fn)
 
     def packed_fn(tables, reads, lengths):
         return pack_out(fn(tables, reads, lengths))
@@ -335,32 +353,53 @@ class Mapper:
     version.)"""
 
     def __init__(self, index, mcfg: MapConfig | None = None,
-                 sc: ScoreConfig | None = None):
+                 sc: ScoreConfig | None = None, *,
+                 packed_upload: bool = True):
         self.index = index
         self.icfg = index.config
         self.mcfg = mcfg or MapConfig()
         self.sc = sc or ScoreConfig()
+        self.packed_upload = packed_upload
         # gather width = explicit unbiased cap (slots with more positions
         # than the per-seed gather budget are evenly subsampled on host)
         self.tables = index.device_tables(cap=self.mcfg.positions_per_seed)
-        self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc)
+        self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
+                                     packed_input=packed_upload)
+
+    def _pad_full(self, codes: np.ndarray, lengths: np.ndarray):
+        """Pad to the full [batch_size, max_read_len] block (rows with
+        zero-length READ_N reads, columns with READ_N — semantics-free:
+        lengths mask everything and revcomp requires uniform pad)."""
+        B = codes.shape[0]
+        bs, Lm = self.mcfg.batch_size, self.mcfg.max_read_len
+        assert B <= bs, f"batch {B} > configured batch_size {bs}"
+        assert codes.shape[1] <= Lm, \
+            f"read block width {codes.shape[1]} > max_read_len {Lm}"
+        if B < bs or codes.shape[1] < Lm:
+            block = np.full((bs, Lm), alphabet.READ_N, np.uint8)
+            block[:B, : codes.shape[1]] = codes
+            codes = block
+            lengths = np.concatenate(
+                [lengths, np.zeros(bs - B, np.int32)])
+        return codes, lengths.astype(np.int32)
 
     def start_batch(self, codes: np.ndarray, lengths: np.ndarray):
         """Dispatch one (≤batch_size) batch; returns an async handle.
         JAX dispatch is asynchronous — the device computes while the
         host formats the previous batch (double buffering, SURVEY.md
-        Phase 5)."""
+        Phase 5). With packed_upload (default) the read block rides the
+        wire packed 4 bases/byte + N plane and unpacks on device."""
         B = codes.shape[0]
-        bs = self.mcfg.batch_size
-        assert B <= bs, f"batch {B} > configured batch_size {bs}"
-        if B < bs:
-            codes = np.concatenate(
-                [codes,
-                 np.full((bs - B, codes.shape[1]), alphabet.READ_N,
-                         np.uint8)])
-            lengths = np.concatenate([lengths, np.zeros(bs - B, np.int32)])
-        out = self._fn(self.tables, jnp.asarray(codes),
-                       jnp.asarray(lengths.astype(np.int32)))
+        codes, lengths = self._pad_full(codes, lengths)
+        if self.packed_upload:
+            from urmap_tpu import genome_pack as gpk
+
+            pk, nm = gpk.pack_read_codes_host(codes)
+            out = self._fn(self.tables, jnp.asarray(pk), jnp.asarray(nm),
+                           jnp.asarray(lengths))
+        else:
+            out = self._fn(self.tables, jnp.asarray(codes),
+                           jnp.asarray(lengths))
         return out, B
 
     def finish_batch(self, handle, lengths) -> MapResult:
