@@ -139,6 +139,28 @@ def test_read_code_pack_roundtrip(rng):
         np.testing.assert_array_equal(got, codes)
 
 
+def test_native_read_pack_matches_numpy(rng):
+    """The C++ packer (urmap_pack_reads) is bit-identical to the numpy
+    twin at every alignment (word-loop + scalar tail, both planes)."""
+    from urmap_tpu.io import native
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("no native codec build")
+    for L in (160, 150, 152, 7, 13, 33, 1, 4, 8):
+        codes = rng.integers(0, 4, size=(37, L)).astype(np.uint8)
+        codes[rng.random(codes.shape) < 0.1] = 5
+        want_p, want_n = gp._pack_read_codes_numpy(codes)
+        got_p, got_n = gp.pack_read_codes_host(codes)
+        np.testing.assert_array_equal(got_p, want_p)
+        np.testing.assert_array_equal(got_n, want_n)
+    # non-contiguous input (sliced batch) must still pack correctly
+    codes = rng.integers(0, 4, size=(64, 150)).astype(np.uint8)[::2]
+    np.testing.assert_array_equal(
+        gp.pack_read_codes_host(codes)[0], gp._pack_read_codes_numpy(codes)[0])
+
+
 def test_gather_row_words_invariance(rng, monkeypatch):
     """The GATHER_ROW_WORDS tuning knob must not change any result:
     mismatch counts and CSR candidate gathers are bit-identical at every

