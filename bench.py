@@ -115,15 +115,16 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     n_mapped = n_correct = n_proper = 0
 
     def start(item):
-        _s, b1, b2 = item
-        return pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths)
+        _s, b1, b2, pk = item
+        return pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths,
+                              prepacked=pk)
 
     def sync(item, handle):
-        _s, b1, b2 = item
+        _s, b1, b2, _pk = item
         return pm.finish_batch(handle, b1.lengths, b2.lengths)
 
     def fmt(item, res):
-        s, b1, b2 = item
+        s, b1, b2, _pk = item
         n = len(b1)
         stats = (
             int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),
@@ -149,8 +150,12 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
         reader = FastqReader(paths[0], paths[1],
                              batch_size=max(args.batch // 2, 1),
                              max_read_len=args.read_len)
-        for b1, b2 in PrefetchIterator(reader):
-            yield s, b1, b2
+        pf = PrefetchIterator(
+            reader,
+            transform=lambda p: (p, pm.prepack(p[0].codes, p[0].lengths,
+                                               p[1].codes, p[1].lengths)))
+        for (b1, b2), pk in pf:
+            yield s, b1, b2, pk
             s += len(b1)
 
     import itertools
@@ -309,15 +314,15 @@ def main(argv=None):
     n_mapped = n_correct = 0
 
     def start(item):
-        _s, batch = item
-        return mapper.start_batch(batch.codes, batch.lengths)
+        _s, batch, pk = item
+        return mapper.start_batch(batch.codes, batch.lengths, prepacked=pk)
 
     def sync(item, handle):
-        _s, batch = item
+        _s, batch, _pk = item
         return mapper.finish_batch(handle, batch.lengths)
 
     def fmt(item, res):
-        s, batch = item
+        s, batch, _pk = item
         stats = (int(res.mapped.sum()),
                  int(((res.pos == truth_pos[s : s + len(batch)])
                       & res.mapped).sum()))
@@ -343,10 +348,15 @@ def main(argv=None):
 
     def items():
         s = 0
+        # upload prep (pad + pack) rides the prefetch thread, off the
+        # dispatch critical path (tools/bench_e2e_phases.py)
         reader = FastqReader(fq_path, batch_size=args.batch,
                              max_read_len=args.read_len)
-        for batch in PrefetchIterator(reader):
-            yield s, batch
+        pf = PrefetchIterator(
+            reader, transform=lambda b: (b, mapper.prepack(b.codes,
+                                                           b.lengths)))
+        for batch, pk in pf:
+            yield s, batch, pk
             s += len(batch)
 
     # warm pass: the relay ramps over the first batches (first-pass

@@ -191,7 +191,10 @@ def test_gather_row_words_invariance(rng, monkeypatch):
     valid = rng.integers(0, 2, size=(8, 4)).astype(bool)
 
     outs = []
-    for rw in (32, 16, 8):
+    # every (mode, row-granularity) combination must be bit-identical:
+    # GATHER_MODE/GATHER_ROW_WORDS are pure perf knobs
+    for mode, rw in (("slice", 16), ("row", 32), ("row", 16), ("row", 8)):
+        monkeypatch.setattr(gp, "GATHER_MODE", mode)
         monkeypatch.setattr(gp, "GATHER_ROW_WORDS", rw)
         mm = np.asarray(gp.mismatch_counts(
             jnp.asarray(ginter), off, jnp.asarray(starts), rp, rn,

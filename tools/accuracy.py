@@ -73,6 +73,8 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--positions-per-seed", type=int, default=0,
                     help="override MapConfig.positions_per_seed")
+    ap.add_argument("--min-votes", type=int, default=0,
+                    help="override MapConfig.min_votes (0 = config default)")
     ap.add_argument("--repeat-frac", type=float, default=0.0,
                     help="fraction of the genome made of duplicated "
                          "segments — reads there are ambiguous; a good "
@@ -109,6 +111,8 @@ def main(argv=None):
     mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
     if args.positions_per_seed:
         mkw["positions_per_seed"] = args.positions_per_seed
+    if args.min_votes:
+        mkw["min_votes"] = args.min_votes
     mapper = Mapper(index, MapConfig(**mkw))
 
     codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,

@@ -268,29 +268,45 @@ def cmd_map(opts: dict) -> int:
     # compat — its N maps threads over reads; our device does that part).
     # 0 = fully synchronous debug mode (no prefetch, no pool).
     n_threads = int(str(opts.get("threads", 2)))
-    batches = PrefetchIterator(reader) if n_threads != 0 else reader
     pmapper = None
     if reader.paired:
         from urmap_tpu.map.pair import PairedMapper
         pmapper = PairedMapper(mapper)
 
-    def start_one(item):
+    # upload prep (pad + 2-bit pack) runs on the PREFETCH thread — it is
+    # pure host CPU and the dispatch thread is the e2e critical path
+    # (tools/bench_e2e_phases.py). Items become (batch_item, prepacked).
+    def _prepack(item):
+        if pmapper is not None:
+            fwd, rev = item
+            return item, pmapper.prepack(fwd.codes, fwd.lengths,
+                                         rev.codes, rev.lengths)
+        return item, mapper.prepack(item.codes, item.lengths)
+
+    batches = (PrefetchIterator(reader, transform=_prepack)
+               if n_threads != 0 else ((it, None) for it in reader))
+
+    def start_one(entry):
         """Async-dispatch one batch (or batch pair) to the device."""
+        item, pk = entry
         if pmapper is not None:
             fwd, rev = item
             return pmapper.start_batch(fwd.codes, fwd.lengths,
-                                       rev.codes, rev.lengths)
-        return mapper.start_batch(item.codes, item.lengths)
+                                       rev.codes, rev.lengths,
+                                       prepacked=pk)
+        return mapper.start_batch(item.codes, item.lengths, prepacked=pk)
 
-    def sync_one(item, handle):
+    def sync_one(entry, handle):
         """Block until the device results for one batch are on host."""
+        item = entry[0]
         if pmapper is not None:
             fwd, rev = item
             return pmapper.finish_batch(handle, fwd.lengths, rev.lengths)
         return mapper.finish_batch(handle, item.lengths)
 
-    def format_one(item, res):
+    def format_one(entry, res):
         """Host formatting (CPU only) → (SAM bytes, stats). Worker pool."""
+        item = entry[0]
         if pmapper is not None:
             fwd, rev = item
             if selfcheck:

@@ -94,6 +94,20 @@ class MapConfig:
     positions_per_seed: int = 16
     # Top-V candidate diagonals (by vote count) verified per read strand.
     top_candidates: int = 8
+    # Vote floor: candidates with fewer seed votes than this are dropped
+    # UNLESS neither strand of the read has any candidate reaching the
+    # floor (then all its lanes survive, so heavily-mutated reads keep
+    # their single-vote candidates). Two seeds voting the same random
+    # start is ~impossible off-locus, so this empties the noise lanes
+    # the vote otherwise fills — which verify_capacity_frac converts
+    # into skipped gather work. 1 disables (round-2 behavior).
+    # PARITY-TODO: reference's multi-hit candidate rule.
+    min_votes: int = 2
+    # Ungapped-verify lane budget: 2*batch_size*top_candidates //
+    # verify_capacity_frac candidate lanes verified per while_loop
+    # round (rounds repeat until every non-SENTINEL lane is served —
+    # full coverage, like the DP bucket). 1 = single full-width pass.
+    verify_capacity_frac: int = 4
     # Banded DP half-width: band covers diagonal offsets in
     # [-band_halfwidth, +band_halfwidth] (max indel size handled).
     band_halfwidth: int = 16

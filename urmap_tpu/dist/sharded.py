@@ -280,7 +280,7 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
                 .astype(jnp.int32)
             from urmap_tpu import genome_pack as gpk
 
-            posr = gpk.row_gather_window(
+            posr = gpk.gather_window(
                 positions, st, p,
                 row_words=gpk.GATHER_ROW_WORDS)                 # [S*K, P]
             lane_ok = (jnp.arange(p, dtype=jnp.int32)[None, :]

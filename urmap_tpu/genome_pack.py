@@ -35,7 +35,41 @@ ROW_WORDS = 32  # table PADDING granularity (guard rows, shard pads)
 # fetch-forced on v5e by tools/bench_step.py (batch 32k, P=16):
 # rw=32 411k, rw=16 476k, rw=8 328k reads/s device pipeline → 16.
 GATHER_ROW_WORDS = 16
+# window-gather implementation: "slice" = one XLA gather op with
+# slice_sizes at the exact (unaligned) start — one op, exact element
+# count, no funnel selects; "row" = aligned row gathers + log2(rw)
+# conditional shifts. Bit-identical (unit-tested). Fetch-forced numbers
+# (tools/bench_gather2.py): TPU lowers small-slice gathers ~24× SLOWER
+# than the row path (1703 vs 71 ms on the CSR shape), while CPU runs
+# them ~7× FASTER (167 vs 1140 ms) → "auto" picks per backend.
+GATHER_MODE = "auto"
 _EVEN = np.uint32(0x5555_5555)
+
+
+def slice_gather_window(table, starts, width: int):
+    """table_1d[starts[i] : starts[i]+width] per row via ONE XLA gather
+    op with slice_sizes=(width,) — arbitrary (unaligned) starts, exact
+    element count, no alignment selects. CLIP mode pins out-of-range
+    starts to M-width (callers pad tables with guard words, same
+    contract as row_gather_window). starts may be uint32 (> 2^31 CSR
+    offsets on GRCh38-scale indexes)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    return jax.lax.gather(
+        table, starts[:, None], dn, slice_sizes=(width,),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def gather_window(table, starts, width: int, *,
+                  row_words: int = GATHER_ROW_WORDS):
+    """Dispatch to the configured window-gather implementation (module
+    knob GATHER_MODE, read at trace time)."""
+    mode = GATHER_MODE
+    if mode == "auto":
+        mode = "slice" if jax.default_backend() == "cpu" else "row"
+    if mode == "slice":
+        return slice_gather_window(table, starts, width)
+    return row_gather_window(table, starts, width, row_words=row_words)
 
 
 def row_gather_window(table, starts, width: int, *,
@@ -225,8 +259,8 @@ def _gather_aligned(ginter, starts, n_words: int, base_off: int):
     the all-N guard words)."""
     w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
     r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
-    both = row_gather_window(ginter, 2 * w0, 2 * (n_words + 1),
-                             row_words=GATHER_ROW_WORDS)
+    both = gather_window(ginter, 2 * w0, 2 * (n_words + 1),
+                         row_words=GATHER_ROW_WORDS)
     both = both.reshape(both.shape[0], n_words + 1, 2)
 
     def funnel(words):

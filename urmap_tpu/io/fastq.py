@@ -248,11 +248,16 @@ class PrefetchIterator:
     file IO / parsing overlaps mapping (the C parser releases the GIL).
 
     The reference overlaps IO with its per-thread read loop (SURVEY.md
-    §2.13); this is the batch-pipeline equivalent of that."""
+    §2.13); this is the batch-pipeline equivalent of that.
+
+    ``transform`` (optional) is applied to each item ON THE PREFETCH
+    THREAD before queueing — the map drive loops use it to pre-pack the
+    H2D read upload (Mapper.prepack) off the dispatch thread, which is
+    the e2e critical path (tools/bench_e2e_phases.py)."""
 
     _DONE = object()
 
-    def __init__(self, it, depth: int = 2):
+    def __init__(self, it, depth: int = 2, transform=None):
         import queue
         import threading
 
@@ -262,6 +267,8 @@ class PrefetchIterator:
         def run():
             try:
                 for item in it:
+                    if transform is not None:
+                        item = transform(item)
                     self._q.put(item)
             except BaseException as e:  # propagated to the consumer
                 self._err = e

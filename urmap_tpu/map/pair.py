@@ -343,18 +343,30 @@ class PairedMapper:
         self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc,
                                      packed_input=self.packed_upload)
 
-    def start_batch(self, codes1, lengths1, codes2, lengths2):
-        """Async dispatch of one (≤pair_batch) pair batch."""
+    def prepack(self, codes1, lengths1, codes2, lengths2):
+        """Host-side upload prep for start_batch's ``prepacked`` — run
+        OFF the dispatch thread (PrefetchIterator transform), mirroring
+        Mapper.prepack."""
         B = codes1.shape[0]
         bs = self.pair_batch
         assert B <= bs, f"pair batch {B} > {bs} (= batch_size // 2)"
         c1, l1 = _pad_block(codes1, lengths1, bs, self.mcfg.max_read_len)
         c2, l2 = _pad_block(codes2, lengths2, bs, self.mcfg.max_read_len)
-        if self.packed_upload:
-            from urmap_tpu import genome_pack as gpk
+        if not self.packed_upload:
+            return (c1, None, l1, c2, None, l2, B)
+        from urmap_tpu import genome_pack as gpk
 
-            pk1, nm1 = gpk.pack_read_codes_host(c1)
-            pk2, nm2 = gpk.pack_read_codes_host(c2)
+        pk1, nm1 = gpk.pack_read_codes_host(c1)
+        pk2, nm2 = gpk.pack_read_codes_host(c2)
+        return (pk1, nm1, l1, pk2, nm2, l2, B)
+
+    def start_batch(self, codes1, lengths1, codes2, lengths2, *,
+                    prepacked=None):
+        """Async dispatch of one (≤pair_batch) pair batch."""
+        pk1, nm1, l1, pk2, nm2, l2, B = (
+            prepacked if prepacked is not None
+            else self.prepack(codes1, lengths1, codes2, lengths2))
+        if self.packed_upload:
             out = self._fn(self.mapper.tables,
                            jnp.asarray(pk1), jnp.asarray(nm1),
                            jnp.asarray(l1),
@@ -362,8 +374,8 @@ class PairedMapper:
                            jnp.asarray(l2))
         else:
             out = self._fn(self.mapper.tables,
-                           jnp.asarray(c1), jnp.asarray(l1),
-                           jnp.asarray(c2), jnp.asarray(l2))
+                           jnp.asarray(pk1), jnp.asarray(l1),
+                           jnp.asarray(pk2), jnp.asarray(l2))
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:

@@ -130,7 +130,16 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             tables["offsets"], tables["positions"], slots, offs, valid, p=p)
     else:
         cand = gather_runner(slots, offs, valid)
-    top_cand, _votes = vote_top_candidates(cand, v=v)       # [2B, V]
+    top_cand, votes = vote_top_candidates(cand, v=v)        # [2B, V]
+    if mcfg.min_votes > 1:
+        # vote floor with per-READ fallback: a candidate needs >=
+        # min_votes seeds behind it unless neither strand of its read
+        # produced one that strong (config.MapConfig.min_votes)
+        mv = jnp.int32(mcfg.min_votes)
+        pair_max = jnp.max(votes.reshape(2, B, v), axis=(0, 2))   # [B]
+        weak_read = jnp.tile(pair_max < mv, 2)[:, None]           # [2B, 1]
+        top_cand = jnp.where((votes >= mv) | weak_read, top_cand,
+                             SENTINEL)
     glen = tables["genome_len"]
     # genome range in biased device coordinates (seed.POS_BIAS)
     top_cand = jnp.where(top_cand == SENTINEL, SENTINEL,
@@ -143,12 +152,46 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     rpacked2, rnplane2 = gpk.pack_reads(reads2, lengths2, nw)  # [2B, nw]
     flat_cand = top_cand.reshape(-1)                           # [2B*V]
     flat_lens = jnp.repeat(lengths2, v, axis=0)
-    flat_rp = jnp.repeat(rpacked2, v, axis=0)
-    flat_rn = jnp.repeat(rnplane2, v, axis=0)
-    mm = gpk.mismatch_counts(
-        tables["ginter"], tables["base_off"],
-        jnp.where(flat_cand == SENTINEL, 0, flat_cand),
-        flat_rp, flat_rn, flat_lens)
+    valid_flat = flat_cand != SENTINEL
+    nv = 2 * B * v
+    cap = min(max(nv // mcfg.verify_capacity_frac, 128), nv)
+    if cap < nv:
+        # capacity-compacted verify: with the vote floor most lanes are
+        # SENTINEL, so each round serves the first ``cap`` unserved
+        # valid lanes (valid-first stable argsort) and the loop runs
+        # until none remain — the window gathers (the stage's dominant
+        # cost) then run on ~nv/frac rows instead of nv
+        starts_all = jnp.where(valid_flat, flat_cand, 0)
+
+        def vcond(st):
+            _, done = st
+            return jnp.any(valid_flat & ~done)
+
+        def vbody(st):
+            mm_all, done = st
+            order = jnp.argsort(
+                jnp.where(valid_flat & ~done, 0, 1).astype(jnp.int32))
+            idx = order[:cap]                                  # [cap]
+            do = (valid_flat & ~done)[idx]
+            rrow = idx // v                                    # read row
+            mm_sub = gpk.mismatch_counts(
+                tables["ginter"], tables["base_off"], starts_all[idx],
+                rpacked2[rrow], rnplane2[rrow], lengths2[rrow])
+            mm_all = mm_all.at[idx].set(
+                jnp.where(do, mm_sub, mm_all[idx]))
+            done = done.at[idx].set(done[idx] | do)
+            return mm_all, done
+
+        # init = all-mismatch; SENTINEL lanes are masked downstream
+        mm, _ = jax.lax.while_loop(
+            vcond, vbody, (flat_lens, jnp.zeros(nv, jnp.bool_)))
+    else:
+        flat_rp = jnp.repeat(rpacked2, v, axis=0)
+        flat_rn = jnp.repeat(rnplane2, v, axis=0)
+        mm = gpk.mismatch_counts(
+            tables["ginter"], tables["base_off"],
+            jnp.where(valid_flat, flat_cand, 0),
+            flat_rp, flat_rn, flat_lens)
     ung = ((flat_lens - mm) * sc.match
            + mm * sc.mismatch).astype(jnp.int32).reshape(2 * B, v)
 
@@ -383,22 +426,35 @@ class Mapper:
                 [lengths, np.zeros(bs - B, np.int32)])
         return codes, lengths.astype(np.int32)
 
-    def start_batch(self, codes: np.ndarray, lengths: np.ndarray):
+    def prepack(self, codes: np.ndarray, lengths: np.ndarray):
+        """Host-side upload prep (pad + 2-bit pack) for start_batch's
+        ``prepacked``. Call OFF the dispatch thread (e.g. via
+        PrefetchIterator's transform) — pad+pack is ~15 ms/32k batch of
+        dispatch-thread time otherwise (tools/bench_e2e_phases.py)."""
+        B = codes.shape[0]
+        codes, lengths = self._pad_full(codes, lengths)
+        if not self.packed_upload:
+            return codes, None, lengths, B
+        from urmap_tpu import genome_pack as gpk
+
+        pk, nm = gpk.pack_read_codes_host(codes)
+        return pk, nm, lengths, B
+
+    def start_batch(self, codes: np.ndarray, lengths: np.ndarray, *,
+                    prepacked=None):
         """Dispatch one (≤batch_size) batch; returns an async handle.
         JAX dispatch is asynchronous — the device computes while the
         host formats the previous batch (double buffering, SURVEY.md
         Phase 5). With packed_upload (default) the read block rides the
-        wire packed 4 bases/byte + N plane and unpacks on device."""
-        B = codes.shape[0]
-        codes, lengths = self._pad_full(codes, lengths)
+        wire packed 4 bases/byte + N plane and unpacks on device.
+        ``prepacked`` (from .prepack) skips the host-side prep here."""
+        pk, nm, lengths, B = (prepacked if prepacked is not None
+                              else self.prepack(codes, lengths))
         if self.packed_upload:
-            from urmap_tpu import genome_pack as gpk
-
-            pk, nm = gpk.pack_read_codes_host(codes)
             out = self._fn(self.tables, jnp.asarray(pk), jnp.asarray(nm),
                            jnp.asarray(lengths))
         else:
-            out = self._fn(self.tables, jnp.asarray(codes),
+            out = self._fn(self.tables, jnp.asarray(pk),
                            jnp.asarray(lengths))
         return out, B
 

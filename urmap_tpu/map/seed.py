@@ -125,8 +125,8 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     # per-slot counts are small (≤ the gather cap) → safe in int32
     cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
-    pos = gpk.row_gather_window(positions, start.reshape(-1), p,
-                                row_words=gpk.GATHER_ROW_WORDS) \
+    pos = gpk.gather_window(positions, start.reshape(-1), p,
+                            row_words=gpk.GATHER_ROW_WORDS) \
         .reshape(n, q, p)
     ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
     cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
