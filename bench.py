@@ -264,14 +264,15 @@ def main(argv=None):
         kl = ck_rng.integers(30, args.read_len + 1, size=2048) \
             .astype(np.int32)
         for clip in (None, sc.clip_open):
-            s_p, d_p = pallas_from_windows(
+            s_p, d_p, e_p = pallas_from_windows(
                 jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
                 hw=hw, sc=sc, clip_open=clip)
-            s_j, d_j = banded_from_windows(
+            s_j, d_j, e_j = banded_from_windows(
                 jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
                 hw=hw, sc=sc, clip_open=clip)
             if not (np.array_equal(np.asarray(s_p), np.asarray(s_j))
-                    and np.array_equal(np.asarray(d_p), np.asarray(d_j))):
+                    and np.array_equal(np.asarray(d_p), np.asarray(d_j))
+                    and np.array_equal(np.asarray(e_p), np.asarray(e_j))):
                 print(json.dumps({"metric": "kernel_parity",
                                   "value": 0, "clip": clip is not None}))
                 return 1

@@ -184,3 +184,68 @@ def test_pair_decisions_match_oracle(rng):
             assert int(res.m2.score[i]) == om2.score, i
             assert int(res.m1.mapq[i]) == om1.mapq, i
             assert int(res.m2.mapq[i]) == om2.mapq, i
+
+
+def test_tlen_window_uses_exact_ref_span(rng):
+    """Concordance TLEN uses the aligned ref span, not the read length
+    (round-1 verdict weak item 4): an indel in the rightmost mate moves
+    the exact fragment length across the window edge, and the device
+    must agree with both the oracle and the emitted SAM TLEN."""
+    from tests.oracle.oracle import OracleMapper
+    from tests.utils import PlantedRead
+
+    db = make_seqdb(rng, [30_000])
+    index = build_index(db, IndexConfig(slot_bits=15), backend="host")
+    mcfg = MapConfig(max_read_len=MAXL, batch_size=4)
+    pm = PairedMapper(Mapper(index, mcfg))
+    oracle = OracleMapper(db, map_cfg=mcfg)
+    maxF = mcfg.max_fragment_len
+    d = 5
+
+    def make_pair(F, indel):
+        """R1 fwd at p; R2 = rc of the fragment's last bases, carrying a
+        5-base deletion ('del': ref span L+5) or insertion ('ins': ref
+        span L-5). Exact TLEN = F either way."""
+        p = int(db.starts[0]) + int(rng.integers(1000, 20_000))
+        left = db.codes[p : p + L].copy()
+        if indel == "del":
+            gr = db.codes[p + F - (L + d) : p + F].copy()
+            right_fwd = np.concatenate([gr[:40], gr[40 + d :]])
+        else:
+            gr = db.codes[p + F - (L - d) : p + F].copy()
+            ins = rng.integers(0, 4, size=d).astype(np.uint8)
+            right_fwd = np.concatenate([gr[:40], ins, gr[40:]])
+        assert right_fwd.shape[0] == L
+        r1 = PlantedRead(codes=left.astype(np.uint8), gpos=p, strand=0)
+        r2 = PlantedRead(codes=alphabet.revcomp(right_fwd).astype(np.uint8),
+                         gpos=p + F - right_fwd.shape[0], strand=1)
+        return r1, r2, p
+
+    # del case: proxy TLEN = F - 5 (in window), exact = F (outside)
+    # ins case: proxy TLEN = F + 5 (outside), exact = F (in window)
+    cases = [(maxF + 2, "del", False), (maxF - 2, "ins", True),
+             (maxF - 20, "del", True), (mcfg.min_fragment_len + L + 20,
+                                        "ins", True)]
+    reads = [make_pair(F, kind) for F, kind, _ in cases]
+    b1 = _batch([r[0] for r in reads], "t")
+    b2 = _batch([r[1] for r in reads], "t")
+    res = pm.map_pair_codes(b1.codes, b1.lengths, b2.codes, b2.lengths)
+
+    for i, ((F, kind, want_proper), (r1, r2, p)) in enumerate(
+            zip(cases, reads)):
+        om1, om2, oprop = oracle.map_pair(
+            r1.codes[: L], r2.codes[: L])
+        assert bool(res.proper[i]) == want_proper, (i, kind, F)
+        assert oprop == want_proper, (i, kind, F, "oracle")
+        assert bool(res.m1.mapped[i]) and bool(res.m2.mapped[i]), i
+
+    # emitted SAM TLEN for accepted pairs must equal the exact fragment
+    # length (CIGAR ref span) and sit inside the window
+    recs, _stats = pm.map_pairs_to_sam(b1, b2)
+    for i, (F, kind, want_proper) in enumerate(cases):
+        f1 = recs[2 * i].split("\t")
+        if want_proper:
+            assert int(f1[1]) & samio.FLAG_PROPER, (i, kind)
+            assert abs(int(f1[8])) == F, (i, kind, f1[8])
+            assert (mcfg.min_fragment_len <= abs(int(f1[8]))
+                    <= mcfg.max_fragment_len)

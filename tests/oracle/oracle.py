@@ -236,23 +236,32 @@ class OracleMapper:
     # -- paired-end (mirrors map/pair.py semantics exhaustively) ----------
 
     def _all_candidates(self, read: np.ndarray):
-        """(score, start, strand) alignment loci for both strands, with
-        scores near or above the acceptance floor (hopeless loci cannot
-        influence the best pair on any test genome and would make the
-        cross-product quadratic in genome length)."""
+        """(score, start, strand, span) alignment loci for both strands,
+        with scores near or above the acceptance floor (hopeless loci
+        cannot influence the best pair on any test genome and would make
+        the cross-product quadratic in genome length). span = aligned
+        reference span (scan index j is the exclusive end)."""
         floor = int(np.ceil(self.mc.min_score_frac * len(read))) - 12
-        out = []
+        best = {}  # (start, strand) → (score, span)
         for strand, r in ((0, read), (1, alphabet.revcomp(read))):
             scores, starts = self._scan_strand(r)
             for j in np.nonzero(scores >= floor)[0]:
-                out.append((int(scores[j]), int(starts[j]), strand))
-        return out
+                key = (int(starts[j]), strand)
+                val = (int(scores[j]), int(j) - int(starts[j]))
+                # one candidate per locus, like the device's per-diagonal
+                # DP winner: max score, ties → smallest span (the
+                # device's argmax picks the lowest end band cell)
+                cur = best.get(key)
+                if cur is None or (val[0], -val[1]) > (cur[0], -cur[1]):
+                    best[key] = val
+        return [(s, p, st, sp) for (p, st), (s, sp) in best.items()]
 
     def map_pair(self, r1: np.ndarray, r2: np.ndarray):
         """Returns (m1: OracleMapping, m2: OracleMapping, proper: bool).
 
         Pairing semantics mirror map/pair.py: FR orientation, fragment
-        length approximated with read lengths, pair score = s1 + s2,
+        length from the rightmost mate's aligned ref span (read-length
+        proxy under end_clip), pair score = s1 + s2,
         proper requires both mates above min_score; proper-mate MAPQ =
         max(single-end MAPQ, pair-score-gap MAPQ over distinct loci).
         """
@@ -262,14 +271,19 @@ class OracleMapper:
         mc = self.mc
 
         pairs = []  # (pscore, pf, s1, p1, st1, s2, p2, st2)
-        for s1, p1, st1 in c1:
-            for s2, p2, st2 in c2:
+        for s1, p1, st1, sp1 in c1:
+            for s2, p2, st2, sp2 in c2:
                 if st1 == st2:
                     continue
+                # exact aligned ref span of the rightmost mate (matches
+                # map/pair.py._pair_cross; under end_clip the device
+                # falls back to read length — mirror that)
                 if st1 == 0:
-                    pf, pr, lr = p1, p2, l2
+                    pf, pr = p1, p2
+                    lr = l2 if mc.end_clip else sp2
                 else:
-                    pf, pr, lr = p2, p1, l1
+                    pf, pr = p2, p1
+                    lr = l1 if mc.end_clip else sp1
                 tlen = pr + lr - pf
                 if pf <= pr and mc.min_fragment_len <= tlen <= mc.max_fragment_len:
                     pairs.append((s1 + s2, pf, s1, p1, st1, s2, p2, st2))

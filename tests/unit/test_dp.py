@@ -25,10 +25,10 @@ def _pad(reads):
 
 
 def _device(db, cands, reads, lens):
-    s, d0, ung = banded_semiglobal(
+    s, d0, ung, sp = banded_semiglobal(
         jnp.asarray(db.codes), jnp.asarray(np.asarray(cands, np.int32)),
         jnp.asarray(reads), jnp.asarray(lens), hw=HW, sc=SC)
-    return np.asarray(s), np.asarray(d0), np.asarray(ung)
+    return np.asarray(s), np.asarray(d0), np.asarray(ung), np.asarray(sp)
 
 
 def test_dp_matches_oracle_planted(rng):
@@ -48,13 +48,16 @@ def test_dp_matches_oracle_planted(rng):
         cands.append(m.pos + jitter)
         want.append(m)
     codes, lens = _pad(reads)
-    scores, d0, ung = _device(db, cands, codes, lens)
+    scores, d0, ung, spans = _device(db, cands, codes, lens)
     for i, m in enumerate(want):
         assert scores[i] == m.score, i
         assert cands[i] + d0[i] == m.pos, i
         assert ung[i] <= scores[i]
         if "I" not in m.cigar and "D" not in m.cigar:
             assert ung[i] == scores[i], i
+        # exact aligned ref span: ends where the oracle's winner ends
+        # (oracle .end is the exclusive end offset)
+        assert cands[i] + d0[i] + spans[i] == m.end, i
 
 
 def test_dp_free_start_tracks_offset(rng):
@@ -62,15 +65,16 @@ def test_dp_free_start_tracks_offset(rng):
     r = plant_read(rng, db, length=100, strand=0)
     codes, lens = _pad([r.codes] * (2 * HW + 1))
     cands = [r.gpos + d for d in range(-HW, HW + 1)]
-    scores, d0, _ = _device(db, cands, codes, lens)
+    scores, d0, _, spans = _device(db, cands, codes, lens)
     assert (scores == 100).all()
     assert (np.asarray(cands) + d0 == r.gpos).all()
+    assert (spans == 100).all()  # pure-match alignment: span == length
 
 
 def test_dp_zero_length_read(rng):
     db = make_seqdb(rng, [1000])
     codes, lens = _pad([np.zeros(0, np.uint8)])
-    scores, d0, ung = _device(db, [500], codes, lens)
+    scores, d0, ung, _ = _device(db, [500], codes, lens)
     assert scores[0] == 0 and ung[0] == 0
 
 
@@ -84,6 +88,6 @@ def test_dp_score_never_below_oracle_in_band(rng):
         scores_o, starts_o = semiglobal_scan(db.codes, r.codes, sc)
         best_j = int(np.argmax(scores_o))
         codes, lens = _pad([r.codes])
-        s, d0, _ = _device(db, [int(starts_o[best_j])], codes, lens)
+        s, d0, _, sp = _device(db, [int(starts_o[best_j])], codes, lens)
         assert s[0] == scores_o[best_j]
         assert d0[0] == 0

@@ -47,7 +47,7 @@ def test_clip_dp_matches_oracle_scan(rng):
 
     sc = ScoreConfig()
     genome, starts, reads, lengths, hw = _window_problem(rng)
-    scores, d0, _ = banded_semiglobal(
+    scores, d0, _, _ = banded_semiglobal(
         jnp.asarray(genome), jnp.asarray(starts), jnp.asarray(reads),
         jnp.asarray(lengths), hw=hw, sc=sc, clip_open=CLIP)
     scores = np.asarray(scores)
@@ -78,14 +78,15 @@ def test_clip_pallas_matches_jnp(rng):
     wlen = reads.shape[1] + 2 * hw
     widx = starts[:, None] - hw + np.arange(wlen)[None, :]
     windows = genome[np.clip(widx, 0, len(genome) - 1)]
-    s_j, d_j = banded_from_windows(jnp.asarray(windows), jnp.asarray(reads),
-                                   jnp.asarray(lengths), hw=hw, sc=sc,
-                                   clip_open=CLIP)
-    s_p, d_p = pallas_from_windows(jnp.asarray(windows), jnp.asarray(reads),
-                                   jnp.asarray(lengths), hw=hw, sc=sc,
-                                   clip_open=CLIP, interpret=True)
+    s_j, d_j, e_j = banded_from_windows(
+        jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(lengths),
+        hw=hw, sc=sc, clip_open=CLIP)
+    s_p, d_p, e_p = pallas_from_windows(
+        jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(lengths),
+        hw=hw, sc=sc, clip_open=CLIP, interpret=True)
     np.testing.assert_array_equal(np.asarray(s_j), np.asarray(s_p))
     np.testing.assert_array_equal(np.asarray(d_j), np.asarray(d_p))
+    np.testing.assert_array_equal(np.asarray(e_j), np.asarray(e_p))
 
 
 def test_clip_native_traceback_matches_python(rng):

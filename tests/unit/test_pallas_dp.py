@@ -41,14 +41,15 @@ def test_pallas_matches_jnp(rng, hw):
     reads_j = jnp.asarray(reads)
     lens_j = jnp.asarray(lengths)
 
-    s_ref, d0_ref, ung_ref = banded_semiglobal(
+    s_ref, d0_ref, ung_ref, sp_ref = banded_semiglobal(
         genome, cand, reads_j, lens_j, hw=hw, sc=sc)
-    s_k, d0_k, ung_k = banded_semiglobal_pallas(
+    s_k, d0_k, ung_k, sp_k = banded_semiglobal_pallas(
         genome, cand, reads_j, lens_j, hw=hw, sc=sc, block_r=128,
         interpret=True)
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_k))
     np.testing.assert_array_equal(np.asarray(d0_ref), np.asarray(d0_k))
     np.testing.assert_array_equal(np.asarray(ung_ref), np.asarray(ung_k))
+    np.testing.assert_array_equal(np.asarray(sp_ref), np.asarray(sp_k))
 
 
 def test_pallas_zero_length_rows(rng):
@@ -60,10 +61,10 @@ def test_pallas_zero_length_rows(rng):
     reads = jnp.asarray(np.full((8, 40), 5, np.uint8))
     lens = jnp.asarray(np.zeros(8, np.int32))
     cand = jnp.asarray(np.full(8, 100, np.int32))
-    s_ref, d0_ref, _ = banded_semiglobal(genome, cand, reads, lens,
-                                         hw=8, sc=sc)
-    s_k, d0_k, _ = banded_semiglobal_pallas(genome, cand, reads, lens,
-                                            hw=8, sc=sc, block_r=128,
-                                            interpret=True)
+    s_ref, d0_ref, _, _ = banded_semiglobal(genome, cand, reads, lens,
+                                            hw=8, sc=sc)
+    s_k, d0_k, _, _ = banded_semiglobal_pallas(genome, cand, reads, lens,
+                                               hw=8, sc=sc, block_r=128,
+                                               interpret=True)
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_k))
     np.testing.assert_array_equal(np.asarray(d0_ref), np.asarray(d0_k))

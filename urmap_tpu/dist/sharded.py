@@ -205,7 +205,7 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
         def sl(x, nd=1):
             return jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
 
-        s_, d0_, ung_ = banded_packed(
+        s_, d0_, ung_, sp_ = banded_packed(
             ginter, base_off, sl(flat_cand), sl(flat_reads),
             sl(flat_lens), sl(flat_rp), sl(flat_rn),
             hw=mcfg.band_halfwidth, sc=sc,
@@ -213,7 +213,8 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
         s = jax.lax.all_gather(s_, "index", tiled=True)[:n]
         d0 = jax.lax.all_gather(d0_, "index", tiled=True)[:n]
         ung = jax.lax.all_gather(ung_, "index", tiled=True)[:n]
-        return s, d0, ung
+        sp = jax.lax.all_gather(sp_, "index", tiled=True)[:n]
+        return s, d0, ung, sp
 
     tables = {"ginter": ginter,
               "base_off": base_off, "genome_len": genome_len}

@@ -108,9 +108,13 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
                          win_ref[:].astype(jnp.int32),
                          read_ref[:].astype(jnp.int32)))
         best = jnp.max(final, axis=0)
+        # end band offset: FIRST cell holding the last-row max (matches
+        # the jnp twin's argmax tie-break)
+        b_end = jnp.min(jnp.where(final == best[None, :], b_idx, W), axis=0)
         if clip_open is not None:
             best = jnp.maximum(best, early[0, :])
         out_ref[0, :] = best
+        out_ref[1, :] = b_end
 
     return kernel, W, S
 
@@ -121,7 +125,7 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
                         sc: ScoreConfig, block_r: int = DEFAULT_BLOCK_R,
                         interpret: bool = False,
                         clip_open: int | None = None):
-    """Kernel twin of map.dp.banded_from_windows → (scores, d0)."""
+    """Kernel twin of map.dp.banded_from_windows → (scores, d0, d1)."""
     N, L = reads.shape
     wlen = L + 2 * hw
     assert windows.shape == (N, wlen)
@@ -144,17 +148,18 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
             pl.BlockSpec((lp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R), lambda i: (0, i),
+        out_specs=pl.BlockSpec((2, R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, npad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((2, npad), jnp.int32),
         interpret=interpret,
     )(win_t, reads_t, lens_p)
+    d1 = packed[1, :N] - hw
     packed = packed[0, :N]
 
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
-    return scores.astype(jnp.int32), d0
+    return scores.astype(jnp.int32), d0, d1
 
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
@@ -171,9 +176,10 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
     widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
     windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
                        axis=0)                                  # [N, wlen]
-    scores, d0 = pallas_from_windows(windows, reads, lengths, hw=hw, sc=sc,
-                                     block_r=block_r, interpret=interpret,
-                                     clip_open=clip_open)
+    scores, d0, d1 = pallas_from_windows(windows, reads, lengths, hw=hw,
+                                         sc=sc, block_r=block_r,
+                                         interpret=interpret,
+                                         clip_open=clip_open)
 
     # ungapped rescore at POS = cand + d0 (M-only CIGAR fast path), same
     # as the jnp version
@@ -186,4 +192,4 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
         jnp.where(in_read,
                   jnp.where(gcodes == reads, sc.match, sc.mismatch),
                   0).astype(jnp.int32), axis=-1)
-    return scores, d0, ungapped
+    return scores, d0, ungapped, lengths + d1 - d0

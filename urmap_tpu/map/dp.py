@@ -85,7 +85,16 @@ def banded_from_windows(windows, reads, lengths, *, hw: int,
 
     windows uint8[N, L + 2*hw] (row n = genome[cand_n - hw : +L + hw],
     out-of-range cells = any N code), reads uint8[N, L], lengths
-    int32[N]. Returns (scores int32[N], d0 int32[N]).
+    int32[N]. Returns (scores int32[N], d0 int32[N], d1 int32[N]).
+
+    ``d1`` is the END diagonal offset of the winning full-read
+    alignment: the aligned reference span is ``lengths + d1 - d0``
+    (pure-M alignments have d1 == d0). Ties across band cells with the
+    same packed (score, d0) break toward the LOWEST band index — the
+    Pallas kernel reproduces this exactly. In clip mode d1 still refers
+    to the LAST-ROW maximum, so it is meaningless when the early-exit
+    lane wins; clip-mode callers must not consume it (map/pair.py keeps
+    the read-length TLEN proxy under -endclip).
 
     ``clip_open`` (TPU-friendly X-drop analog, SURVEY.md §2.9): when
     set, the alignment may ENTER at any read row (bases before it
@@ -154,12 +163,15 @@ def banded_from_windows(windows, reads, lengths, *, hw: int,
         row_fn, (H0, E0, H0, early0), jnp.arange(L, dtype=jnp.int32))
 
     packed = jnp.max(final, axis=-1)
+    # end diagonal offset: first band cell holding the last-row max
+    # (argmax ties → lowest index; kernel twin matches)
+    d1 = jnp.argmax(final, axis=-1).astype(jnp.int32) - hw
     if clip_open is not None:
         packed = jnp.maximum(packed, early)
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
-    return scores.astype(jnp.int32), d0
+    return scores.astype(jnp.int32), d0, d1
 
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "clip_open"))
@@ -183,6 +195,8 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
       d0: int32[N] alignment start offset in [-hw, hw]; POS = cand + d0.
       ungapped: int32[N] ungapped score at that POS (match/mismatch only);
         ungapped == score ⇒ an M-only CIGAR is co-optimal.
+      span: int32[N] aligned reference span (= lengths + d1 - d0;
+        meaningless under clip_open — see banded_from_windows).
     """
     N, L = reads.shape
     G = genome.shape[0]
@@ -191,8 +205,8 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
     # (clipped cells read boundary codes — separators are N, auto-mismatch)
     widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
     windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32), axis=0)
-    scores, d0 = banded_from_windows(windows, reads, lengths, hw=hw, sc=sc,
-                                     clip_open=clip_open)
+    scores, d0, d1 = banded_from_windows(windows, reads, lengths, hw=hw,
+                                         sc=sc, clip_open=clip_open)
 
     # ungapped rescore at POS = cand + d0 (for the M-only CIGAR fast path)
     pos = cand_starts + d0
@@ -204,7 +218,7 @@ def banded_semiglobal(genome, cand_starts, reads, lengths, *,
                   jnp.where(gcodes == reads, sc.match, sc.mismatch),
                   0).astype(jnp.int32),
         axis=-1)
-    return scores, d0, ungapped
+    return scores, d0, ungapped, lengths + d1 - d0
 
 
 def banded_packed(ginter, base_off: int, cand_starts, reads,
@@ -214,7 +228,8 @@ def banded_packed(ginter, base_off: int, cand_starts, reads,
 
     Gathers L/16-word windows instead of L bytes and rescores ungapped
     via XOR+popcount — same results as banded_semiglobal for valid read
-    codes (no code 4 in reads; alphabet.py invariant)."""
+    codes (no code 4 in reads; alphabet.py invariant).
+    Returns (scores, d0, ungapped, span) like banded_semiglobal."""
     from urmap_tpu import genome_pack as gpk
 
     N, L = reads.shape
@@ -223,12 +238,14 @@ def banded_packed(ginter, base_off: int, cand_starts, reads,
     if use_pallas and on_tpu():
         from urmap_tpu.kernels.banded_dp import pallas_from_windows
 
-        scores, d0 = pallas_from_windows(windows, reads, lengths,
-                                         hw=hw, sc=sc, clip_open=clip_open)
+        scores, d0, d1 = pallas_from_windows(windows, reads, lengths,
+                                             hw=hw, sc=sc,
+                                             clip_open=clip_open)
     else:
-        scores, d0 = banded_from_windows(windows, reads, lengths,
-                                         hw=hw, sc=sc, clip_open=clip_open)
+        scores, d0, d1 = banded_from_windows(windows, reads, lengths,
+                                             hw=hw, sc=sc,
+                                             clip_open=clip_open)
     mm = gpk.mismatch_counts(ginter, base_off, cand_starts + d0,
                              rpacked, rnplane, lengths)
     ungapped = ((lengths - mm) * sc.match + mm * sc.mismatch).astype(jnp.int32)
-    return scores, d0, ungapped
+    return scores, d0, ungapped, lengths + d1 - d0

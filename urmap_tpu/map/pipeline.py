@@ -233,11 +233,11 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         return jnp.concatenate([x[0], x[1]], axis=1)
 
     def round_cond(state):
-        _, _, _, served = state
+        served = state[4]
         return jnp.any(need_dp & ~served)
 
     def round_body(state):
-        scores_f, pos_f, ungapped_f, served = state
+        scores_f, pos_f, ungapped_f, spans_f, served = state
         key = (need_dp & ~served).astype(jnp.int32)
         sel, idx = jax.lax.top_k(key, D)                     # read rows
         do = sel > 0                                         # [D]
@@ -253,13 +253,14 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         dflat_cand = sub_cand2.reshape(-1)                   # [2D*V]
         dflat_reads = jnp.repeat(sub_reads2, v, axis=0)
         dflat_lens = jnp.repeat(sub_lens2, v, axis=0)
-        dp_s, dp_d0, dp_ung = dp_runner(
+        dp_s, dp_d0, dp_ung, dp_sp = dp_runner(
             jnp.where(dflat_cand == SENTINEL, 0, dflat_cand),
             dflat_reads, dflat_lens,
             jnp.repeat(sub_rp, v, axis=0), jnp.repeat(sub_rn, v, axis=0))
         dp_s = unfold(dp_s)
         dp_d0 = unfold(dp_d0)
         dp_ung = unfold(dp_ung)
+        dp_sp = unfold(dp_sp)
 
         sub_valid = sub_cand != SENTINEL
         upd = do[:, None] & sub_valid
@@ -269,12 +270,20 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             jnp.where(upd, sub_cand + dp_d0, pos_f[idx]))
         ungapped_f = ungapped_f.at[idx].set(
             jnp.where(upd, dp_ung, ungapped_f[idx]))
+        spans_f = spans_f.at[idx].set(
+            jnp.where(upd, dp_sp, spans_f[idx]))
         served = served.at[idx].set(served[idx] | do)
-        return scores_f, pos_f, ungapped_f, served
+        return scores_f, pos_f, ungapped_f, spans_f, served
 
-    scores_f, pos_f, ungapped_f, served = jax.lax.while_loop(
+    # span init = read length: non-DP candidates are M-only placements
+    # (their emitted CIGAR is all-M), so length IS their exact ref span.
+    # DP rounds overwrite with lengths + d1 - d0. Under -endclip the DP
+    # span is meaningless (dp.banded_from_windows) — map/pair.py falls
+    # back to the length proxy there.
+    spans0 = jnp.broadcast_to(lengths[:, None], (B, 2 * v))
+    scores_f, pos_f, ungapped_f, spans_f, served = jax.lax.while_loop(
         round_cond, round_body,
-        (ung_masked, cand_f, ung_masked, jnp.zeros((B,), jnp.bool_)))
+        (ung_masked, cand_f, ung_masked, spans0, jnp.zeros((B,), jnp.bool_)))
 
     return {
         "pos": pos_f,
@@ -282,6 +291,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         "strand": strands,
         "valid": valid_c,
         "ungapped": ungapped_f,
+        "span": spans_f,
         "dp_ran": served,
     }
 
