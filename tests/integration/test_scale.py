@@ -42,3 +42,46 @@ def test_chunked_device_build_equals_host(rng):
     b = build_index(db, cfg, backend="device", chunk=70_000)  # ~5 chunks
     np.testing.assert_array_equal(a.offsets, b.offsets)
     np.testing.assert_array_equal(a.positions, b.positions)
+
+
+def test_veryfast_index_maps_planted(rng, tmp_path):
+    """-veryfast build → header flag → cmd_map picks the narrowed map
+    widths (config.VERYFAST_MAP_OVERRIDES) and still maps planted reads."""
+    from tests.utils import make_seqdb, plant_read, write_fastq
+    from urmap_tpu import cli
+    from urmap_tpu.index import UfiIndex
+
+    db = make_seqdb(rng, [400_000])
+    fa = tmp_path / "g.fa"
+    with open(fa, "w") as f:
+        f.write(">chr1\n")
+        from urmap_tpu import alphabet
+        f.write(alphabet.decode(db.codes[db.starts[0]:
+                                         db.starts[0] + db.lengths[0]]))
+        f.write("\n")
+    ufi = tmp_path / "g.ufi"
+    assert cli.main(["-make_ufi", str(fa), "-output", str(ufi),
+                     "-veryfast", "-quiet"]) == 0
+    idx = UfiIndex.load(str(ufi))
+    assert idx.config.veryfast
+    from urmap_tpu.config import IndexConfig
+    assert idx.config.slot_bits == min(
+        IndexConfig.auto_slot_bits(db.total_len) + 2, 30)
+
+    reads = [plant_read(rng, db, length=100,
+                        n_snps=int(rng.integers(0, 3))) for _ in range(64)]
+    fq = tmp_path / "r.fq"
+    write_fastq(fq, reads)
+    sam = tmp_path / "out.sam"
+    assert cli.main(["-map", str(fq), "-ufi", str(ufi), "-samout",
+                     str(sam), "-quiet", "-batch", "64"]) == 0
+    n_ok = 0
+    for line in open(sam):
+        if line.startswith("@"):
+            continue
+        f = line.split("\t")
+        i = int(f[0][1:]) if f[0][0] == "r" else int(f[0])
+        r = reads[i]
+        if not int(f[1]) & 4 and int(f[3]) - 1 == r.gpos - db.starts[0]:
+            n_ok += 1
+    assert n_ok >= 62, n_ok

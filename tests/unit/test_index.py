@@ -140,3 +140,69 @@ def test_streaming_spill_build_matches_inram(rng, tmp_path):
         assert np.array_equal(st.offsets, ref.offsets), backend
         assert np.array_equal(st.positions, ref.positions), backend
         assert st.offsets.dtype == np.uint32
+
+
+def test_row_aligned_tables_equal_classic(rng):
+    """row_align device tables + aligned gather == classic CSR tables +
+    classic gather, candidate-for-candidate (store.align_runs layout)."""
+    import jax.numpy as jnp
+
+    from tests.utils import make_seqdb, plant_read
+    from urmap_tpu.config import MapConfig
+    from urmap_tpu.index.store import align_runs
+    from urmap_tpu.map.seed import (align_row_words, extract_seed_slots,
+                                    gather_candidates)
+
+    db = make_seqdb(rng, [300_000])
+    icfg = IndexConfig(slot_bits=16)
+    index = build_index(db, icfg, backend="host")
+    mcfg = MapConfig(max_read_len=80, batch_size=32)
+    p = mcfg.positions_per_seed
+    rw = align_row_words(p)
+
+    # layout invariants: no run straddles a row, pads are SENTINEL
+    capped = index.recapped(p)
+    counts = np.diff(capped.offsets.astype(np.int64))
+    starts, total = align_runs(counts, rw)
+    assert ((starts % rw) + counts <= rw).all()
+    assert total >= int(counts.sum())
+
+    t_classic = index.device_tables(cap=p)
+    t_aligned = index.device_tables(cap=p, row_align=rw)
+
+    reads = np.stack([plant_read(rng, db, length=80, strand=0,
+                                 n_snps=1).codes for _ in range(32)])
+    lens = np.full(32, 80, np.int32)
+    slots, offs, valid = extract_seed_slots(
+        jnp.asarray(reads), jnp.asarray(lens), k=icfg.k,
+        q=mcfg.seeds_per_read, slot_bits=icfg.slot_bits)
+    c0 = gather_candidates(t_classic["offsets"], t_classic["positions"],
+                           slots, offs, valid, p=p)
+    c1 = gather_candidates(t_aligned["offsets"], t_aligned["positions"],
+                           slots, offs, valid, p=p, csr_aligned=True)
+    # same candidate MULTISET per (read, seed): order within a run is
+    # preserved, but pads shift nothing — sort for robustness
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(c0), axis=-1), np.sort(np.asarray(c1), axis=-1))
+
+
+def test_align_runs_python_fallback_matches_native():
+    from urmap_tpu.io import native
+    from urmap_tpu.index import store
+
+    rng = np.random.default_rng(7)
+    counts = rng.integers(0, 17, size=5000).astype(np.int64)
+    s_any, t_any = store.align_runs(counts, 16)
+    if native.lib() is not None:
+        # force the Python path and compare
+        orig = native.lib
+        try:
+            native.lib = lambda: None
+            s_py, t_py = store.align_runs(counts, 16)
+        finally:
+            native.lib = orig
+        np.testing.assert_array_equal(s_any, s_py)
+        assert t_any == t_py
+    # no-straddle property + density
+    assert ((s_any % 16) + counts <= 16).all()
+    assert t_any >= int(counts.sum())

@@ -75,6 +75,9 @@ def main(argv=None):
                     help="override MapConfig.positions_per_seed")
     ap.add_argument("--min-votes", type=int, default=0,
                     help="override MapConfig.min_votes (0 = config default)")
+    ap.add_argument("--veryfast", action="store_true",
+                    help="build a -veryfast index (+2 slot_bits) and "
+                         "apply config.VERYFAST_MAP_OVERRIDES")
     ap.add_argument("--repeat-frac", type=float, default=0.0,
                     help="fraction of the genome made of duplicated "
                          "segments — reads there are ambiguous; a good "
@@ -106,9 +109,17 @@ def main(argv=None):
                 break
             seq[dst : dst + seg] = seq[src : src + seg]
     db = SeqDB.from_seqs(["chr1"], [seq])
-    index = build_index(db, IndexConfig(
-        slot_bits=IndexConfig.auto_slot_bits(db.total_len)), backend="host")
+    sbits = IndexConfig.auto_slot_bits(db.total_len)
+    if args.veryfast:
+        sbits = min(sbits + 2, 30)
+    index = build_index(db, IndexConfig(slot_bits=sbits,
+                                        veryfast=args.veryfast),
+                        backend="host")
     mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
+    if args.veryfast:
+        from urmap_tpu.config import VERYFAST_MAP_OVERRIDES
+
+        mkw.update(VERYFAST_MAP_OVERRIDES)
     if args.positions_per_seed:
         mkw["positions_per_seed"] = args.positions_per_seed
     if args.min_votes:

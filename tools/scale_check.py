@@ -34,6 +34,16 @@ def main():
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--spill-dir", default="/tmp")
+    ap.add_argument("--slot-bits", type=int, default=0,
+                    help="override auto slot_bits (28 keeps a 3.1 Gbp "
+                         "table + offsets within a 16 GB v5e HBM; auto "
+                         "30 needs 4.3 GB of offsets alone)")
+    ap.add_argument("--positions-per-seed", type=int, default=0,
+                    help="override MapConfig.positions_per_seed (8 "
+                         "shrinks the capped table ~30% at slot-bits 28)")
+    ap.add_argument("--index-cache", default="",
+                    help="directory to save/load the built index (the "
+                         "3.1 Gbp host build is ~1 h — pay it once)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -47,25 +57,42 @@ def main():
     from urmap_tpu.io.fasta import SeqDB
     from urmap_tpu.map.pipeline import Mapper
 
+    from urmap_tpu.index import UfiIndex
+
     rng = np.random.default_rng(7)
     glen = int(args.gbp * 1e9)
-    print(f"# synthesizing {glen:,} bp genome", flush=True)
-    t0 = time.monotonic()
-    # chunked synthesis: one big rng call would transiently need int64s
-    gseq = np.empty(glen, np.uint8)
-    for s in range(0, glen, 1 << 28):
-        e = min(s + (1 << 28), glen)
-        gseq[s:e] = rng.integers(0, 4, size=e - s, dtype=np.int64) \
-            .astype(np.uint8)
-    db = SeqDB.from_seqs(["chr1"], [gseq])
-    del gseq
-    t_synth = time.monotonic() - t0
+    cache = args.index_cache
+    if cache and os.path.exists(os.path.join(cache, "header.json")):
+        print(f"# loading cached index from {cache}", flush=True)
+        t0 = time.monotonic()
+        index = UfiIndex.load(cache)
+        db = index.seqdb
+        icfg = index.config
+        assert db.total_len == glen, (db.total_len, glen)
+        t_synth = 0.0
+        t_build = time.monotonic() - t0
+    else:
+        print(f"# synthesizing {glen:,} bp genome", flush=True)
+        t0 = time.monotonic()
+        # chunked synthesis: one big rng call would transiently need int64s
+        gseq = np.empty(glen, np.uint8)
+        for s in range(0, glen, 1 << 28):
+            e = min(s + (1 << 28), glen)
+            gseq[s:e] = rng.integers(0, 4, size=e - s, dtype=np.int64) \
+                .astype(np.uint8)
+        db = SeqDB.from_seqs(["chr1"], [gseq])
+        del gseq
+        t_synth = time.monotonic() - t0
 
-    t0 = time.monotonic()
-    icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
-    index = build_index(db, icfg, backend="host",
-                        spill_dir=args.spill_dir)
-    t_build = time.monotonic() - t0
+        t0 = time.monotonic()
+        sbits = args.slot_bits or IndexConfig.auto_slot_bits(db.total_len)
+        icfg = IndexConfig(slot_bits=sbits)
+        index = build_index(db, icfg, backend="host",
+                            spill_dir=args.spill_dir)
+        t_build = time.monotonic() - t0
+        if cache:
+            print(f"# saving index to {cache}", flush=True)
+            index.save(cache)
     rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     table_gb = (index.positions.nbytes + index.offsets.nbytes) / 1e9
     print(json.dumps({
@@ -80,8 +107,14 @@ def main():
 
     # plant reads; force at least half beyond 2^31
     print("# map phase: building device tables", flush=True)
-    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
+    mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
+    if args.positions_per_seed:
+        mkw["positions_per_seed"] = args.positions_per_seed
+    mcfg = MapConfig(**mkw)
+    t0 = time.monotonic()
     mapper = Mapper(index, mcfg)
+    print(f"# map phase: tables ready in {time.monotonic() - t0:.0f}s "
+          f"(aligned={mapper.csr_aligned})", flush=True)
     print("# map phase: tables ready, mapping", flush=True)
     codes, truth, strand = synth_reads(rng, db, args.reads, args.read_len)
     hi = truth > (1 << 31)

@@ -103,8 +103,11 @@ def cmd_make_ufi(opts: dict) -> int:
         kw["slot_bits"] = IndexConfig.auto_slot_bits(db.total_len)
         if opts.get("veryfast"):
             # -veryfast in the reference trades index size for speed
-            # [RECALL]; here: more slots → shorter collision chains
+            # [RECALL]; here: 4x the slot space (shorter collision
+            # chains) + a header flag cmd_map reads to narrow the
+            # gathers (config.VERYFAST_MAP_OVERRIDES)
             kw["slot_bits"] = min(kw["slot_bits"] + 2, 30)
+            kw["veryfast"] = True
     if "maxpos" in opts:
         kw["max_positions_per_slot"] = int(str(opts["maxpos"]))
     cfg = IndexConfig(**kw)
@@ -185,10 +188,17 @@ def cmd_map(opts: dict) -> int:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))
     if opts.get("endclip"):
         mkw["end_clip"] = True
-    mcfg = MapConfig(**mkw)
 
     t0 = time.monotonic()
     index = UfiIndex.load(str(ufi))
+    if index.config.veryfast:
+        # -veryfast index: narrower gathers reach the same loci
+        # (config.VERYFAST_MAP_OVERRIDES); explicit flags still win
+        from urmap_tpu.config import VERYFAST_MAP_OVERRIDES
+
+        for k_, v_ in VERYFAST_MAP_OVERRIDES.items():
+            mkw.setdefault(k_, v_)
+    mcfg = MapConfig(**mkw)
     if not quiet:
         print(f"urmap-tpu v{__version__}: loaded index "
               f"({index.num_positions:,} positions, k={index.config.k}) "

@@ -60,6 +60,13 @@ class IndexConfig:
     # Genome positions are uint32 global coordinates over the concatenated
     # genome (GRCh38 ≈ 3.1 Gbp fits). Kept for documentation/validation.
     max_genome_len: int = (1 << 32) - 1
+    # -veryfast: the index was built with +2 slot_bits (4x the slot
+    # space, ~quarter the collision chains). The flag rides in the
+    # header so cmd_map can narrow the gather (veryfast_map_overrides):
+    # with near-collision-free slots, fewer/narrower lookups reach the
+    # same loci. [RECALL: the reference's -veryfast likewise trades
+    # index RAM for mapping speed; exact scheme PARITY-TODO.]
+    veryfast: bool = False
 
     @property
     def num_slots(self) -> int:
@@ -71,6 +78,17 @@ class IndexConfig:
         positions per slot keeps collision chains short."""
         bits = max(lo, min(hi, (genome_len - 1).bit_length() + 1))
         return bits
+
+
+VERYFAST_MAP_OVERRIDES = {
+    # Mapping-side widths for a -veryfast index (IndexConfig.veryfast):
+    # 4x slot space keeps runs short, so half the gather width and one
+    # fewer verify lane round reach the same candidates. Measured
+    # ROC-equal on clean + 30%-repetitive synthetic genomes
+    # (tools/accuracy.py --veryfast).
+    "positions_per_seed": 8,
+    "verify_capacity_frac": 8,
+}
 
 
 @dataclass(frozen=True)

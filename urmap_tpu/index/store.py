@@ -63,6 +63,42 @@ def evenly_cap_runs(counts: np.ndarray, cap: int,
     return keep
 
 
+def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
+    """Greedy no-straddle placement of CSR runs into ``rw``-word rows:
+    new start offsets such that no run (each ≤ rw entries) crosses an
+    rw-word boundary. Returns (starts int64[S], padded_total).
+
+    Native C when available (the decision is a sequential recurrence on
+    the running fill level); Python loop fallback for tiny/test indexes.
+    """
+    counts = np.ascontiguousarray(counts, np.int64)
+    n = counts.shape[0]
+    starts = np.empty(n, np.int64)
+    if n == 0:
+        return starts, 0
+    assert rw & (rw - 1) == 0, "rw must be a power of two"
+    assert int(counts.max()) <= rw, "runs must be capped to <= rw"
+    from urmap_tpu.io import native as _native
+
+    nlib = _native.lib()
+    if nlib is not None:
+        import ctypes
+
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        total = nlib.urmap_align_runs(
+            counts.ctypes.data_as(p64), n, rw, starts.ctypes.data_as(p64))
+        return starts, int(total)
+    cur = 0
+    cl = counts.tolist()
+    for i, c in enumerate(cl):
+        rem = rw - (cur & (rw - 1))
+        if c > rem:
+            cur += rem
+        starts[i] = cur
+        cur += c
+    return starts, cur
+
+
 @dataclass
 class UfiIndex:
     config: IndexConfig
@@ -93,11 +129,23 @@ class UfiIndex:
         return UfiIndex(config=self.config, offsets=off.astype(np.uint32),
                         positions=self.positions[keep], seqdb=self.seqdb)
 
-    def device_tables(self, cap: int | None = None):
+    def device_tables(self, cap: int | None = None,
+                      row_align: int | None = None):
         """The HBM-resident mapping state: jnp arrays consumed by the
         jitted map step. The genome rides as bit-packed 2-bit planes
         (genome_pack.py) — 4× smaller than byte codes and 16× cheaper
         to gather from. ``cap``: gather-width cap applied via recapped().
+
+        ``row_align``: row width (power of two ≥ every run length, see
+        map.seed.align_row_words) for the NO-STRADDLE layout: runs are
+        re-placed (align_runs) so none crosses a row_align-word row
+        boundary, pad entries hold seed.SENTINEL, and ``offsets`` become
+        the PADDED-CSR convention — offsets[s] is the run start,
+        offsets[s+1]-offsets[s] counts run + trailing pad, and entries
+        are validated per-lane by ``!= SENTINEL`` (seed.gather_candidates
+        csr_aligned=True). The positions gather then fetches exactly
+        ceil(p/rw) aligned rows per seed instead of one extra straddle
+        row — the CSR gather was the map step's largest stage.
 
         Coordinates: positions are uploaded BIASED (seed.POS_BIAS) so
         int32 device math covers GRCh38-scale genomes; the bias rides
@@ -110,22 +158,61 @@ class UfiIndex:
         from urmap_tpu.map.seed import POS_BIAS, SENTINEL
 
         if cap is not None:
-            return self.recapped(cap).device_tables()
+            return self.recapped(cap).device_tables(row_align=row_align)
         glen = self.seqdb.total_len
         if glen >= SENTINEL + POS_BIAS - (1 << 16):
             raise ValueError(
                 f"genome of {glen:,} bases exceeds the biased-int32 "
                 "device coordinate range (~4.29 Gbp); shard the genome")
         ginter, base_off = gpk.pack_genome(self.seqdb.codes)
-        # positions padded to a ROW_WORDS multiple + guard rows for the
-        # row-slice gather (dead lanes are masked by the CSR counts)
+        offsets = self.offsets
         npos = self.positions.shape[0]
+        if row_align is None:
+            pos_b = (self.positions.astype(np.int64) - POS_BIAS) \
+                .astype(np.int32)
+            fill = 0
+        else:
+            rw = int(row_align)
+            counts = np.diff(offsets.astype(np.int64))
+            starts, total = align_runs(counts, rw)
+            if total + 4 * gpk.ROW_WORDS >= 1 << 32:
+                raise ValueError("row-aligned positions table exceeds "
+                                 "uint32 offsets; raise the cap filter")
+            pos_b = np.full(total, SENTINEL, np.int32)
+            # chunked scatter (transient index arrays are 8 B/entry —
+            # bounded so GRCh38-scale tables don't spike tens of GB)
+            CH = 1 << 26
+            ends = np.cumsum(counts)
+            old_starts = ends - counts
+            s = 0
+            S = counts.shape[0]
+            while s < S:
+                e = int(np.searchsorted(ends, int(old_starts[s]) + CH,
+                                        side="left"))
+                e = max(e, s + 1)
+                cs = counts[s:e]
+                m = int(cs.sum())
+                if m:
+                    rank = (np.arange(m, dtype=np.int64)
+                            - np.repeat(old_starts[s:e] - old_starts[s],
+                                        cs))
+                    idx = np.repeat(starts[s:e], cs) + rank
+                    src = self.positions[old_starts[s] : old_starts[s] + m]
+                    pos_b[idx] = ((src.astype(np.int64) - POS_BIAS)
+                                  .astype(np.int32))
+                s = e
+            offsets = np.concatenate(
+                [starts, [total]]).astype(np.uint32)
+            npos = total
+            fill = SENTINEL
+        # positions padded to a ROW_WORDS multiple + guard rows for the
+        # row-slice gather (dead lanes are masked by the CSR counts /
+        # SENTINEL pads in aligned mode)
         pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
         positions = np.concatenate(
-            [(self.positions.astype(np.int64) - POS_BIAS).astype(np.int32),
-             np.zeros(pad, np.int32)])
+            [pos_b, np.full(pad, fill, np.int32)])
         return {
-            "offsets": jnp.asarray(self.offsets, jnp.uint32),
+            "offsets": jnp.asarray(offsets, jnp.uint32),
             "positions": jnp.asarray(positions),
             "ginter": jnp.asarray(ginter),
             # static word offset: genome guard pad + the coordinate bias
@@ -140,6 +227,7 @@ class UfiIndex:
             "k": self.config.k,
             "slot_bits": self.config.slot_bits,
             "max_positions_per_slot": self.config.max_positions_per_slot,
+            "veryfast": self.config.veryfast,
             "num_positions": self.num_positions,
             "genome_total_len": self.seqdb.total_len,
             "num_seqs": self.seqdb.num_seqs,
@@ -164,5 +252,6 @@ class UfiIndex:
             k=header["k"],
             slot_bits=header["slot_bits"],
             max_positions_per_slot=header["max_positions_per_slot"],
+            veryfast=header.get("veryfast", False),
         )
         return cls(config=cfg, offsets=offsets, positions=positions, seqdb=seqdb)

@@ -78,6 +78,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_i32, p_i32, p_i32]
     lib.urmap_pack_reads.restype = None
     lib.urmap_pack_reads.argtypes = [p_u8, c_i64, c_i64, p_u8, p_u8]
+    lib.urmap_align_runs.restype = c_i64
+    lib.urmap_align_runs.argtypes = [p_i64, c_i64, c_i64, p_i64]
     return lib
 
 

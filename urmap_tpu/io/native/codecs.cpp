@@ -491,4 +491,24 @@ void urmap_pack_reads(const uint8_t* codes, int64_t B, int64_t L,
   }
 }
 
+// Greedy no-straddle CSR run placement (index/store.py row-aligned
+// device tables): given per-run entry counts (each <= rw), choose new
+// start offsets so no run crosses an rw-word row boundary — the map
+// step's positions gather then needs ceil(p/rw) aligned rows per seed
+// instead of one extra straddle row. Sequential recurrence (the pad
+// decision depends on the running fill), so it lives here: ~16M runs
+// is milliseconds in C vs seconds in Python. Returns the padded total.
+int64_t urmap_align_runs(const int64_t* counts, int64_t n, int64_t rw,
+                         int64_t* starts) {
+  int64_t cur = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t c = counts[i];
+    const int64_t rem = rw - (cur & (rw - 1));  // rw is a power of two
+    if (c > rem) cur += rem;
+    starts[i] = cur;
+    cur += c;
+  }
+  return cur;
+}
+
 }  // extern "C"

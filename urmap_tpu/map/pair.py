@@ -158,13 +158,14 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
 
 
 def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
-                     mcfg: MapConfig, sc: ScoreConfig):
+                     mcfg: MapConfig, sc: ScoreConfig,
+                     csr_aligned: bool = False):
     """Full paired-end device step → per-mate output dicts + pair flags."""
     B, L = r1.shape
     reads = jnp.concatenate([r1, r2], axis=0)
     lens = jnp.concatenate([l1, l2], axis=0)
     c = candidates_batch_device(tables, reads, lens, icfg=icfg, mcfg=mcfg,
-                                sc=sc)
+                                sc=sc, csr_aligned=csr_aligned)
     c1 = {k: v[:B] for k, v in c.items()}
     c2 = {k: v[B:] for k, v in c.items()}
 
@@ -291,7 +292,8 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 
 def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *,
-                      packed_input: bool = False):
+                      packed_input: bool = False,
+                      csr_aligned: bool = False):
     """Jitted paired step → ONE packed int32[B, 13] (cols 0-5 mate1,
     6-11 mate2 — pipeline.pack_out layout — col 12 proper): a single
     D2H fetch per batch (see pipeline.PACKED_COLS note).
@@ -300,7 +302,8 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
     from urmap_tpu.map.pipeline import pack_out
 
     sc = sc or ScoreConfig()
-    fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc)
+    fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc,
+                          csr_aligned=csr_aligned)
 
     def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
@@ -345,8 +348,10 @@ class PairedMapper:
         self.sc = mapper.sc
         self.pair_batch = max(1, self.mcfg.batch_size // 2)
         self.packed_upload = getattr(mapper, "packed_upload", False)
-        self._fn = make_map_pairs_fn(mapper.icfg, mapper.mcfg, mapper.sc,
-                                     packed_input=self.packed_upload)
+        self._fn = make_map_pairs_fn(
+            mapper.icfg, mapper.mcfg, mapper.sc,
+            packed_input=self.packed_upload,
+            csr_aligned=getattr(mapper, "csr_aligned", False))
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         """Host-side upload prep for start_batch's ``prepacked`` — run

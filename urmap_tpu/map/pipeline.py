@@ -99,7 +99,8 @@ def _ungapped_scores(genome, cand, reads, lengths, sc: ScoreConfig):
 
 def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             mcfg: MapConfig, sc: ScoreConfig,
-                            dp_runner=None, gather_runner=None):
+                            dp_runner=None, gather_runner=None,
+                            csr_aligned: bool = False):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
     The reference verifies candidates ungapped first and only runs the
@@ -127,7 +128,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
     if gather_runner is None:
         cand = gather_candidates(
-            tables["offsets"], tables["positions"], slots, offs, valid, p=p)
+            tables["offsets"], tables["positions"], slots, offs, valid,
+            p=p, csr_aligned=csr_aligned)
     else:
         cand = gather_runner(slots, offs, valid)
     top_cand, votes = vote_top_candidates(cand, v=v)        # [2B, V]
@@ -298,11 +300,12 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
 def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
-                     gather_runner=None):
+                     gather_runner=None, csr_aligned: bool = False):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
-                                gather_runner=gather_runner)
+                                gather_runner=gather_runner,
+                                csr_aligned=csr_aligned)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
@@ -347,7 +350,8 @@ def unpack_out(arr: np.ndarray) -> dict:
 
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *, packed: bool = True,
-                      packed_input: bool = False):
+                      packed_input: bool = False,
+                      csr_aligned: bool = False):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
     (or the raw output dict with packed=False).
 
@@ -358,7 +362,8 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     407k vs 176k reads/s), and 3.2× fewer uploaded bytes hide it in the
     pipeline bubble. Bit-identical to the unpacked path."""
     sc = sc or ScoreConfig()
-    fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc)
+    fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
+                          csr_aligned=csr_aligned)
     if not packed:
         return jax.jit(fn)
 
@@ -414,10 +419,27 @@ class Mapper:
         self.sc = sc or ScoreConfig()
         self.packed_upload = packed_upload
         # gather width = explicit unbiased cap (slots with more positions
-        # than the per-seed gather budget are evenly subsampled on host)
-        self.tables = index.device_tables(cap=self.mcfg.positions_per_seed)
+        # than the per-seed gather budget are evenly subsampled on host);
+        # the table rides row-ALIGNED (store.device_tables row_align) so
+        # the CSR gather fetches one aligned row per seed — UNLESS the
+        # no-straddle pad would bloat HBM (mid-loaded slots, e.g. a
+        # GRCh38-scale index at auto slot_bits, pad ~35%): then classic
+        # CSR + straddle-row gather keeps the table dense.
+        from urmap_tpu.index.store import align_runs
+        from urmap_tpu.map.seed import align_row_words
+
+        p = self.mcfg.positions_per_seed
+        capped = index.recapped(p)
+        rw = align_row_words(p)
+        counts = np.diff(capped.offsets.astype(np.int64))
+        _, total = align_runs(counts, rw)
+        npos = max(capped.num_positions, 1)
+        self.csr_aligned = total <= 1.15 * npos
+        self.tables = capped.device_tables(
+            row_align=rw if self.csr_aligned else None)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
-                                     packed_input=packed_upload)
+                                     packed_input=packed_upload,
+                                     csr_aligned=self.csr_aligned)
 
     def _pad_full(self, codes: np.ndarray, lengths: np.ndarray):
         """Pad to the full [batch_size, max_read_len] block (rows with

@@ -107,7 +107,20 @@ def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
     return slots, offs, valid
 
 
-def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
+def align_row_words(p: int) -> int:
+    """Row width for the no-straddle positions layout (store.device_tables
+    row_align): the smallest power of two ≥ max(GATHER_ROW_WORDS, p), so
+    every capped run (≤ p entries) fits between row boundaries."""
+    from urmap_tpu import genome_pack as gpk
+
+    rw = gpk.GATHER_ROW_WORDS
+    while rw < p:
+        rw *= 2
+    return rw
+
+
+def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
+                      p: int, csr_aligned: bool = False):
     """CSR gather: per (read, seed), up to P genome positions → candidate
     alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid).
 
@@ -115,20 +128,52 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *, p: int):
     row_gather_window): each seed's positions are CONTIGUOUS in the CSR,
     so fetching 128-byte rows beats per-element gathering ~1.6× on TPU.
     ``positions`` must carry ≥ 2*ROW_WORDS zero padding (store/shard
-    builders do)."""
+    builders do).
+
+    ``csr_aligned``: the table was built with store.device_tables
+    row_align (no run straddles an align_row_words(p) row; pad entries
+    are SENTINEL; offsets follow the padded-CSR convention). The gather
+    then fetches exactly ceil(p/rw) ALIGNED rows per seed — no straddle
+    row, and the funnel shift runs on p lanes instead of p+rw. Entry
+    validity = (entry != SENTINEL) & (lane < padded count).
+    """
     from urmap_tpu import genome_pack as gpk
 
     n, q = slots.shape
     slots_i = slots.astype(jnp.int32)
     start = jnp.take(offsets, slots_i, axis=0)
     # offsets may be uint32 (>2^31 positions on GRCh38-scale indexes);
-    # per-slot counts are small (≤ the gather cap) → safe in int32
+    # per-slot counts are small (≤ the gather cap [+ row pad]) → int32
     cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
-    pos = gpk.gather_window(positions, start.reshape(-1), p,
-                            row_words=gpk.GATHER_ROW_WORDS) \
-        .reshape(n, q, p)
-    ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
+    if csr_aligned:
+        rw = align_row_words(p)
+        M = positions.shape[0]
+        nrows = M // rw
+        t2 = positions[: nrows * rw].reshape(nrows, rw)
+        flat = start.reshape(-1)
+        r0 = (flat // jnp.uint32(rw)).astype(jnp.int32)
+        span = -(-p // rw)
+        rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
+                for i in range(span)]
+        cur = rows[0] if span == 1 else jnp.concatenate(rows, axis=1)
+        off = (flat % jnp.uint32(rw)).astype(jnp.int32)
+        bit = rw.bit_length() - 2
+        while bit >= 0:
+            sh = 1 << bit
+            shifted = jnp.concatenate(
+                [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)], axis=1)
+            cur = jnp.where((((off >> bit) & 1) == 1)[:, None],
+                            shifted, cur)
+            bit -= 1
+        pos = cur[:, :p].reshape(n, q, p)
+        ok = ((j[None, None, :] < cnt[:, :, None])
+              & (pos != SENTINEL) & valid[:, :, None])
+    else:
+        pos = gpk.gather_window(positions, start.reshape(-1), p,
+                                row_words=gpk.GATHER_ROW_WORDS) \
+            .reshape(n, q, p)
+        ok = (j[None, None, :] < cnt[:, :, None]) & valid[:, :, None]
     cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
     cand = jnp.where(ok, cand, SENTINEL)
     return cand.reshape(n, q * p)
