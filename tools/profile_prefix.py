@@ -26,15 +26,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_urmap_tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def timeit(fn, *args, n=5):
-    import jax
-
-    r = fn(*args)
-    jax.block_until_ready(r)
+def timeit(fn, tables, read_batches, lens, n=5):
+    """Fetch-forced over DISTINCT read batches: on the axon relay,
+    block_until_ready never waits and identical (program, inputs) calls
+    may dedup (tools/bench_relay.py), so each call fetches its scalar
+    and cycles through different batches."""
+    np.asarray(fn(tables, read_batches[0], lens))   # compile + warm
+    np.asarray(fn(tables, read_batches[1 % len(read_batches)], lens))
     t0 = time.perf_counter()
-    for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
+    for i in range(n):
+        np.asarray(fn(tables, read_batches[i % len(read_batches)], lens))
     return (time.perf_counter() - t0) / n
 
 
@@ -72,10 +73,11 @@ def main():
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
     sc = ScoreConfig()
 
-    codes, _, _ = synth_reads(rng, db, args.batch, args.read_len)
+    codes, _, _ = synth_reads(rng, db, args.batch * 6, args.read_len)
     lengths = np.full(args.batch, args.read_len, np.int32)
     tables = index.device_tables(cap=mcfg.positions_per_seed)
-    reads = jnp.asarray(codes)
+    reads = [jnp.asarray(codes[i * args.batch:(i + 1) * args.batch])
+             for i in range(6)]
     lens = jnp.asarray(lengths)
     q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
 
