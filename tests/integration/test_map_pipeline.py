@@ -153,3 +153,36 @@ def test_long_read_truncation_soft_clip(rng, tmp_path):
             assert ops[-1] == ("30", "S"), cigar
         n_checked += 1
     assert n_checked >= 7
+
+
+def test_gzip_samout_equals_plain(rng, tmp_path):
+    """-samout out.sam.gz writes gzip-compressed SAM, byte-equal to the
+    plain output after decompression (dist.multihost.merge_shards)."""
+    import gzip
+
+    from tests.utils import make_seqdb, plant_read, write_fastq
+    from urmap_tpu.cli import main
+    from urmap_tpu.config import IndexConfig
+    from urmap_tpu.index.build import build_index
+
+    db = make_seqdb(rng, [60_000])
+    index = build_index(db, IndexConfig(slot_bits=15), backend="host")
+    ufi = str(tmp_path / "g.ufi")
+    index.save(ufi)
+    reads = [plant_read(rng, db, length=100) for _ in range(16)]
+    fq = str(tmp_path / "r.fq")
+    write_fastq(fq, reads)
+    plain = str(tmp_path / "out.sam")
+    gz = str(tmp_path / "out.sam.gz")
+    assert main(["-map", fq, "-ufi", ufi, "-samout", plain, "-batch",
+                 "16", "-quiet"]) == 0
+    assert main(["-map", fq, "-ufi", ufi, "-samout", gz, "-batch",
+                 "16", "-quiet"]) == 0
+    with open(plain, "rb") as f:
+        want = f.read()
+    with gzip.open(gz, "rb") as f:
+        got = f.read()
+    # @PG lines carry the command line (differs by -samout arg) — drop
+    strip = lambda b: b"\n".join(
+        ln for ln in b.split(b"\n") if not ln.startswith(b"@PG"))
+    assert strip(got) == strip(want)

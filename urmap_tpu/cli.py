@@ -35,6 +35,7 @@ Index build:
 
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
+      (.gz input and .sam.gz output supported)
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
       [-inflight D] [-endclip] [-selfcheck] [-log <file>]
       [-metrics <file.jsonl>] [-quiet] [-resume] [-profile <dir>]
@@ -131,7 +132,8 @@ def cmd_ufistats(opts: dict) -> int:
     counts = np.diff(index.offsets.astype(np.int64))
     occupied = int((counts > 0).sum())
     print(f"k={cfg.k} slots=2^{cfg.slot_bits} "
-          f"cap={cfg.max_positions_per_slot}")
+          f"cap={cfg.max_positions_per_slot}"
+          + (" veryfast" if cfg.veryfast else ""))
     print(f"genome: {index.seqdb.total_len:,} bases, "
           f"{index.seqdb.num_seqs} sequences")
     print(f"positions: {index.num_positions:,} "

@@ -240,8 +240,18 @@ class ShardWriter:
 
 def merge_shards(out_path: str, n_shards: int, header: bytes,
                  cleanup: bool = True) -> None:
-    """Rank-ordered concatenation of shard files into the final SAM."""
-    with open(out_path, "wb") as out:
+    """Rank-ordered concatenation of shard files into the final SAM.
+
+    A ``.gz`` suffix on out_path gzip-compresses the merged output
+    (BGZF-free plain gzip — readable by samtools/zcat; shards stay raw
+    so the resume watermark math is unchanged)."""
+    if out_path.endswith(".gz"):
+        import gzip
+
+        out_ctx = gzip.open(out_path, "wb", compresslevel=4)
+    else:
+        out_ctx = open(out_path, "wb")
+    with out_ctx as out:
         out.write(header)
         for r in range(n_shards):
             shard = f"{out_path}.shard{r}"
