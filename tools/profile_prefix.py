@@ -59,8 +59,7 @@ def main():
     from urmap_tpu.index.build import build_index
     from urmap_tpu.io.fasta import SeqDB
     from urmap_tpu.map import seed as seedmod
-    from urmap_tpu.map.pipeline import (make_map_batch_fn, map_batch_device,
-                                        revcomp_batch)
+    from urmap_tpu.map.pipeline import make_map_batch_fn, revcomp_batch
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
@@ -75,11 +74,24 @@ def main():
 
     codes, _, _ = synth_reads(rng, db, args.batch * 6, args.read_len)
     lengths = np.full(args.batch, args.read_len, np.int32)
-    tables = index.device_tables(cap=mcfg.positions_per_seed)
+    # tables exactly as pipeline.Mapper builds them (recapped + row-
+    # aligned CSR when the pad is affordable) — the classic layout here
+    # used to mis-model the production gather
+    from urmap_tpu.index.store import align_runs
+    from urmap_tpu.map.seed import align_row_words
+
+    p = mcfg.positions_per_seed
+    capped = index.recapped(p)
+    rw = align_row_words(p)
+    counts = np.diff(capped.offsets.astype(np.int64))
+    _, total = align_runs(counts, rw)
+    csr_aligned = total <= 1.15 * max(capped.num_positions, 1)
+    tables = capped.device_tables(row_align=rw if csr_aligned else None)
+    print(f"csr_aligned={csr_aligned}")
     reads = [jnp.asarray(codes[i * args.batch:(i + 1) * args.batch])
              for i in range(6)]
     lens = jnp.asarray(lengths)
-    q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
+    q, v = mcfg.seeds_per_read, mcfg.top_candidates
 
     def upto(stage):
         def fn(tables, reads, lengths):
@@ -94,34 +106,33 @@ def main():
                 return jnp.sum(slots.astype(jnp.int32))
             cand = seedmod.gather_candidates(
                 tables["offsets"], tables["positions"], slots, offs,
-                valid, p=p)
+                valid, p=p, csr_aligned=csr_aligned)
             if stage == "gather":
                 return jnp.sum(cand)
             top_cand, votes = seedmod.vote_top_candidates(cand, v=v)
-            if stage == "vote":
-                return jnp.sum(top_cand) + jnp.sum(votes)
-            # verify: inline the pipeline's ungapped block
-            B, L = reads.shape
-            nw = -(-L // gpk.BASES_PER_WORD)
-            rp2, rn2 = gpk.pack_reads(reads2, lengths2, nw)
-            flat_cand = top_cand.reshape(-1)
-            flat_lens = jnp.repeat(lengths2, v, axis=0)
-            mm = gpk.mismatch_counts(
-                tables["ginter"], tables["base_off"],
-                jnp.where(flat_cand == seedmod.SENTINEL, 0, flat_cand),
-                jnp.repeat(rp2, v, axis=0), jnp.repeat(rn2, v, axis=0),
-                flat_lens)
-            return jnp.sum(mm)
+            return jnp.sum(top_cand) + jnp.sum(votes)   # stage == "vote"
 
         return jax.jit(fn)
 
+    from urmap_tpu.map.pipeline import candidates_batch_device
+
+    def upto_cands(tables, reads, lengths):
+        c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
+                                    mcfg=mcfg, sc=sc,
+                                    csr_aligned=csr_aligned)
+        return (jnp.sum(c["score"]) + jnp.sum(c["pos"])
+                + jnp.sum(c["ungapped"]))
+
     results = []
-    for stage in ("revcomp", "seed", "gather", "vote", "verify"):
+    for stage in ("revcomp", "seed", "gather", "vote"):
         dt = timeit(upto(stage), tables, reads, lens)
         results.append((stage, dt))
         print(f"  upto {stage:10s} {dt * 1e3:8.2f} ms", flush=True)
+    dt = timeit(jax.jit(upto_cands), tables, reads, lens)
+    results.append(("cands", dt))
+    print(f"  upto cands      {dt * 1e3:8.2f} ms", flush=True)
 
-    full = make_map_batch_fn(icfg, mcfg, sc)
+    full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned)
     dt = timeit(full, tables, reads, lens)
     results.append(("FULL", dt))
     print(f"  FULL (packed)   {dt * 1e3:8.2f} ms")
