@@ -221,9 +221,9 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 
     def resc_body(state):
         r_pos, r_score, r_ung, served = state
-        key = (any_anchor & ~served).astype(jnp.int32)
-        sel, idx = jax.lax.top_k(key, Dr)
-        do = sel > 0
+        rem = any_anchor & ~served
+        idx, = jnp.nonzero(rem, size=Dr, fill_value=0)
+        do = rem[idx]
         sub = _rescue_scan(
             tables,
             jnp.where(do, anchor_pos[idx], 0),

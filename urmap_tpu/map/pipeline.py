@@ -160,9 +160,11 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     if cap < nv:
         # capacity-compacted verify: with the vote floor most lanes are
         # SENTINEL, so each round serves the first ``cap`` unserved
-        # valid lanes (valid-first stable argsort) and the loop runs
-        # until none remain — the window gathers (the stage's dominant
-        # cost) then run on ~nv/frac rows instead of nv
+        # valid lanes and the loop runs until none remain — the window
+        # gathers (the stage's dominant cost) then run on ~nv/frac rows
+        # instead of nv. Lane selection is jnp.nonzero(size=cap)
+        # (cumsum + scatter — a valid-first argsort here was a full TPU
+        # sort of all nv lanes per round)
         starts_all = jnp.where(valid_flat, flat_cand, 0)
 
         def vcond(st):
@@ -171,10 +173,9 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
         def vbody(st):
             mm_all, done = st
-            order = jnp.argsort(
-                jnp.where(valid_flat & ~done, 0, 1).astype(jnp.int32))
-            idx = order[:cap]                                  # [cap]
-            do = (valid_flat & ~done)[idx]
+            rem = valid_flat & ~done
+            idx, = jnp.nonzero(rem, size=cap, fill_value=0)    # [cap]
+            do = rem[idx]
             rrow = idx // v                                    # read row
             mm_sub = gpk.mismatch_counts(
                 tables["ginter"], tables["base_off"], starts_all[idx],
@@ -240,9 +241,9 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
     def round_body(state):
         scores_f, pos_f, ungapped_f, spans_f, served = state
-        key = (need_dp & ~served).astype(jnp.int32)
-        sel, idx = jax.lax.top_k(key, D)                     # read rows
-        do = sel > 0                                         # [D]
+        rem = need_dp & ~served
+        idx, = jnp.nonzero(rem, size=D, fill_value=0)        # read rows
+        do = rem[idx]                                        # [D]
 
         sub_cand = cand_f[idx]                               # [D, 2V]
         sub_reads2 = jnp.concatenate([reads2[idx], reads2[B + idx]], axis=0)

@@ -9,7 +9,6 @@ MAPQ formula lives here (PARITY-TODO, config.py).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from urmap_tpu.config import MapConfig
@@ -37,17 +36,24 @@ def select_hits(pos, scores, strands, valid, lengths, ungapped, *, mc: MapConfig
     scores = jnp.where(valid, scores, neg)
     pos = jnp.where(valid, pos, SENTINEL)
 
-    # canonical sort: score desc, pos asc, strand asc
-    neg_s, pos_s, strand_s, ung_s = jax.lax.sort(
-        (-scores, pos, strands, ungapped), num_keys=3)
-    best_score = -neg_s[:, 0]
-    best_pos = pos_s[:, 0]
-    best_strand = strand_s[:, 0]
-    best_ung = ung_s[:, 0]
+    # canonical best: score desc, then pos asc, then strand asc — as
+    # cascaded lane reductions instead of a 4-operand lax.sort (the sort
+    # lowered ~10× slower than everything select computes; only row 0 of
+    # it was ever read). Tie order matches the sort exactly.
+    best_score = jnp.max(scores, axis=-1)
+    at_best = scores == best_score[:, None]
+    best_pos = jnp.min(jnp.where(at_best, pos, SENTINEL), axis=-1)
+    at_best &= pos == best_pos[:, None]
+    best_strand = jnp.min(jnp.where(at_best, strands, 2), axis=-1)
+    at_best &= strands == best_strand[:, None]
+    # stable residual tie (same score/pos/strand, different ungapped):
+    # the sort kept the FIRST such candidate — argmax picks it too
+    first = jnp.argmax(at_best, axis=-1)
+    best_ung = jnp.take_along_axis(ungapped, first[:, None], axis=-1)[:, 0]
 
     radius = jnp.int32(mc.max_read_len)
-    distinct = (jnp.abs(pos_s - best_pos[:, None]) > radius) & (-neg_s > neg)
-    second = jnp.max(jnp.where(distinct, -neg_s, neg), axis=-1)
+    distinct = (jnp.abs(pos - best_pos[:, None]) > radius) & (scores > neg)
+    second = jnp.max(jnp.where(distinct, scores, neg), axis=-1)
 
     min_score = jnp.ceil(mc.min_score_frac * lengths.astype(jnp.float32)).astype(jnp.int32)
     mapped = (best_score > neg) & (best_score >= min_score) & (lengths >= k)
