@@ -100,7 +100,7 @@ def main():
             lengths2 = jnp.concatenate([lengths, lengths], axis=0)
             if stage == "revcomp":
                 return jnp.sum(reads2.astype(jnp.int32))
-            slots, offs, valid = seedmod.extract_seed_slots(
+            slots, offs, valid = seedmod.extract_seed_slots_dispatch(
                 reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
             if stage == "seed":
                 return jnp.sum(slots.astype(jnp.int32))

@@ -24,7 +24,8 @@ import numpy as np
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
-from urmap_tpu.map.seed import (POS_BIAS, SENTINEL, extract_seed_slots,
+from urmap_tpu.map.seed import (POS_BIAS, SENTINEL,
+                                extract_seed_slots_dispatch,
                                 gather_candidates, vote_top_candidates)
 from urmap_tpu.map.select import select_hits
 
@@ -124,7 +125,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     reads2 = jnp.concatenate([reads, rc], axis=0)          # [2B, L]
     lengths2 = jnp.concatenate([lengths, lengths], axis=0)  # [2B]
 
-    slots, offs, valid = extract_seed_slots(
+    slots, offs, valid = extract_seed_slots_dispatch(
         reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
     if gather_runner is None:
         cand = gather_candidates(

@@ -107,6 +107,23 @@ def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
     return slots, offs, valid
 
 
+def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
+                                slot_bits: int, use_pallas: bool = True):
+    """extract_seed_slots, via the fused Pallas kernel on TPU backends
+    (kernels/seed_slots.py — bit-identical, ~10× the XLA elementwise
+    throughput on the target platform)."""
+    from urmap_tpu.map.dp import on_tpu
+
+    if use_pallas and on_tpu():
+        from urmap_tpu.kernels import seed_slots
+
+        if seed_slots.supports(k, slot_bits):
+            return seed_slots.seed_slots_pallas(
+                reads, lengths, k=k, q=q, slot_bits=slot_bits)
+    return extract_seed_slots(reads, lengths, k=k, q=q,
+                              slot_bits=slot_bits)
+
+
 def align_row_words(p: int) -> int:
     """Row width for the no-straddle positions layout (store.device_tables
     row_align): the smallest power of two ≥ max(GATHER_ROW_WORDS, p), so
