@@ -26,7 +26,8 @@ from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.seed import (POS_BIAS, SENTINEL,
                                 extract_seed_slots_dispatch,
-                                gather_candidates, vote_top_candidates)
+                                gather_candidates,
+                                vote_top_candidates_dispatch)
 from urmap_tpu.map.select import select_hits
 
 _COMP = np.asarray(alphabet.COMP_CODE)
@@ -133,7 +134,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             p=p, csr_aligned=csr_aligned)
     else:
         cand = gather_runner(slots, offs, valid)
-    top_cand, votes = vote_top_candidates(cand, v=v)        # [2B, V]
+    top_cand, votes = vote_top_candidates_dispatch(cand, v=v)  # [2B, V]
     if mcfg.min_votes > 1:
         # vote floor with per-READ fallback: a candidate needs >=
         # min_votes seeds behind it unless neither strand of its read

@@ -124,6 +124,20 @@ def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
                               slot_bits=slot_bits)
 
 
+def vote_top_candidates_dispatch(cand, *, v: int, use_pallas: bool = True):
+    """vote_top_candidates, via the Pallas bitonic kernel on TPU backends
+    (kernels/vote.py — bit-identical; the jnp path's XLA sort alone cost
+    ~8 ms/32k batch)."""
+    from urmap_tpu.map.dp import on_tpu
+
+    if use_pallas and on_tpu():
+        from urmap_tpu.kernels import vote
+
+        if vote.supports(cand.shape[1]):
+            return vote.vote_pallas(cand, v=v)
+    return vote_top_candidates(cand, v=v)
+
+
 def align_row_words(p: int) -> int:
     """Row width for the no-straddle positions layout (store.device_tables
     row_align): the smallest power of two ≥ max(GATHER_ROW_WORDS, p), so
