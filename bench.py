@@ -276,7 +276,38 @@ def main(argv=None):
                 print(json.dumps({"metric": "kernel_parity",
                                   "value": 0, "clip": clip is not None}))
                 return 1
-        print(f"# kernel parity ok on {dev}", file=sys.stderr)
+        from urmap_tpu.kernels.seed_slots import seed_slots_pallas
+        from urmap_tpu.kernels.vote import vote_pallas
+        from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
+                                        vote_top_candidates)
+
+        sreads = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
+            .astype(np.uint8)
+        sreads[ck_rng.random(sreads.shape) < 0.02] = 5
+        slens = ck_rng.integers(0, args.read_len + 1, size=2048) \
+            .astype(np.int32)
+        s_k, o_k, v_k = seed_slots_pallas(
+            jnp.asarray(sreads), jnp.asarray(slens), k=icfg.k, q=8,
+            slot_bits=icfg.slot_bits)
+        s_j2, o_j2, v_j2 = extract_seed_slots(
+            jnp.asarray(sreads), jnp.asarray(slens), k=icfg.k, q=8,
+            slot_bits=icfg.slot_bits)
+        vm = np.asarray(v_j2)
+        cands = ck_rng.integers(-(1 << 30), 1 << 28, size=(2048, 128)) \
+            .astype(np.int32)
+        cands[ck_rng.random(cands.shape) < 0.5] = SENTINEL
+        tc_k, tv_k = vote_pallas(jnp.asarray(cands), v=8)
+        tc_j, tv_j = vote_top_candidates(jnp.asarray(cands), v=8)
+        if not (np.array_equal(vm, np.asarray(v_k))
+                and np.array_equal(np.asarray(o_j2), np.asarray(o_k))
+                and np.array_equal(np.asarray(s_j2)[vm], np.asarray(s_k)[vm])
+                and np.array_equal(np.asarray(tc_j), np.asarray(tc_k))
+                and np.array_equal(np.asarray(tv_j), np.asarray(tv_k))):
+            print(json.dumps({"metric": "kernel_parity", "value": 0,
+                              "which": "seed/vote"}))
+            return 1
+        print(f"# kernel parity ok on {dev} (dp/seed/vote)",
+              file=sys.stderr)
 
     if args.paired:
         return run_paired(args, db, index, mapper, rng, t_index, dev)

@@ -111,10 +111,14 @@ def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
                                 slot_bits: int, use_pallas: bool = True):
     """extract_seed_slots, via the fused Pallas kernel on TPU backends
     (kernels/seed_slots.py — bit-identical, ~10× the XLA elementwise
-    throughput on the target platform)."""
+    throughput on the target platform). URMAP_NO_SEED_KERNEL=1 forces
+    the jnp path (Mosaic-lowering escape hatch)."""
+    import os
+
     from urmap_tpu.map.dp import on_tpu
 
-    if use_pallas and on_tpu():
+    if (use_pallas and on_tpu()
+            and os.environ.get("URMAP_NO_SEED_KERNEL") != "1"):
         from urmap_tpu.kernels import seed_slots
 
         if seed_slots.supports(k, slot_bits):
@@ -127,10 +131,13 @@ def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
 def vote_top_candidates_dispatch(cand, *, v: int, use_pallas: bool = True):
     """vote_top_candidates, via the Pallas bitonic kernel on TPU backends
     (kernels/vote.py — bit-identical; the jnp path's XLA sort alone cost
-    ~8 ms/32k batch)."""
+    ~8 ms/32k batch). URMAP_NO_VOTE_KERNEL=1 forces the jnp path."""
+    import os
+
     from urmap_tpu.map.dp import on_tpu
 
-    if use_pallas and on_tpu():
+    if (use_pallas and on_tpu()
+            and os.environ.get("URMAP_NO_VOTE_KERNEL") != "1"):
         from urmap_tpu.kernels import vote
 
         if vote.supports(cand.shape[1]):
