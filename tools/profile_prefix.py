@@ -95,6 +95,10 @@ def main():
 
     def upto(stage):
         def fn(tables, reads, lengths):
+            if stage == "null":
+                # fixed relay cost: same operands uploaded, no compute
+                return (jnp.sum(reads[:, 0].astype(jnp.int32))
+                        + tables["offsets"][0].astype(jnp.int32))
             rc = revcomp_batch(reads, lengths)
             reads2 = jnp.concatenate([reads, rc], axis=0)
             lengths2 = jnp.concatenate([lengths, lengths], axis=0)
@@ -114,7 +118,7 @@ def main():
 
         return jax.jit(fn)
 
-    from urmap_tpu.map.pipeline import candidates_batch_device
+    from urmap_tpu.map.pipeline import candidates_batch_device, map_batch_device
 
     def upto_cands(tables, reads, lengths):
         c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
@@ -123,14 +127,23 @@ def main():
         return (jnp.sum(c["score"]) + jnp.sum(c["pos"])
                 + jnp.sum(c["ungapped"]))
 
+    def upto_select(tables, reads, lengths):
+        # full step reduced to one scalar: FULL minus this = pack_out
+        # stack + the [B, 6] D2H fetch
+        out = map_batch_device(tables, reads, lengths, icfg=icfg,
+                               mcfg=mcfg, sc=sc, csr_aligned=csr_aligned)
+        return (jnp.sum(out["pos"]) + jnp.sum(out["score"])
+                + jnp.sum(out["mapq"]) + jnp.sum(out["second"]))
+
     results = []
-    for stage in ("revcomp", "seed", "gather", "vote"):
+    for stage in ("null", "revcomp", "seed", "gather", "vote"):
         dt = timeit(upto(stage), tables, reads, lens)
         results.append((stage, dt))
         print(f"  upto {stage:10s} {dt * 1e3:8.2f} ms", flush=True)
-    dt = timeit(jax.jit(upto_cands), tables, reads, lens)
-    results.append(("cands", dt))
-    print(f"  upto cands      {dt * 1e3:8.2f} ms", flush=True)
+    for name, f in (("cands", upto_cands), ("select", upto_select)):
+        dt = timeit(jax.jit(f), tables, reads, lens)
+        results.append((name, dt))
+        print(f"  upto {name:10s} {dt * 1e3:8.2f} ms", flush=True)
 
     full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned)
     dt = timeit(full, tables, reads, lens)
