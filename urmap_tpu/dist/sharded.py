@@ -342,7 +342,7 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                              genome_len=genome_len)
 
     def packed_body(*args):
-        # one packed int32[b, 6] output → one D2H fetch (pipeline.pack_out)
+        # one packed int32[b, PACKED_COLS] output → one D2H fetch
         return pack_out(body(*args))
 
     batch_axes = ("data", "index") if route == "a2a" else "data"

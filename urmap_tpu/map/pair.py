@@ -294,9 +294,9 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *,
                       packed_input: bool = False,
                       csr_aligned: bool = False):
-    """Jitted paired step → ONE packed int32[B, 13] (cols 0-5 mate1,
-    6-11 mate2 — pipeline.pack_out layout — col 12 proper): a single
-    D2H fetch per batch (see pipeline.PACKED_COLS note).
+    """Jitted paired step → ONE packed int32[B, 2*PACKED_COLS+1]
+    (mate1 cols, mate2 cols — pipeline.pack_out layout — then proper):
+    a single D2H fetch per batch (see pipeline.PACKED_COLS note).
     ``packed_input``: mate blocks arrive packed 4 bases/byte + N plane
     (see pipeline.make_map_batch_fn) and unpack on device."""
     from urmap_tpu.map.pipeline import pack_out
@@ -389,16 +389,17 @@ class PairedMapper:
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
-        from urmap_tpu.map.pipeline import unpack_out
+        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out
 
         out, B = handle
         arr = np.asarray(out)[:B]
-        m1 = unpack_out(arr[:, 0:6])
-        m2 = unpack_out(arr[:, 6:12])
+        C = PACKED_COLS
+        m1 = unpack_out(arr[:, 0:C])
+        m2 = unpack_out(arr[:, C : 2 * C])
         return PairResult(
             m1=MapResult.from_device(m1, np.asarray(lengths1)[:B]),
             m2=MapResult.from_device(m2, np.asarray(lengths2)[:B]),
-            proper=arr[:, 12].astype(bool),
+            proper=arr[:, 2 * C].astype(bool),
         )
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
