@@ -206,3 +206,67 @@ def test_align_runs_python_fallback_matches_native():
     # no-straddle property + density
     assert ((s_any % 16) + counts <= 16).all()
     assert t_any >= int(counts.sum())
+
+
+def test_align_runs_pow2_block_invariant():
+    from urmap_tpu.index import store
+
+    rng = np.random.default_rng(11)
+    counts = rng.integers(0, 17, size=8000).astype(np.int64)
+    starts, total = store.align_runs(counts, 16)
+    g = np.maximum(1, 2 ** np.ceil(np.log2(np.maximum(counts, 1)))
+                   .astype(np.int64))
+    # every run stays inside ONE next_pow2(count)-word block — the
+    # property the tiered gather (seed.gather_candidates tier) needs
+    assert ((starts % g) + counts <= g).all()
+    assert ((starts % 16) + counts <= 16).all()
+    assert total >= int(counts.sum())
+
+
+def test_tiered_gather_matches_full(rng):
+    """gather_candidates tier=4 (narrow pass + overflow rounds) must be
+    BIT-identical to the full-width aligned gather, including slots that
+    overflow the tier (planted repeats)."""
+    import jax.numpy as jnp
+
+    from tests.utils import make_seqdb, plant_read
+    from urmap_tpu.config import MapConfig
+    from urmap_tpu.map.seed import (align_row_words, extract_seed_slots,
+                                    gather_candidates)
+
+    # heavy repeat: one 600 bp unit pasted 40x -> its k-mers' slots hold
+    # tens of positions (over the tier, under the cap)
+    unit = rng.integers(0, 4, size=600).astype(np.uint8)
+    parts = [rng.integers(0, 4, size=200_000).astype(np.uint8)]
+    for _ in range(40):
+        parts.append(unit)
+        parts.append(rng.integers(0, 4, size=1_000).astype(np.uint8))
+    db = make_seqdb_from_codes(np.concatenate(parts))
+    icfg = IndexConfig(slot_bits=16)
+    index = build_index(db, icfg, backend="host")
+    mcfg = MapConfig(max_read_len=80, batch_size=64)
+    p = mcfg.positions_per_seed
+    rw = align_row_words(p)
+    t = index.device_tables(cap=p, row_align=rw)
+
+    reads = np.stack([plant_read(rng, db, length=80, strand=0,
+                                 n_snps=1).codes for _ in range(48)]
+                     + [np.tile(unit[:80], 1).astype(np.uint8)
+                        for _ in range(16)])   # repeat-unit reads
+    lens = np.full(64, 80, np.int32)
+    slots, offs, valid = extract_seed_slots(
+        jnp.asarray(reads), jnp.asarray(lens), k=icfg.k,
+        q=mcfg.seeds_per_read, slot_bits=icfg.slot_bits)
+    full = gather_candidates(t["offsets"], t["positions"], slots, offs,
+                             valid, p=p, csr_aligned=True)
+    for tier in (4, 8):
+        tiered = gather_candidates(t["offsets"], t["positions"], slots,
+                                   offs, valid, p=p, csr_aligned=True,
+                                   tier=tier, tier_overflow_frac=64)
+        np.testing.assert_array_equal(np.asarray(full), np.asarray(tiered))
+
+
+def make_seqdb_from_codes(codes):
+    from urmap_tpu.io.fasta import SeqDB
+
+    return SeqDB.from_seqs(["chr1"], [codes])

@@ -64,9 +64,15 @@ def evenly_cap_runs(counts: np.ndarray, cap: int,
 
 
 def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
-    """Greedy no-straddle placement of CSR runs into ``rw``-word rows:
-    new start offsets such that no run (each ≤ rw entries) crosses an
-    rw-word boundary. Returns (starts int64[S], padded_total).
+    """Greedy no-straddle placement of CSR runs: each run of ``c``
+    entries (≤ rw) is placed so it never crosses a g-word boundary,
+    g = next_pow2(c). Returns (starts int64[S], padded_total).
+
+    Power-of-two granularities nest (g | rw), so every run also stays
+    inside one rw-word row (the span-1 full-width gather), AND a run
+    with c ≤ T stays inside one T-word block for any power-of-two
+    T ≥ c — which is what lets seed.gather_candidates fetch short runs
+    with a narrow ``tier``-word gather instead of a whole rw row.
 
     Native C when available (the decision is a sequential recurrence on
     the running fill level); Python loop fallback for tiny/test indexes.
@@ -91,7 +97,10 @@ def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
     cur = 0
     cl = counts.tolist()
     for i, c in enumerate(cl):
-        rem = rw - (cur & (rw - 1))
+        g = 1
+        while g < c:
+            g <<= 1
+        rem = g - (cur & (g - 1))
         if c > rem:
             cur += rem
         starts[i] = cur

@@ -500,10 +500,16 @@ void urmap_pack_reads(const uint8_t* codes, int64_t B, int64_t L,
 // is milliseconds in C vs seconds in Python. Returns the padded total.
 int64_t urmap_align_runs(const int64_t* counts, int64_t n, int64_t rw,
                          int64_t* starts) {
+  // granularity per run = next_pow2(count): runs stay inside one
+  // g-word block, so narrow tiered gathers (seed.gather_candidates)
+  // and the full rw-row gather both see span-1 fetches. rw bounds g.
+  (void)rw;
   int64_t cur = 0;
   for (int64_t i = 0; i < n; ++i) {
     const int64_t c = counts[i];
-    const int64_t rem = rw - (cur & (rw - 1));  // rw is a power of two
+    int64_t g = 1;
+    while (g < c) g <<= 1;
+    const int64_t rem = g - (cur & (g - 1));
     if (c > rem) cur += rem;
     starts[i] = cur;
     cur += c;

@@ -159,13 +159,15 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
 
 def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig,
-                     csr_aligned: bool = False):
+                     csr_aligned: bool = False,
+                     gather_tier: int | None = None):
     """Full paired-end device step → per-mate output dicts + pair flags."""
     B, L = r1.shape
     reads = jnp.concatenate([r1, r2], axis=0)
     lens = jnp.concatenate([l1, l2], axis=0)
     c = candidates_batch_device(tables, reads, lens, icfg=icfg, mcfg=mcfg,
-                                sc=sc, csr_aligned=csr_aligned)
+                                sc=sc, csr_aligned=csr_aligned,
+                                gather_tier=gather_tier)
     c1 = {k: v[:B] for k, v in c.items()}
     c2 = {k: v[B:] for k, v in c.items()}
 
@@ -293,7 +295,8 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *,
                       packed_input: bool = False,
-                      csr_aligned: bool = False):
+                      csr_aligned: bool = False,
+                      gather_tier: int | None = None):
     """Jitted paired step → ONE packed int32[B, 2*PACKED_COLS+1]
     (mate1 cols, mate2 cols — pipeline.pack_out layout — then proper):
     a single D2H fetch per batch (see pipeline.PACKED_COLS note).
@@ -303,7 +306,7 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
 
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc,
-                          csr_aligned=csr_aligned)
+                          csr_aligned=csr_aligned, gather_tier=gather_tier)
 
     def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
@@ -351,7 +354,8 @@ class PairedMapper:
         self._fn = make_map_pairs_fn(
             mapper.icfg, mapper.mcfg, mapper.sc,
             packed_input=self.packed_upload,
-            csr_aligned=getattr(mapper, "csr_aligned", False))
+            csr_aligned=getattr(mapper, "csr_aligned", False),
+            gather_tier=getattr(mapper, "gather_tier", None))
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         """Host-side upload prep for start_batch's ``prepacked`` — run

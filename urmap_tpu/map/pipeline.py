@@ -99,10 +99,27 @@ def _ungapped_scores(genome, cand, reads, lengths, sc: ScoreConfig):
                   0).astype(jnp.int32), axis=-1)
 
 
+def pick_gather_tier(aligned_counts: np.ndarray,
+                     max_overflow: float = 0.04) -> int | None:
+    """Tiered-gather width from the aligned layout's padded-count
+    distribution (seed.gather_candidates tier): the smallest power of
+    two whose overflow fraction stays under ``max_overflow``, or None
+    when only the full width qualifies. Lightly-loaded indexes (the
+    common case: ~0.5 positions/slot at auto slot_bits) fetch 4 words
+    per seed instead of 16."""
+    if aligned_counts.size == 0:
+        return None
+    for t in (4, 8):
+        if float((aligned_counts > t).mean()) <= max_overflow:
+            return t
+    return None
+
+
 def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             mcfg: MapConfig, sc: ScoreConfig,
                             dp_runner=None, gather_runner=None,
-                            csr_aligned: bool = False):
+                            csr_aligned: bool = False,
+                            gather_tier: int | None = None):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
     The reference verifies candidates ungapped first and only runs the
@@ -131,7 +148,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     if gather_runner is None:
         cand = gather_candidates(
             tables["offsets"], tables["positions"], slots, offs, valid,
-            p=p, csr_aligned=csr_aligned)
+            p=p, csr_aligned=csr_aligned, tier=gather_tier)
     else:
         cand = gather_runner(slots, offs, valid)
     top_cand, votes = vote_top_candidates_dispatch(cand, v=v)  # [2B, V]
@@ -303,12 +320,14 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
 def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
-                     gather_runner=None, csr_aligned: bool = False):
+                     gather_runner=None, csr_aligned: bool = False,
+                     gather_tier: int | None = None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
                                 gather_runner=gather_runner,
-                                csr_aligned=csr_aligned)
+                                csr_aligned=csr_aligned,
+                                gather_tier=gather_tier)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
@@ -376,7 +395,8 @@ def unpack_out(arr: np.ndarray) -> dict:
 def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *, packed: bool = True,
                       packed_input: bool = False,
-                      csr_aligned: bool = False):
+                      csr_aligned: bool = False,
+                      gather_tier: int | None = None):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
     (or the raw output dict with packed=False).
 
@@ -388,7 +408,7 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     pipeline bubble. Bit-identical to the unpacked path."""
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
-                          csr_aligned=csr_aligned)
+                          csr_aligned=csr_aligned, gather_tier=gather_tier)
     if not packed:
         return jax.jit(fn)
 
@@ -457,14 +477,21 @@ class Mapper:
         capped = index.recapped(p)
         rw = align_row_words(p)
         counts = np.diff(capped.offsets.astype(np.int64))
-        _, total = align_runs(counts, rw)
+        starts, total = align_runs(counts, rw)
         npos = max(capped.num_positions, 1)
         self.csr_aligned = total <= 1.15 * npos
+        # tiered gather width from the PADDED-count distribution (what
+        # the device actually sees — pipeline.pick_gather_tier)
+        self.gather_tier = None
+        if self.csr_aligned:
+            padded = np.diff(np.concatenate([starts, [total]]))
+            self.gather_tier = pick_gather_tier(padded)
         self.tables = capped.device_tables(
             row_align=rw if self.csr_aligned else None)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
-                                     csr_aligned=self.csr_aligned)
+                                     csr_aligned=self.csr_aligned,
+                                     gather_tier=self.gather_tier)
 
     def _pad_full(self, codes: np.ndarray, lengths: np.ndarray):
         """Pad to the full [batch_size, max_read_len] block (rows with

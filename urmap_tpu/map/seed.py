@@ -157,8 +157,31 @@ def align_row_words(p: int) -> int:
     return rw
 
 
+def _aligned_rows_fetch(positions, flat_starts, width: int, rw: int):
+    """Fetch ``width`` entries beginning at each (row-contained) CSR
+    offset from the aligned layout: ONE rw-word row per start + a log2
+    funnel (SENTINEL fill). Requires every run to live inside one
+    rw-word row (store.align_runs). Returns int32-ish [len, width]."""
+    M = positions.shape[0]
+    nrows = M // rw
+    t2 = positions[: nrows * rw].reshape(nrows, rw)
+    r0 = (flat_starts // jnp.uint32(rw)).astype(jnp.int32)
+    cur = jnp.take(t2, jnp.clip(r0, 0, nrows - 1), axis=0)
+    off = (flat_starts % jnp.uint32(rw)).astype(jnp.int32)
+    bit = rw.bit_length() - 2
+    while bit >= 0:
+        sh = 1 << bit
+        shifted = jnp.concatenate(
+            [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)], axis=1)
+        cur = jnp.where((((off >> bit) & 1) == 1)[:, None], shifted, cur)
+        bit -= 1
+    return cur[:, :width]
+
+
 def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
-                      p: int, csr_aligned: bool = False):
+                      p: int, csr_aligned: bool = False,
+                      tier: int | None = None,
+                      tier_overflow_frac: int = 16):
     """CSR gather: per (read, seed), up to P genome positions → candidate
     alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid).
 
@@ -169,11 +192,20 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
     builders do).
 
     ``csr_aligned``: the table was built with store.device_tables
-    row_align (no run straddles an align_row_words(p) row; pad entries
-    are SENTINEL; offsets follow the padded-CSR convention). The gather
-    then fetches exactly ceil(p/rw) ALIGNED rows per seed — no straddle
-    row, and the funnel shift runs on p lanes instead of p+rw. Entry
-    validity = (entry != SENTINEL) & (lane < padded count).
+    row_align (no run crosses its next_pow2(count)-word block; pad
+    entries are SENTINEL; offsets follow the padded-CSR convention).
+    The gather then fetches exactly ONE aligned row per seed — no
+    straddle row. Entry validity = (entry != SENTINEL) & (lane < count).
+
+    ``tier`` (aligned layout only, power of two < p): XLA's TPU gather
+    costs ~1 element/cycle, so fetch cost is the ELEMENT COUNT — and on
+    lightly-loaded indexes most runs are far shorter than p. Pass 1
+    fetches only ``tier`` words per seed (runs ≤ tier live inside one
+    tier-word block by the align_runs granularity rule); the few seeds
+    with count > tier are re-fetched at full width in capacity-bounded
+    while_loop rounds (tier_overflow_frac — full coverage, any load).
+    Bit-identical output to the untiered path. Pick the tier from index
+    statistics (pipeline.pick_gather_tier).
     """
     from urmap_tpu import genome_pack as gpk
 
@@ -184,27 +216,49 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
     # per-slot counts are small (≤ the gather cap [+ row pad]) → int32
     cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
+    if csr_aligned and tier is not None and tier < p:
+        assert tier & (tier - 1) == 0, "tier must be a power of two"
+        flat = start.reshape(-1)                               # [n*q]
+        cnt_f = cnt.reshape(-1)
+        valid_f = valid.reshape(-1)
+        soff_f = seed_offs.reshape(-1)
+        narrow = _aligned_rows_fetch(positions, flat, tier, tier)
+        pos1 = jnp.concatenate(
+            [narrow, jnp.full((narrow.shape[0], p - tier), SENTINEL,
+                              narrow.dtype)], axis=1)          # [n*q, p]
+        ok1 = ((j[None, :] < cnt_f[:, None]) & (pos1 != SENTINEL)
+               & valid_f[:, None])
+        cand_f = jnp.where(ok1, pos1.astype(jnp.int32) - soff_f[:, None],
+                           SENTINEL)
+
+        rw = align_row_words(p)
+        ov = valid_f & (cnt_f > tier)                          # overflow
+        cap2 = min(max((n * q) // tier_overflow_frac, 128), n * q)
+
+        def ocond(st):
+            return jnp.any(ov & ~st[1])
+
+        def obody(st):
+            cf, done = st
+            rem = ov & ~done
+            idx, = jnp.nonzero(rem, size=cap2, fill_value=0)
+            do = rem[idx]
+            full = _aligned_rows_fetch(positions, flat[idx], p, rw)
+            okk = ((j[None, :] < cnt_f[idx][:, None])
+                   & (full != SENTINEL))
+            c2 = jnp.where(okk, full.astype(jnp.int32)
+                           - soff_f[idx][:, None], SENTINEL)
+            cf = cf.at[idx].set(jnp.where(do[:, None], c2, cf[idx]))
+            done = done.at[idx].set(done[idx] | do)
+            return cf, done
+
+        cand_f, _ = jax.lax.while_loop(
+            ocond, obody, (cand_f, jnp.zeros(n * q, jnp.bool_)))
+        return cand_f.reshape(n, q * p)
     if csr_aligned:
         rw = align_row_words(p)
-        M = positions.shape[0]
-        nrows = M // rw
-        t2 = positions[: nrows * rw].reshape(nrows, rw)
-        flat = start.reshape(-1)
-        r0 = (flat // jnp.uint32(rw)).astype(jnp.int32)
-        span = -(-p // rw)
-        rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
-                for i in range(span)]
-        cur = rows[0] if span == 1 else jnp.concatenate(rows, axis=1)
-        off = (flat % jnp.uint32(rw)).astype(jnp.int32)
-        bit = rw.bit_length() - 2
-        while bit >= 0:
-            sh = 1 << bit
-            shifted = jnp.concatenate(
-                [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)], axis=1)
-            cur = jnp.where((((off >> bit) & 1) == 1)[:, None],
-                            shifted, cur)
-            bit -= 1
-        pos = cur[:, :p].reshape(n, q, p)
+        pos = _aligned_rows_fetch(positions, start.reshape(-1), p, rw) \
+            .reshape(n, q, p)
         ok = ((j[None, None, :] < cnt[:, :, None])
               & (pos != SENTINEL) & valid[:, :, None])
     else:
