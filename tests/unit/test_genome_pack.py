@@ -257,3 +257,61 @@ def test_biased_coordinates_past_2_31(rng):
                                       jnp.asarray(biased), L))
     for i in range(n):
         np.testing.assert_array_equal(got[i], codes[local[i]:local[i] + L])
+
+
+def test_read_words_from_upload_matches_pack_reads(rng):
+    """Upload-view words == pack_reads(unpack_read_codes_device(...))
+    bit-for-bit (both planes, all lanes incl. pad)."""
+    import jax.numpy as jnp
+
+    B, L = 64, 150
+    NW = -(-L // 16)
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.05] = 5
+    lengths = rng.integers(0, L + 1, size=B).astype(np.int32)
+    # mapper pad convention: lanes past length are READ_N
+    codes[np.arange(L)[None, :] >= lengths[:, None]] = 5
+    pk, nm = gp.pack_read_codes_host(codes)
+    ref_rp, ref_rn = gp.pack_reads(
+        gp.unpack_read_codes_device(jnp.asarray(pk), jnp.asarray(nm), L),
+        jnp.asarray(lengths), NW)
+    rp, rn = gp.read_words_from_upload(
+        jnp.asarray(pk), jnp.asarray(nm), jnp.asarray(lengths), NW)
+    np.testing.assert_array_equal(np.asarray(ref_rp), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(ref_rn), np.asarray(rn))
+
+
+def test_revcomp_words_matches_byte_path(rng):
+    """Word-space revcomp == pack_reads(revcomp_batch(codes)) exactly,
+    across length edge cases (0, <k, %16 == 0, full)."""
+    import jax.numpy as jnp
+
+    from urmap_tpu.map.pipeline import revcomp_batch
+
+    B, L = 64, 150
+    NW = -(-L // 16)
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.05] = 5
+    lengths = rng.integers(0, L + 1, size=B).astype(np.int32)
+    lengths[:4] = [0, 16, 32, 144]        # %16 == 0 edges
+    lengths[4:8] = [1, 15, 17, L]
+    codes[np.arange(L)[None, :] >= lengths[:, None]] = 5
+    cj, lj = jnp.asarray(codes), jnp.asarray(lengths)
+    rp, rn = gp.pack_reads(cj, lj, NW)
+    ref_rp, ref_rn = gp.pack_reads(revcomp_batch(cj, lj), lj, NW)
+    rc_rp, rc_rn = gp.revcomp_words(rp, rn, lj, L)
+    np.testing.assert_array_equal(np.asarray(ref_rn), np.asarray(rc_rn))
+    np.testing.assert_array_equal(np.asarray(ref_rp), np.asarray(rc_rp))
+
+
+def test_unpack_words_roundtrip(rng):
+    import jax.numpy as jnp
+
+    B, L = 32, 150
+    NW = -(-L // 16)
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[rng.random((B, L)) < 0.1] = 5
+    lengths = np.full(B, L, np.int32)
+    rp, rn = gp.pack_reads(jnp.asarray(codes), jnp.asarray(lengths), NW)
+    back = np.asarray(gp.unpack_words_to_codes(rp, rn, L))
+    np.testing.assert_array_equal(codes, back)

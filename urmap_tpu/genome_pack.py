@@ -230,6 +230,128 @@ def unpack_read_codes_device(packed, nmask, L: int):
     return jnp.where(isn == 1, jnp.uint8(5), code)
 
 
+def _tail_n_mask(lengths, n_words: int):
+    """uint32[N, n_words] with 01 in every 2-bit lane at base index
+    >= lengths (the pack_reads pad-is-N convention)."""
+    base_idx = (jnp.arange(n_words, dtype=jnp.int32)
+                * BASES_PER_WORD)[None, :]
+    rem = jnp.clip(lengths[:, None] - base_idx, 0, BASES_PER_WORD)
+    full = jnp.uint32(0x5555_5555)
+    kept = jnp.where(
+        rem >= BASES_PER_WORD, jnp.uint32(0xFFFF_FFFF),
+        (jnp.uint32(1) << (2 * rem).astype(jnp.uint32)) - jnp.uint32(1))
+    return full & ~kept
+
+
+def read_words_from_upload(packed, nmask, lengths, n_words: int):
+    """(packed uint8[N, ceil(L/4)], nmask uint8[N, ceil(L/8)]) from
+    pack_read_codes_host → (rpacked, rnplane) uint32[N, n_words],
+    bit-identical to pack_reads(unpack_read_codes_device(...), ...).
+
+    The 4-base upload bytes ARE the word bytes little-endian (base j
+    sits at bits 2*(j%4) of byte j//4, word bits 2*(j%16) of word
+    j//16), so code words are a byte regroup; the 1-bit N plane spreads
+    to the 2-bit lanes with a Morton expand. Lanes past ``lengths`` are
+    forced to N (pack_reads' pad convention).
+    """
+    N = packed.shape[0]
+    nb = 4 * n_words
+    if packed.shape[1] < nb:
+        packed = jnp.pad(packed, ((0, 0), (0, nb - packed.shape[1])))
+    b = packed[:, :nb].astype(jnp.uint32).reshape(N, n_words, 4)
+    rpacked = (b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
+               | (b[:, :, 3] << 24))
+    hb = 2 * n_words
+    if nmask.shape[1] < hb:
+        nmask = jnp.pad(nmask, ((0, 0), (0, hb - nmask.shape[1])))
+    h = nmask[:, :hb].astype(jnp.uint32).reshape(N, n_words, 2)
+    x = h[:, :, 0] | (h[:, :, 1] << 8)           # 16 N-bits per word
+    x = (x | (x << 8)) & jnp.uint32(0x00FF00FF)  # Morton spread to evens
+    x = (x | (x << 4)) & jnp.uint32(0x0F0F0F0F)
+    x = (x | (x << 2)) & jnp.uint32(0x3333_3333)
+    x = (x | (x << 1)) & jnp.uint32(0x5555_5555)
+    rnplane = x | _tail_n_mask(lengths, n_words)
+    return rpacked.astype(jnp.uint32), rnplane.astype(jnp.uint32)
+
+
+def _rev2bit(x):
+    """Reverse the sixteen 2-bit lanes of each uint32."""
+    x = ((x & jnp.uint32(0x3333_3333)) << 2) \
+        | ((x >> 2) & jnp.uint32(0x3333_3333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) \
+        | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) \
+        | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
+def revcomp_words(rpacked, rnplane, lengths, L: int | None = None):
+    """Word-space reverse complement: bit-identical to
+    pack_reads(revcomp_batch(codes), lengths, nw) given
+    (rpacked, rnplane) = pack_reads(codes, lengths, nw) with
+    L = codes.shape[1] (lanes ≥ L carry pack_reads' pad: code 00,
+    N-bit 01; defaults to every lane in the words).
+
+    rc word u covers rc bases 16u..16u+15 = comp(fwd bases
+    len-1-16u .. len-16(u+1)): one per-row word gather + a funnel shift
+    by the row-constant 2*(len mod 16), a 2-bit-lane reversal, and the
+    complement (XOR on ACGT lanes; N lanes forced to the pad pattern
+    01, matching alphabet.COMP_CODE[5] == 5 → packed 01)."""
+    N, nw = rpacked.shape
+    lengths = lengths.astype(jnp.int32)
+    # fw[0] = guard zero word; fw[1 + w] = word w; fw[nw + 1] = guard
+    def padded(a):
+        z = jnp.zeros((N, 1), jnp.uint32)
+        return jnp.concatenate([z, a, z], axis=1)
+
+    fp, fn = padded(rpacked), padded(rnplane)
+    u = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    s = lengths[:, None] - 16 * (u + 1)          # fwd base of rc word u
+    w0 = jnp.clip(jnp.floor_divide(s, 16) + 1, 0, nw)  # guard-offset idx
+    rem = (lengths % 16).astype(jnp.uint32)[:, None]
+    sh = 2 * rem
+
+    def vword(a):
+        lo = jnp.take_along_axis(a, w0, axis=1)
+        hi = jnp.take_along_axis(a, w0 + 1, axis=1)
+        return jnp.where(
+            sh == 0, lo,
+            (lo >> sh) | (hi << ((jnp.uint32(32) - sh) % 32)))
+
+    code = _rev2bit(vword(fp))
+    nbit = _rev2bit(vword(fn))
+    comp = code ^ jnp.uint32(0xFFFF_FFFF)
+    # N lanes (and the tail pad) carry code 01 / nbit 01, exactly the
+    # byte path's COMP_CODE[5] = 5 → (5 & 3) = 1 packing
+    tail = _tail_n_mask(lengths, nw)
+    nmask2 = nbit | tail
+    rc_code = (comp & ~(jnp.uint32(3) * nmask2)) | nmask2
+    if L is not None and L < 16 * nw:
+        # lanes >= L (past the byte block): pack_reads pads code 00
+        lane = np.arange(16 * nw) < L
+        lmask = np.zeros(nw, np.uint32)
+        for w in range(nw):
+            bits = np.uint32(0)
+            for t in range(16):
+                if lane[16 * w + t]:
+                    bits |= np.uint32(3) << np.uint32(2 * t)
+            lmask[w] = bits
+        rc_code = rc_code & jnp.asarray(lmask)[None, :]
+    return rc_code.astype(jnp.uint32), nmask2.astype(jnp.uint32)
+
+
+def unpack_words_to_codes(rpacked, rnplane, L: int):
+    """(rpacked, rnplane) uint32[N, nw] → uint8[N, L] read codes with
+    N restored as code 5 (the read-code convention — genome-N 4 never
+    occurs in reads). Inverse of pack_reads for valid read codes."""
+    sh = (jnp.arange(BASES_PER_WORD, dtype=jnp.uint32) * 2)[None, None, :]
+    code = ((rpacked[:, :, None] >> sh) & jnp.uint32(3))
+    isn = ((rnplane[:, :, None] >> sh) & jnp.uint32(1))
+    out = jnp.where(isn == 1, jnp.uint32(5), code)
+    N, nw = rpacked.shape
+    return out.reshape(N, nw * BASES_PER_WORD)[:, :L].astype(jnp.uint8)
+
+
 def pack_reads(codes, lengths, n_words: int):
     """uint8[N, L] read codes → (packed uint32[N, n_words], nplane ...).
 
