@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from urmap_tpu.hashing import words_to_slots
 
@@ -99,6 +100,65 @@ def extract_seed_slots(reads, lengths, *, k: int, q: int, slot_bits: int):
                 hi = (hi << 2) | c32
             else:
                 lo = (lo << 2) | c32
+    slots_dense = words_to_slots(lo, hi, slot_bits)         # [N, m]
+
+    offs_c = jnp.clip(offs, 0, m - 1)
+    slots = jnp.take_along_axis(slots_dense, offs_c, axis=1)
+    valid = jnp.take_along_axis(ok, offs_c, axis=1) & (lengths >= k)[:, None]
+    return slots, offs, valid
+
+
+def extract_seed_slots_words(rpacked, rnplane, lengths, L: int, *,
+                             k: int, q: int, slot_bits: int):
+    """extract_seed_slots fed from the 2-bit word planes
+    (genome_pack.pack_reads layout) instead of byte codes —
+    bit-identical outputs (tests/unit/test_seed_words.py).
+
+    Dense (lo, hi) words at every offset come from two word funnels
+    (A = bases j..j+15, B = j+16..j+31, LSB-first) plus one 2-bit-lane
+    reversal each to restore the first-base-most-significant order the
+    hash expects; validity is a zero-test on the same funnels of the
+    N plane. k ≤ 32."""
+    from urmap_tpu import genome_pack as gpk
+
+    n, nw = rpacked.shape
+    if L < k:
+        raise ValueError(f"read block width {L} < word length {k}")
+    m = L - k + 1
+    offs = seed_offsets(lengths, k, q)
+
+    def pad2(a, fill):
+        f = jnp.full((n, 2), fill, jnp.uint32)
+        return jnp.concatenate([a, f], axis=1)
+
+    cw = pad2(rpacked, 0)
+    nwp = pad2(rnplane, 0x5555_5555)
+    j = np.arange(m)
+    sh = jnp.asarray((2 * (j % 16)).astype(np.uint32))[None, :]
+
+    def dense(words, lane0):
+        # D(j) = bases j+lane0 .. j+lane0+15, LSB-first
+        lo = jnp.repeat(words, 16, axis=1)[:, lane0 : lane0 + m]
+        hi = jnp.repeat(words[:, 1:], 16, axis=1)[:, lane0 : lane0 + m]
+        return jnp.where(sh == 0, lo,
+                         (lo >> sh) | (hi << ((jnp.uint32(32) - sh) % 32)))
+
+    A, B = dense(cw, 0), dense(cw, 16)
+    nA, nB = dense(nwp, 0), dense(nwp, 16)
+    if k <= 16:
+        lo = gpk._rev2bit(A) >> jnp.uint32(32 - 2 * k)
+        hi = jnp.zeros_like(lo)
+        okbits = nA & jnp.uint32((1 << (2 * k)) - 1)
+    elif k == 32:
+        hi, lo = gpk._rev2bit(A), gpk._rev2bit(B)
+        okbits = nA | nB
+    else:
+        ra, rb = gpk._rev2bit(A), gpk._rev2bit(B)
+        hb = 2 * (k - 16)
+        hi = ra >> jnp.uint32(32 - hb)
+        lo = (ra << jnp.uint32(hb)) | (rb >> jnp.uint32(32 - hb))
+        okbits = nA | (nB & jnp.uint32((1 << hb) - 1))
+    ok = okbits == 0
     slots_dense = words_to_slots(lo, hi, slot_bits)         # [N, m]
 
     offs_c = jnp.clip(offs, 0, m - 1)
