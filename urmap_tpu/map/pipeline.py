@@ -119,7 +119,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             mcfg: MapConfig, sc: ScoreConfig,
                             dp_runner=None, gather_runner=None,
                             csr_aligned: bool = False,
-                            gather_tier: int | None = None):
+                            gather_tier: int | None = None,
+                            packed_reads=None):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
     The reference verifies candidates ungapped first and only runs the
@@ -129,19 +130,41 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     DP on all their candidates, everyone else keeps the (identical when
     gap-free) ungapped score. Kills ~95% of DP work on typical data.
 
+    The front end is WORD-NATIVE: the 2-bit word planes (fwd from the
+    upload bytes or pack_reads; rc via genome_pack.revcomp_words) are
+    the primary representation — the byte-path revcomp + re-pack are
+    gone — and byte codes are restored once (unpack_words_to_codes) for
+    the stages that still consume bytes (seed kernel input, DP window
+    compare). Bit-identical to the byte front end for valid read codes.
+
+    ``packed_reads``: optional (packed, nmask) upload blocks
+    (genome_pack.pack_read_codes_host layout); when given, ``reads``
+    may be None and L comes from mcfg.max_read_len.
+
     Returns a dict of per-read candidate arrays [B, 2V] (fwd candidates
     in columns [:V], rc in [V:]): pos, score, strand, valid, ungapped,
     plus per-read dp_ran [B]. ``dp_runner``/``gather_runner`` let the
     sharded path split DP lanes / own only its hash range
     (dist/sharded.py).
     """
-    B, L = reads.shape
+    from urmap_tpu import genome_pack as gpk
+
+    B = lengths.shape[0]
+    L = mcfg.max_read_len if reads is None else reads.shape[1]
+    nw = -(-L // gpk.BASES_PER_WORD)
     q, p, v = mcfg.seeds_per_read, mcfg.positions_per_seed, mcfg.top_candidates
     neg = jnp.int32(NEG)
 
-    rc = revcomp_batch(reads, lengths)
-    reads2 = jnp.concatenate([reads, rc], axis=0)          # [2B, L]
+    if packed_reads is not None:
+        pk, nm = packed_reads
+        rp1, rn1 = gpk.read_words_from_upload(pk, nm, lengths, nw)
+    else:
+        rp1, rn1 = gpk.pack_reads(reads, lengths, nw)
+    rp_rc, rn_rc = gpk.revcomp_words(rp1, rn1, lengths, L)
+    rpacked2 = jnp.concatenate([rp1, rp_rc], axis=0)        # [2B, nw]
+    rnplane2 = jnp.concatenate([rn1, rn_rc], axis=0)
     lengths2 = jnp.concatenate([lengths, lengths], axis=0)  # [2B]
+    reads2 = gpk.unpack_words_to_codes(rpacked2, rnplane2, L)
 
     slots, offs, valid = extract_seed_slots_dispatch(
         reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
@@ -167,10 +190,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                          jnp.clip(top_cand, -POS_BIAS, glen - 1 - POS_BIAS))
 
     # ---- ungapped verification of every candidate (bit-parallel) ----
-    from urmap_tpu import genome_pack as gpk
-
-    nw = -(-L // gpk.BASES_PER_WORD)
-    rpacked2, rnplane2 = gpk.pack_reads(reads2, lengths2, nw)  # [2B, nw]
+    # (rpacked2/rnplane2 already ARE the primary representation)
     flat_cand = top_cand.reshape(-1)                           # [2B*V]
     flat_lens = jnp.repeat(lengths2, v, axis=0)
     valid_flat = flat_cand != SENTINEL
@@ -321,13 +341,14 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
                      gather_runner=None, csr_aligned: bool = False,
-                     gather_tier: int | None = None):
+                     gather_tier: int | None = None, packed_reads=None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
                                 gather_runner=gather_runner,
                                 csr_aligned=csr_aligned,
-                                gather_tier=gather_tier)
+                                gather_tier=gather_tier,
+                                packed_reads=packed_reads)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
@@ -413,12 +434,11 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
         return jax.jit(fn)
 
     if packed_input:
-        from urmap_tpu import genome_pack as gpk
-
         def packed_in_fn(tables, rpk, rnm, lengths):
-            reads = gpk.unpack_read_codes_device(
-                rpk, rnm, mcfg.max_read_len)
-            return pack_out(fn(tables, reads, lengths))
+            # word-native front door: the upload bytes feed the word
+            # planes directly (no byte unpack -> re-pack round trip)
+            return pack_out(fn(tables, None, lengths,
+                               packed_reads=(rpk, rnm)))
 
         return jax.jit(packed_in_fn)
 
