@@ -276,9 +276,10 @@ def main(argv=None):
                 print(json.dumps({"metric": "kernel_parity",
                                   "value": 0, "clip": clip is not None}))
                 return 1
-        from urmap_tpu.kernels.seed_slots import seed_slots_pallas
+        from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
         from urmap_tpu.kernels.vote import vote_pallas
-        from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
+        from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
                                         vote_top_candidates)
 
         sreads = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
@@ -286,11 +287,15 @@ def main(argv=None):
         sreads[ck_rng.random(sreads.shape) < 0.02] = 5
         slens = ck_rng.integers(0, args.read_len + 1, size=2048) \
             .astype(np.int32)
-        s_k, o_k, v_k = seed_slots_pallas(
-            jnp.asarray(sreads), jnp.asarray(slens), k=icfg.k, q=8,
+        sreads[np.arange(args.read_len)[None, :] >= slens[:, None]] = 5
+        s_nw = -(-args.read_len // 16)
+        s_rp, s_rn = gpk.pack_reads(jnp.asarray(sreads), jnp.asarray(slens),
+                                    s_nw)
+        s_k, o_k, v_k = seed_slots_words_pallas(
+            s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
             slot_bits=icfg.slot_bits)
-        s_j2, o_j2, v_j2 = extract_seed_slots(
-            jnp.asarray(sreads), jnp.asarray(slens), k=icfg.k, q=8,
+        s_j2, o_j2, v_j2 = extract_seed_slots_words(
+            s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
             slot_bits=icfg.slot_bits)
         vm = np.asarray(v_j2)
         cands = ck_rng.integers(-(1 << 30), 1 << 28, size=(2048, 128)) \

@@ -35,12 +35,13 @@ def main():
     interp = args.cpu          # CPU backend only supports interpret mode
     import jax.numpy as jnp
 
+    from urmap_tpu import genome_pack as gpk
     from urmap_tpu.config import ScoreConfig
     from urmap_tpu.kernels.banded_dp import pallas_from_windows
-    from urmap_tpu.kernels.seed_slots import seed_slots_pallas
+    from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
     from urmap_tpu.kernels.vote import vote_pallas
     from urmap_tpu.map.dp import banded_from_windows
-    from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots,
+    from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
                                     vote_top_candidates)
 
     print(f"backend: {jax.devices()[0]}", flush=True)
@@ -68,16 +69,19 @@ def main():
               f"{'ok' if same else 'MISMATCH'}", flush=True)
         ok &= same
 
-    # ---- seed slots ----
+    # ---- seed slots (word planes) ----
     reads = rng.integers(0, 4, size=(4096, L)).astype(np.uint8)
     reads[rng.random(reads.shape) < 0.02] = 5
     lens = rng.integers(24, L + 1, size=4096).astype(np.int32)
     lens[:32] = 0
-    s_k, o_k, v_k = seed_slots_pallas(jnp.asarray(reads), jnp.asarray(lens),
-                                      k=24, q=8, slot_bits=25,
-                                      interpret=interp)
-    s_j, o_j, v_j = extract_seed_slots(jnp.asarray(reads), jnp.asarray(lens),
-                                       k=24, q=8, slot_bits=25)
+    reads[np.arange(L)[None, :] >= lens[:, None]] = 5
+    NW = -(-L // 16)
+    rp, rn = gpk.pack_reads(jnp.asarray(reads), jnp.asarray(lens), NW)
+    s_k, o_k, v_k = seed_slots_words_pallas(rp, rn, jnp.asarray(lens), L,
+                                            k=24, q=8, slot_bits=25,
+                                            interpret=interp)
+    s_j, o_j, v_j = extract_seed_slots_words(rp, rn, jnp.asarray(lens), L,
+                                             k=24, q=8, slot_bits=25)
     vm = np.asarray(v_j)
     same = (np.array_equal(vm, np.asarray(v_k))
             and np.array_equal(np.asarray(o_j), np.asarray(o_k))

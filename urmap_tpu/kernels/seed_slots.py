@@ -1,30 +1,24 @@
-"""Pallas TPU kernel: fused seed-word extraction + hash + offset select.
+"""Pallas TPU kernel: fused seed-word extraction + hash + offset select,
+fed from the 2-bit word planes.
 
-Kernel twin of map.seed.extract_seed_slots (bit-identical outputs,
-tested in tests/unit/test_pallas_seed.py). The jnp version is ~1 ms of
-u32 shift/or/hash work that XLA executes at ~16 ms per 32k batch on the
-target platform (tools/profile_prefix.py); like the banded-DP kernel
-(kernels/banded_dp.py) this keeps the whole stage in VMEM registers.
+Kernel twin of map.seed.extract_seed_slots_words (bit-identical outputs,
+tested in tests/unit/test_pallas_seed.py). The jnp twin is ~1 ms of u32
+funnel/hash work that XLA executes at ~16 ms per 32k batch on the
+target platform; like the banded-DP kernel this keeps the whole stage
+in VMEM registers.
 
-Layout follows the DP kernel: read positions ride the SUBLANE axis,
-reads the LANE axis, so every dense pass is one VPU op on a [Lp, R]
-tile. Mosaic's 8-aligned sublane-slice rule is sidestepped the same way
-too — static `pltpu.roll`s stand in for misaligned slices:
+Layout follows the DP kernel: dense read offsets ride the SUBLANE axis,
+reads the LANE axis. The word→offset upsample (dense row j needs word
+j//16, j//16+1, j//16+2) is THREE tiny MXU matmuls per plane against
+static 0/1 expansion matrices, done in two 16-bit halves so float32
+stays exact — Mosaic has no sublane repeat, but it has a systolic
+array. The per-read seed-offset select is a log2 funnel of conditional
+sublane rolls (as in the DP kernel); validity rides bit 31 of the slot
+word so one funnel serves both.
 
-  * b4 grouping (4 consecutive bases -> one byte) uses rolls by 1;
-  * group accumulation (k/4 byte groups -> (hi, lo) words) rolls by 4;
-  * the per-read offset select is a log2 funnel of conditional rolls
-    (off is per-READ, i.e. per lane, so the roll is static and the
-    lane-mask picks which lanes take it);
-  * output row q is accumulated via a row-iota select and written once.
-
-Validity (all-ACGT window) rides bit 31 of the slot word through the
-funnel (slot_bits <= 30 leaves it free), so only one funnel runs.
-
-All arithmetic is int32 (two's-complement mul/add/xor match uint32
-wraparound; right shifts use lax.shift_right_logical) — the wrapper
-reinterprets to uint32, making the hash bit-identical to
-hashing.hash_words.
+Hash is int32 two's-complement (logical right shifts), bit-identical to
+hashing.hash_words. Works for any k ≤ 32 (the byte-path kernel's
+k % 4 restriction is gone) and slot_bits ≤ 30 (bit 31 = validity).
 """
 
 from __future__ import annotations
@@ -33,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -41,10 +36,8 @@ DEFAULT_BLOCK_R = 512
 
 def supports(k: int, slot_bits: int) -> bool:
     """Shapes the kernel handles; callers fall back to the jnp twin
-    otherwise (map.seed.extract_seed_slots_dispatch)."""
-    lo_bases = min(k, 16)
-    return (k % 4 == 0 and (k - lo_bases) % 4 == 0 and k >= 4
-            and slot_bits <= 30)
+    otherwise (map.seed.extract_seed_slots_words_dispatch)."""
+    return 1 <= k <= 32 and slot_bits <= 30
 
 
 def _i32(u: int) -> int:
@@ -66,64 +59,84 @@ def _hash_i32(lo, hi, slot_bits: int):
     return h & jnp.int32((1 << slot_bits) - 1)
 
 
-def _make_kernel(L: int, k: int, q: int, slot_bits: int, lp: int, qp: int,
-                 block_r: int):
+def _rev2bit_i32(x):
+    """Reverse the sixteen 2-bit lanes of each int32 (u32 semantics)."""
+    srl = jax.lax.shift_right_logical
+    m1, m2, m3 = 0x33333333, 0x0F0F0F0F, 0x00FF00FF
+    x = ((x & m1) << 2) | (srl(x, jnp.int32(2)) & m1)
+    x = ((x & m2) << 4) | (srl(x, jnp.int32(4)) & m2)
+    x = ((x & m3) << 8) | (srl(x, jnp.int32(8)) & m3)
+    return (x << 16) | srl(x, jnp.int32(16))
+
+
+def _make_kernel(L: int, k: int, q: int, slot_bits: int, nwp: int,
+                 mp: int, qp: int, block_r: int):
     m = L - k + 1
-    mg = L - 3                   # 4-base group count
-    lo_bases = min(k, 16)
-    ng = k // 4
-    ng_hi = (k - lo_bases) // 4
-    # plain Python int: embedded as a literal (captured jnp scalars are
+    # plain Python ints: embedded as literals (captured jnp scalars are
     # rejected by pallas_call — same rule as kernels/banded_dp.py)
     OKBIT = -2147483648                      # bit 31
 
-    def kernel(read_ref, off_ref, out_ref):
-        codes = read_ref[:].astype(jnp.int32)            # [lp, R]
+    def kernel(code_ref, nref, off_ref, e_ref, out_ref):
+        srl = jax.lax.shift_right_logical
+        sh_row = jax.lax.broadcasted_iota(jnp.int32, (mp, block_r), 0)
+        sh = 2 * (sh_row % 16)               # funnel shift per dense row
+        e = e_ref[...]                       # [3*mp, nwp] f32 expansion
 
-        def up(x, d):
-            # y[j] = x[j + d] (rows wrap circularly; rows >= m are
-            # garbage and never selected — off <= m-1)
-            return pltpu.roll(x, lp - d, axis=0)
+        def expand(slab):
+            # [nwp, R] i32 -> (M1, M2, M3) [mp, R], Mi[j] = word j//16+i
+            lo16 = (slab & 0xFFFF).astype(jnp.float32)
+            hi16 = srl(slab, jnp.int32(16)).astype(jnp.float32)
+            mlo = jax.lax.dot(e, lo16,
+                              preferred_element_type=jnp.float32)
+            mhi = jax.lax.dot(e, hi16,
+                              preferred_element_type=jnp.float32)
+            full = mlo.astype(jnp.int32) | (mhi.astype(jnp.int32) << 16)
+            return full[0:mp], full[mp : 2 * mp], full[2 * mp : 3 * mp]
 
-        c3 = codes & 3
-        # 4-base byte groups at every position j: b4[j] = bases j..j+3
-        b4 = ((c3 << 6) | (up(c3, 1) << 4) | (up(c3, 2) << 2) | up(c3, 3))
-        # 0/1 int32 validity (bool slabs don't sublane-rotate in Mosaic)
-        ok4 = jnp.where(
-            (codes | up(codes, 1) | up(codes, 2) | up(codes, 3)) < 4, 1, 0)
+        def funnel(w0, w1):
+            hi_sh = (32 - sh) % 32
+            return jnp.where(sh == 0, w0,
+                             srl(w0, sh) | (w1 << hi_sh))
 
-        hi = jnp.zeros((lp, block_r), jnp.int32)
-        lo = jnp.zeros((lp, block_r), jnp.int32)
-        okw = jnp.ones((lp, block_r), jnp.int32)
-        gslab = b4
-        oslab = ok4
-        for g in range(ng):
-            if g:
-                gslab = up(gslab, 4)
-                oslab = up(oslab, 4)
-            okw = okw & oslab
-            if g < ng_hi:
-                hi = (hi << 8) | gslab
-            else:
-                lo = (lo << 8) | gslab
-        slots = _hash_i32(lo, hi, slot_bits)             # [lp, R], rows [0:m)
-        slotflag = jnp.where(okw == 1, slots | OKBIT, slots)
+        cw = code_ref[:].astype(jnp.int32)   # [nwp, R]
+        nw_ = nref[:].astype(jnp.int32)
+        c1, c2, c3 = expand(cw)
+        n1, n2, n3 = expand(nw_)
+        A = funnel(c1, c2)                   # bases j..j+15, LSB-first
+        nA = funnel(n1, n2)
+        if k > 16:
+            Bw = funnel(c2, c3)
+            nB = funnel(n2, n3)
+        if k <= 16:
+            lo = srl(_rev2bit_i32(A), jnp.int32(32 - 2 * k))
+            hi = jnp.zeros_like(lo)
+            okbits = nA & _i32((1 << (2 * k)) - 1)
+        elif k == 32:
+            hi, lo = _rev2bit_i32(A), _rev2bit_i32(Bw)
+            okbits = nA | nB
+        else:
+            ra, rb = _rev2bit_i32(A), _rev2bit_i32(Bw)
+            hb = 2 * (k - 16)
+            hi = srl(ra, jnp.int32(32 - hb))
+            lo = (ra << hb) | srl(rb, jnp.int32(32 - hb))
+            okbits = nA | (nB & ((1 << hb) - 1))
+        slots = _hash_i32(lo, hi, slot_bits)             # rows [0:m)
+        slotflag = jnp.where(okbits == 0, slots | OKBIT, slots)
 
         # per-read (lane) offset select: log2 funnel of conditional rolls
         out = jnp.zeros((qp, block_r), jnp.int32)
         q_idx = jax.lax.broadcasted_iota(jnp.int32, (qp, block_r), 0)
-        offs = off_ref[:].astype(jnp.int32)              # [qp, R]
-        oslab2 = offs
+        oslab = off_ref[:].astype(jnp.int32)             # [qp, R]
         for qq in range(q):
             if qq:
-                oslab2 = pltpu.roll(oslab2, qp - 1, axis=0)
-            off = oslab2[0:1, :]                         # [1, R]
+                oslab = pltpu.roll(oslab, qp - 1, axis=0)
+            off = oslab[0:1, :]                          # [1, R]
             cur = slotflag
             b = 0
             while (1 << b) <= m - 1:
                 d = 1 << b
-                cur = jnp.where((jax.lax.shift_right_logical(
-                    off, jnp.int32(b)) & 1) == 1, up(cur, d), cur)
+                cur = jnp.where((srl(off, jnp.int32(b)) & 1) == 1,
+                                pltpu.roll(cur, mp - d, axis=0), cur)
                 b += 1
             out = jnp.where(q_idx == qq, cur[0:1, :], out)
         out_ref[...] = out
@@ -131,16 +144,17 @@ def _make_kernel(L: int, k: int, q: int, slot_bits: int, lp: int, qp: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "q", "slot_bits",
+@functools.partial(jax.jit, static_argnames=("L", "k", "q", "slot_bits",
                                              "block_r", "interpret"))
-def seed_slots_pallas(reads, lengths, *, k: int, q: int, slot_bits: int,
-                      block_r: int = DEFAULT_BLOCK_R,
-                      interpret: bool = False):
-    """Kernel twin of map.seed.extract_seed_slots — same signature
-    semantics: (slots uint32[N, Q], offs int32[N, Q], valid bool[N, Q])."""
+def seed_slots_words_pallas(rpacked, rnplane, lengths, L: int, *, k: int,
+                            q: int, slot_bits: int,
+                            block_r: int = DEFAULT_BLOCK_R,
+                            interpret: bool = False):
+    """Kernel twin of map.seed.extract_seed_slots_words — identical
+    returns: (slots uint32[N, Q], offs int32[N, Q], valid bool[N, Q])."""
     from urmap_tpu.map.seed import seed_offsets
 
-    N, L = reads.shape
+    N, nw = rpacked.shape
     if L < k:
         raise ValueError(f"read block width {L} < word length {k}")
     assert supports(k, slot_bits)
@@ -150,25 +164,42 @@ def seed_slots_pallas(reads, lengths, *, k: int, q: int, slot_bits: int,
 
     R = block_r
     npad = -(-N // R) * R
-    lp = -(-L // 32) * 32        # int8 sublane tile alignment
+    nwp = -(-(nw + 2) // 8) * 8       # +2 guard words, 8-row sublane tile
+    mp = -(-m // 8) * 8
     qp = -(-q // 8) * 8
-    reads_t = jnp.pad(reads, ((0, npad - N), (0, lp - L)),
-                      constant_values=5).T                 # [lp, Np] u8
-    offs_t = jnp.pad(offs_c, ((0, npad - N), (0, qp - q))).T  # [qp, Np]
+    cw = jnp.pad(rpacked, ((0, npad - N), (0, nwp - nw))).T
+    # guard N-plane words read as all-N (pads beyond the block are N)
+    nw_t = jnp.pad(rnplane, ((0, npad - N), (0, nwp - nw)),
+                   constant_values=0x5555_5555).T
+    offs_t = jnp.pad(offs_c, ((0, npad - N), (0, qp - q))).T
 
-    kernel = _make_kernel(L, k, q, slot_bits, lp, qp, R)
+    # expansion matrices: E[i*mp + j, w] = 1 iff w == j//16 + i
+    e = np.zeros((3 * mp, nwp), np.float32)
+    for i in range(3):
+        for j in range(mp):
+            w = j // 16 + i
+            if w < nwp:
+                e[i * mp + j, w] = 1.0
+    e_j = jnp.asarray(e)
+
+    kernel = _make_kernel(L, k, q, slot_bits, nwp, mp, qp, R)
     out = pl.pallas_call(
         kernel,
         grid=(npad // R,),
         in_specs=[
-            pl.BlockSpec((lp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwp, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nwp, R), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((qp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * mp, nwp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((qp, R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, npad), jnp.int32),
         interpret=interpret,
-    )(reads_t, offs_t)
+    )(cw.astype(jnp.int32), nw_t.astype(jnp.int32), offs_t, e_j)
 
     flags = out[:q, :N].T                                  # [N, Q] i32
     slots = (flags & jnp.int32((1 << slot_bits) - 1)).astype(jnp.uint32)

@@ -25,7 +25,7 @@ from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.seed import (POS_BIAS, SENTINEL,
-                                extract_seed_slots_dispatch,
+                                extract_seed_slots_words_dispatch,
                                 gather_candidates,
                                 vote_top_candidates_dispatch)
 from urmap_tpu.map.select import select_hits
@@ -164,10 +164,10 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     rpacked2 = jnp.concatenate([rp1, rp_rc], axis=0)        # [2B, nw]
     rnplane2 = jnp.concatenate([rn1, rn_rc], axis=0)
     lengths2 = jnp.concatenate([lengths, lengths], axis=0)  # [2B]
-    reads2 = gpk.unpack_words_to_codes(rpacked2, rnplane2, L)
 
-    slots, offs, valid = extract_seed_slots_dispatch(
-        reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
+    slots, offs, valid = extract_seed_slots_words_dispatch(
+        rpacked2, rnplane2, lengths2, L, k=icfg.k, q=q,
+        slot_bits=icfg.slot_bits)
     if gather_runner is None:
         cand = gather_candidates(
             tables["offsets"], tables["positions"], slots, offs, valid,
@@ -285,9 +285,11 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         do = rem[idx]                                        # [D]
 
         sub_cand = cand_f[idx]                               # [D, 2V]
-        sub_reads2 = jnp.concatenate([reads2[idx], reads2[B + idx]], axis=0)
         sub_rp = jnp.concatenate([rpacked2[idx], rpacked2[B + idx]], axis=0)
         sub_rn = jnp.concatenate([rnplane2[idx], rnplane2[B + idx]], axis=0)
+        # byte codes only for the DP bucket rows (the window compare):
+        # the full-batch byte block never materializes
+        sub_reads2 = gpk.unpack_words_to_codes(sub_rp, sub_rn, L)
         sub_lens = lengths[idx]
         sub_lens2 = jnp.concatenate([sub_lens, sub_lens], axis=0)
         sub_cand2 = jnp.concatenate(

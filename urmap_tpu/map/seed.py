@@ -167,12 +167,13 @@ def extract_seed_slots_words(rpacked, rnplane, lengths, L: int, *,
     return slots, offs, valid
 
 
-def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
-                                slot_bits: int, use_pallas: bool = True):
-    """extract_seed_slots, via the fused Pallas kernel on TPU backends
-    (kernels/seed_slots.py — bit-identical, ~10× the XLA elementwise
-    throughput on the target platform). URMAP_NO_SEED_KERNEL=1 forces
-    the jnp path (Mosaic-lowering escape hatch)."""
+def extract_seed_slots_words_dispatch(rpacked, rnplane, lengths, L: int, *,
+                                      k: int, q: int, slot_bits: int,
+                                      use_pallas: bool = True):
+    """extract_seed_slots_words, via the fused Pallas kernel on TPU
+    backends (kernels/seed_slots.py — bit-identical, ~10× the XLA
+    elementwise throughput on the target platform).
+    URMAP_NO_SEED_KERNEL=1 forces the jnp path (Mosaic escape hatch)."""
     import os
 
     from urmap_tpu.map.dp import on_tpu
@@ -182,10 +183,11 @@ def extract_seed_slots_dispatch(reads, lengths, *, k: int, q: int,
         from urmap_tpu.kernels import seed_slots
 
         if seed_slots.supports(k, slot_bits):
-            return seed_slots.seed_slots_pallas(
-                reads, lengths, k=k, q=q, slot_bits=slot_bits)
-    return extract_seed_slots(reads, lengths, k=k, q=q,
-                              slot_bits=slot_bits)
+            return seed_slots.seed_slots_words_pallas(
+                rpacked, rnplane, lengths, L, k=k, q=q,
+                slot_bits=slot_bits)
+    return extract_seed_slots_words(rpacked, rnplane, lengths, L,
+                                    k=k, q=q, slot_bits=slot_bits)
 
 
 def vote_top_candidates_dispatch(cand, *, v: int, use_pallas: bool = True):
