@@ -59,7 +59,7 @@ def main():
     from urmap_tpu.index.build import build_index
     from urmap_tpu.io.fasta import SeqDB
     from urmap_tpu.map import seed as seedmod
-    from urmap_tpu.map.pipeline import make_map_batch_fn, revcomp_batch
+    from urmap_tpu.map.pipeline import make_map_batch_fn
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
@@ -84,14 +84,23 @@ def main():
     capped = index.recapped(p)
     rw = align_row_words(p)
     counts = np.diff(capped.offsets.astype(np.int64))
-    _, total = align_runs(counts, rw)
+    starts, total = align_runs(counts, rw)
     csr_aligned = total <= 1.15 * max(capped.num_positions, 1)
+    gather_tier = None
+    if csr_aligned:
+        from urmap_tpu.map.pipeline import pick_gather_tier
+
+        gather_tier = pick_gather_tier(
+            np.diff(np.concatenate([starts, [total]])))
     tables = capped.device_tables(row_align=rw if csr_aligned else None)
-    print(f"csr_aligned={csr_aligned}")
+    print(f"csr_aligned={csr_aligned} gather_tier={gather_tier}")
     reads = [jnp.asarray(codes[i * args.batch:(i + 1) * args.batch])
              for i in range(6)]
     lens = jnp.asarray(lengths)
     q, v = mcfg.seeds_per_read, mcfg.top_candidates
+
+    L = args.read_len
+    NW = -(-L // 16)
 
     def upto(stage):
         def fn(tables, reads, lengths):
@@ -99,21 +108,26 @@ def main():
                 # fixed relay cost: same operands uploaded, no compute
                 return (jnp.sum(reads[:, 0].astype(jnp.int32))
                         + tables["offsets"][0].astype(jnp.int32))
-            rc = revcomp_batch(reads, lengths)
-            reads2 = jnp.concatenate([reads, rc], axis=0)
+            # word-native front end, as in candidates_batch_device
+            rp1, rn1 = gpk.pack_reads(reads, lengths, NW)
+            rp_rc, rn_rc = gpk.revcomp_words(rp1, rn1, lengths, L)
+            rp2 = jnp.concatenate([rp1, rp_rc], axis=0)
+            rn2 = jnp.concatenate([rn1, rn_rc], axis=0)
             lengths2 = jnp.concatenate([lengths, lengths], axis=0)
-            if stage == "revcomp":
-                return jnp.sum(reads2.astype(jnp.int32))
-            slots, offs, valid = seedmod.extract_seed_slots_dispatch(
-                reads2, lengths2, k=icfg.k, q=q, slot_bits=icfg.slot_bits)
+            if stage == "words":
+                return jnp.sum(rp2.astype(jnp.int32)) \
+                    + jnp.sum(rn2.astype(jnp.int32))
+            slots, offs, valid = seedmod.extract_seed_slots_words_dispatch(
+                rp2, rn2, lengths2, L, k=icfg.k, q=q,
+                slot_bits=icfg.slot_bits)
             if stage == "seed":
                 return jnp.sum(slots.astype(jnp.int32))
             cand = seedmod.gather_candidates(
                 tables["offsets"], tables["positions"], slots, offs,
-                valid, p=p, csr_aligned=csr_aligned)
+                valid, p=p, csr_aligned=csr_aligned, tier=gather_tier)
             if stage == "gather":
                 return jnp.sum(cand)
-            top_cand, votes = seedmod.vote_top_candidates(cand, v=v)
+            top_cand, votes = seedmod.vote_top_candidates_dispatch(cand, v=v)
             return jnp.sum(top_cand) + jnp.sum(votes)   # stage == "vote"
 
         return jax.jit(fn)
@@ -123,7 +137,8 @@ def main():
     def upto_cands(tables, reads, lengths):
         c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                     mcfg=mcfg, sc=sc,
-                                    csr_aligned=csr_aligned)
+                                    csr_aligned=csr_aligned,
+                                    gather_tier=gather_tier)
         return (jnp.sum(c["score"]) + jnp.sum(c["pos"])
                 + jnp.sum(c["ungapped"]))
 
@@ -131,12 +146,13 @@ def main():
         # full step reduced to one scalar: FULL minus this = pack_out
         # stack + the [B, 6] D2H fetch
         out = map_batch_device(tables, reads, lengths, icfg=icfg,
-                               mcfg=mcfg, sc=sc, csr_aligned=csr_aligned)
+                               mcfg=mcfg, sc=sc, csr_aligned=csr_aligned,
+                               gather_tier=gather_tier)
         return (jnp.sum(out["pos"]) + jnp.sum(out["score"])
                 + jnp.sum(out["mapq"]) + jnp.sum(out["second"]))
 
     results = []
-    for stage in ("null", "revcomp", "seed", "gather", "vote"):
+    for stage in ("null", "words", "seed", "gather", "vote"):
         dt = timeit(upto(stage), tables, reads, lens)
         results.append((stage, dt))
         print(f"  upto {stage:10s} {dt * 1e3:8.2f} ms", flush=True)
@@ -145,7 +161,8 @@ def main():
         results.append((name, dt))
         print(f"  upto {name:10s} {dt * 1e3:8.2f} ms", flush=True)
 
-    full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned)
+    full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned,
+                             gather_tier=gather_tier)
     dt = timeit(full, tables, reads, lens)
     results.append(("FULL", dt))
     print(f"  FULL (packed)   {dt * 1e3:8.2f} ms")
