@@ -370,6 +370,9 @@ class ShardedMapper:
                  mcfg: MapConfig | None = None, sc: ScoreConfig | None = None,
                  route: str = "a2a"):
         assert route in ("a2a", "psum"), route
+        from urmap_tpu.kernels.preflight import ensure_kernels
+
+        ensure_kernels()   # see pipeline.Mapper — jnp fallback on failure
         self.index = index
         self.mesh = mesh
         self.route = route

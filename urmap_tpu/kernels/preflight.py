@@ -1,0 +1,68 @@
+"""One-shot on-device kernel preflight.
+
+The seed/vote Pallas kernels are bit-identical to their jnp twins and
+interpret-tested, but a Mosaic lowering regression (or an unsupported
+op on a new TPU generation) would otherwise surface as a crashed map
+run. ``ensure_kernels()`` compiles and runs BOTH kernels once on tiny
+shapes inside one jitted program; on any failure it flips the
+URMAP_NO_SEED_KERNEL / URMAP_NO_VOTE_KERNEL escape hatches so the
+dispatches (map/seed.py) take the jnp paths, and the mapper degrades to
+slower-but-correct instead of dead.
+
+Cost: one extra ~tiny compile per process on TPU backends (skipped on
+CPU, where kernels never dispatch; skip explicitly with
+URMAP_NO_KERNEL_PREFLIGHT=1 once a platform is known-good).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_DONE = False
+
+
+def ensure_kernels() -> None:
+    global _DONE
+    if _DONE or os.environ.get("URMAP_NO_KERNEL_PREFLIGHT") == "1":
+        return
+    from urmap_tpu.map.dp import on_tpu
+
+    if not on_tpu():
+        _DONE = True
+        return
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
+    from urmap_tpu.kernels.vote import vote_pallas
+    from urmap_tpu.map.seed import SENTINEL
+
+    L, k, q, sb = 64, 24, 8, 20
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(128, L)).astype(np.uint8)
+    lens = np.full(128, L, np.int32)
+    cand = rng.integers(0, 1000, size=(128, 128)).astype(np.int32)
+    cand[rng.random(cand.shape) < 0.5] = SENTINEL
+
+    @jax.jit
+    def probe(cj, lj, cd):
+        rp, rn = gpk.pack_reads(cj, lj, -(-L // 16))
+        s, _o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
+                                           slot_bits=sb, block_r=128)
+        tc, tv = vote_pallas(cd, v=4, block_n=64)
+        return (jnp.sum(s.astype(jnp.int32)) + jnp.sum(v)
+                + jnp.sum(tc) + jnp.sum(tv))
+
+    try:
+        np.asarray(probe(jnp.asarray(codes), jnp.asarray(lens),
+                         jnp.asarray(cand)))
+    except Exception as e:  # noqa: BLE001 — any lowering/runtime failure
+        os.environ["URMAP_NO_SEED_KERNEL"] = "1"
+        os.environ["URMAP_NO_VOTE_KERNEL"] = "1"
+        print(f"urmap-tpu: seed/vote Pallas kernels unavailable on this "
+              f"backend ({type(e).__name__}); using jnp fallbacks",
+              file=sys.stderr)
+    _DONE = True

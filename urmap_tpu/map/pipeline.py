@@ -493,8 +493,14 @@ class Mapper:
         # GRCh38-scale index at auto slot_bits, pad ~35%): then classic
         # CSR + straddle-row gather keeps the table dense.
         from urmap_tpu.index.store import align_runs
+        from urmap_tpu.kernels.preflight import ensure_kernels
         from urmap_tpu.map.seed import align_row_words
 
+        # seed/vote kernel lowering probe: one tiny compile on TPU
+        # backends; flips the jnp-fallback env hatches on failure so a
+        # Mosaic regression degrades to slow-but-correct (kernels/
+        # preflight.py)
+        ensure_kernels()
         p = self.mcfg.positions_per_seed
         capped = index.recapped(p)
         rw = align_row_words(p)
