@@ -39,7 +39,7 @@ from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index.store import UfiIndex
 from urmap_tpu.map.dp import banded_packed
 from urmap_tpu.map.pipeline import MapResult, map_batch_device
-from urmap_tpu.map.seed import SENTINEL, gather_candidates
+from urmap_tpu.map.seed import POS_BIAS, SENTINEL, gather_candidates
 
 
 def make_mesh(n_devices: int | None = None, *, data: int | None = None,
@@ -86,8 +86,6 @@ class ShardedTables:
 
 def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
     """Split the global CSR by hash-slot range into ``num_shards`` shards."""
-    from urmap_tpu.map.seed import POS_BIAS
-
     cfg = index.config
     S = num_shards
     sps = -(-cfg.num_slots // S)
@@ -217,7 +215,8 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
         return s, d0, ung, sp
 
     tables = {"ginter": ginter,
-              "base_off": base_off, "genome_len": genome_len}
+              "base_off": base_off,
+              "genome_max_biased": np.int32(genome_len - 1 - POS_BIAS)}
     return map_batch_device(tables, reads, lengths,
                             icfg=icfg, mcfg=mcfg, sc=sc,
                             dp_runner=dp_runner, gather_runner=gather_runner)
@@ -319,7 +318,7 @@ def _sharded_step_a2a(offsets, positions, ginter, reads, lengths, *,
     offsets = offsets[0]
     positions = positions[0]
     tables = {"ginter": ginter, "base_off": base_off,
-              "genome_len": genome_len}
+              "genome_max_biased": np.int32(genome_len - 1 - POS_BIAS)}
     runner = _a2a_gather_runner(offsets, positions, sps=sps,
                                 n_index=n_index,
                                 p=mcfg.positions_per_seed)

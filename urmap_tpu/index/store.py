@@ -226,7 +226,11 @@ class UfiIndex:
             "ginter": jnp.asarray(ginter),
             # static word offset: genome guard pad + the coordinate bias
             "base_off": base_off + POS_BIAS // gpk.BASES_PER_WORD,
-            "genome_len": glen,
+            # last valid biased coordinate (= glen - 1 - POS_BIAS):
+            # always int32 (genomes cap at ~4.29 Gbp above), unlike the
+            # raw genome length, which overflows the int32 jit-argument
+            # parse at > 2^31 bases
+            "genome_max_biased": np.int32(glen - 1 - POS_BIAS),
         }
 
     def save(self, path: str) -> None:

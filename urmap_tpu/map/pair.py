@@ -145,7 +145,7 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
     best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
     # genome range in biased device coordinates (seed.POS_BIAS)
     cand = jnp.clip(win_start + best_off, -POS_BIAS,
-                    tables["genome_len"] - 1 - POS_BIAS)
+                    tables["genome_max_biased"])
 
     rp, rn = gpk.pack_reads(other_codes, other_len,
                             -(-L // gpk.BASES_PER_WORD))

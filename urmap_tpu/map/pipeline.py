@@ -184,10 +184,10 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         weak_read = jnp.tile(pair_max < mv, 2)[:, None]           # [2B, 1]
         top_cand = jnp.where((votes >= mv) | weak_read, top_cand,
                              SENTINEL)
-    glen = tables["genome_len"]
     # genome range in biased device coordinates (seed.POS_BIAS)
-    top_cand = jnp.where(top_cand == SENTINEL, SENTINEL,
-                         jnp.clip(top_cand, -POS_BIAS, glen - 1 - POS_BIAS))
+    top_cand = jnp.where(
+        top_cand == SENTINEL, SENTINEL,
+        jnp.clip(top_cand, -POS_BIAS, tables["genome_max_biased"]))
 
     # ---- ungapped verification of every candidate (bit-parallel) ----
     # (rpacked2/rnplane2 already ARE the primary representation)
