@@ -68,7 +68,7 @@ def main():
         index = UfiIndex.load(cache)
         db = index.seqdb
         icfg = index.config
-        assert db.total_len == glen, (db.total_len, glen)
+        assert int(db.lengths[0]) == glen, (db.lengths[0], glen)
         t_synth = 0.0
         t_build = time.monotonic() - t0
     else:
