@@ -37,7 +37,7 @@ from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.map.dp import NEG, banded_packed
 from urmap_tpu.map.pipeline import (MapResult, candidates_batch_device,
                                     revcomp_batch)
-from urmap_tpu.map.seed import POS_BIAS, SENTINEL
+from urmap_tpu.map.seed import POS_BIAS
 from urmap_tpu.map.select import select_hits
 
 # Rescued mates get at most this MAPQ (their placement is inferred from
