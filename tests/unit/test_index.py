@@ -270,3 +270,52 @@ def make_seqdb_from_codes(codes):
     from urmap_tpu.io.fasta import SeqDB
 
     return SeqDB.from_seqs(["chr1"], [codes])
+
+
+def test_prepared_tables_roundtrip(rng, tmp_path):
+    """save_prepared/load_prepared: Mapper built from the on-disk cache
+    must produce identical tables, flags, and mapping results to a fresh
+    prep."""
+    import jax.numpy as jnp
+
+    from tests.utils import make_seqdb, plant_read
+    from urmap_tpu.config import MapConfig
+    from urmap_tpu.index.store import (UfiIndex, load_prepared,
+                                       prepare_tables, save_prepared)
+    from urmap_tpu.map.pipeline import Mapper
+
+    db = make_seqdb(rng, [200_000])
+    icfg = IndexConfig(slot_bits=16)
+    index = build_index(db, icfg, backend="host")
+    d = str(tmp_path / "idx.ufi")
+    index.save(d)
+    mcfg = MapConfig(max_read_len=80, batch_size=32)
+    p = mcfg.positions_per_seed
+
+    ht_fresh, meta_fresh = prepare_tables(index, p)
+    save_prepared(index, d, p)
+    loaded = UfiIndex.load(d)
+    got = load_prepared(loaded, p)
+    assert got is not None
+    ht, meta = got
+    assert meta["csr_aligned"] == meta_fresh["csr_aligned"]
+    assert meta["gather_tier"] == meta_fresh["gather_tier"]
+    for key in ("offsets", "positions", "ginter"):
+        np.testing.assert_array_equal(ht_fresh[key], np.asarray(ht[key]))
+    assert ht["base_off"] == ht_fresh["base_off"]
+
+    # stale-cache guard: a different gather width misses
+    assert load_prepared(loaded, p * 2) is None
+
+    m_fresh = Mapper(index, mcfg)
+    m_cached = Mapper(loaded, mcfg)
+    assert m_cached.csr_aligned == m_fresh.csr_aligned
+    assert m_cached.gather_tier == m_fresh.gather_tier
+    reads = np.stack([plant_read(rng, db, length=80, strand=s % 2,
+                                 n_snps=1).codes for s in range(16)])
+    lens = np.full(16, 80, np.int32)
+    r1 = m_fresh.map_codes(reads, lens)
+    r2 = m_cached.map_codes(reads, lens)
+    np.testing.assert_array_equal(r1.pos, r2.pos)
+    np.testing.assert_array_equal(r1.mapped, r2.mapped)
+    np.testing.assert_array_equal(r1.score, r2.score)

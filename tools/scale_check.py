@@ -111,6 +111,16 @@ def main():
     if args.positions_per_seed:
         mkw["positions_per_seed"] = args.positions_per_seed
     mcfg = MapConfig(**mkw)
+    if cache:
+        from urmap_tpu.index.store import load_prepared, save_prepared
+
+        pp = mkw.get("positions_per_seed", MapConfig.positions_per_seed)
+        if load_prepared(index, pp) is None:
+            print("# map phase: caching prepared tables", flush=True)
+            t0 = time.monotonic()
+            save_prepared(index, cache, pp)
+            print(f"# prepared tables cached in "
+                  f"{time.monotonic() - t0:.0f}s", flush=True)
     t0 = time.monotonic()
     mapper = Mapper(index, mcfg)
     print(f"# map phase: tables ready in {time.monotonic() - t0:.0f}s "

@@ -114,6 +114,15 @@ def cmd_make_ufi(opts: dict) -> int:
     cfg = IndexConfig(**kw)
     idx = build_index(db, cfg)
     idx.save(str(out))
+    # map-ready tables alongside the raw CSR (reference parity: its
+    # .ufi is load-and-go; without this a GRCh38-scale -map pays tens
+    # of minutes of recap/align/pack prep at startup)
+    from urmap_tpu.config import VERYFAST_MAP_OVERRIDES, MapConfig
+    from urmap_tpu.index.store import save_prepared
+
+    p_map = (VERYFAST_MAP_OVERRIDES["positions_per_seed"]
+             if cfg.veryfast else MapConfig.positions_per_seed)
+    save_prepared(idx, str(out), p_map)
     el = time.monotonic() - t0
     print(f"indexed {db.total_len:,} bases ({db.num_seqs} seqs) → "
           f"{idx.num_positions:,} positions, 2^{cfg.slot_bits} slots, "

@@ -114,6 +114,9 @@ class UfiIndex:
     offsets: np.ndarray    # uint32[num_slots + 1] (CSR; >2^31 legal)
     positions: np.ndarray  # uint32[total_positions] global coordinates
     seqdb: SeqDB
+    # directory this index was loaded from / saved to (None if in-memory
+    # only); lets Mapper auto-discover prepared_p*/ map-ready caches
+    path: str | None = None
 
     @property
     def num_positions(self) -> int:
@@ -138,6 +141,12 @@ class UfiIndex:
         return UfiIndex(config=self.config, offsets=off.astype(np.uint32),
                         positions=self.positions[keep], seqdb=self.seqdb)
 
+    def host_tables(self, cap: int | None = None,
+                    row_align: int | None = None) -> dict:
+        """Numpy twin of device_tables (same keys; arrays stay host-side
+        so they can be persisted/mmapped — see prepare_tables)."""
+        return self._tables_np(cap=cap, row_align=row_align)
+
     def device_tables(self, cap: int | None = None,
                       row_align: int | None = None):
         """The HBM-resident mapping state: jnp arrays consumed by the
@@ -161,13 +170,16 @@ class UfiIndex:
         into ``base_off`` (POS_BIAS is a multiple of BASES_PER_WORD) so
         every packed-genome gather unbiases for free. CSR offsets ride
         as uint32 (>2^31 total positions are legal)."""
-        import jax.numpy as jnp
+        ht = self._tables_np(cap=cap, row_align=row_align)
+        return tables_to_device(ht)
 
+    def _tables_np(self, cap: int | None = None,
+                   row_align: int | None = None) -> dict:
         from urmap_tpu import genome_pack as gpk
         from urmap_tpu.map.seed import POS_BIAS, SENTINEL
 
         if cap is not None:
-            return self.recapped(cap).device_tables(row_align=row_align)
+            return self.recapped(cap)._tables_np(row_align=row_align)
         glen = self.seqdb.total_len
         if glen >= SENTINEL + POS_BIAS - (1 << 16):
             raise ValueError(
@@ -221,9 +233,9 @@ class UfiIndex:
         positions = np.concatenate(
             [pos_b, np.full(pad, fill, np.int32)])
         return {
-            "offsets": jnp.asarray(offsets, jnp.uint32),
-            "positions": jnp.asarray(positions),
-            "ginter": jnp.asarray(ginter),
+            "offsets": offsets.astype(np.uint32),
+            "positions": positions,
+            "ginter": ginter,
             # static word offset: genome guard pad + the coordinate bias
             "base_off": base_off + POS_BIAS // gpk.BASES_PER_WORD,
             # last valid biased coordinate (= glen - 1 - POS_BIAS):
@@ -250,6 +262,7 @@ class UfiIndex:
         np.savez(os.path.join(path, "tables.npz"),
                  offsets=self.offsets, positions=self.positions)
         self.seqdb.save(os.path.join(path, "seqdb.npz"))
+        self.path = path
 
     @classmethod
     def load(cls, path: str) -> "UfiIndex":
@@ -267,4 +280,92 @@ class UfiIndex:
             max_positions_per_slot=header["max_positions_per_slot"],
             veryfast=header.get("veryfast", False),
         )
-        return cls(config=cfg, offsets=offsets, positions=positions, seqdb=seqdb)
+        return cls(config=cfg, offsets=offsets, positions=positions,
+                   seqdb=seqdb, path=path)
+
+
+def tables_to_device(ht: dict):
+    """Host numpy tables (host_tables / load_prepared) → jnp arrays."""
+    import jax.numpy as jnp
+
+    return {
+        "offsets": jnp.asarray(ht["offsets"], jnp.uint32),
+        "positions": jnp.asarray(ht["positions"]),
+        "ginter": jnp.asarray(ht["ginter"]),
+        "base_off": int(ht["base_off"]),
+        "genome_max_biased": np.int32(ht["genome_max_biased"]),
+    }
+
+
+def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
+    """The expensive map-time prep (recap → aligned layout decision →
+    gather tier → packed genome) as plain numpy + metadata. At GRCh38
+    scale this is ~tens of minutes of host work — pay it once at
+    -make_ufi time (save_prepared) and mmap it at -map startup, the way
+    the reference's .ufi is load-and-go."""
+    from urmap_tpu.map.pipeline import pick_gather_tier
+    from urmap_tpu.map.seed import align_row_words
+
+    capped = index.recapped(p)
+    rw = align_row_words(p)
+    counts = np.diff(capped.offsets.astype(np.int64))
+    starts, total = align_runs(counts, rw)
+    csr_aligned = bool(total <= 1.15 * max(capped.num_positions, 1))
+    tier = None
+    if csr_aligned:
+        tier = pick_gather_tier(np.diff(np.concatenate([starts, [total]])))
+    ht = capped.host_tables(row_align=rw if csr_aligned else None)
+    meta = {
+        "p": p,
+        "csr_aligned": csr_aligned,
+        "gather_tier": tier,
+        "k": index.config.k,
+        "slot_bits": index.config.slot_bits,
+        "veryfast": index.config.veryfast,
+        "genome_total_len": index.seqdb.total_len,
+        "base_off": int(ht["base_off"]),
+        "genome_max_biased": int(ht["genome_max_biased"]),
+    }
+    return ht, meta
+
+
+def _prepared_dir(path: str, p: int) -> str:
+    return os.path.join(path, f"prepared_p{p}")
+
+
+def save_prepared(index: UfiIndex, path: str, p: int) -> str:
+    """Persist map-ready tables under <index dir>/prepared_p<p>/ as raw
+    .npy files (mmap-able — npz members are not) + meta.json."""
+    ht, meta = prepare_tables(index, p)
+    d = _prepared_dir(path, p)
+    os.makedirs(d, exist_ok=True)
+    for key in ("offsets", "positions", "ginter"):
+        np.save(os.path.join(d, f"{key}.npy"), ht[key])
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return d
+
+
+def load_prepared(index: UfiIndex, p: int) -> tuple[dict, dict] | None:
+    """Load the prepared tables matching this index + gather width, or
+    None (missing or stale — keyed on k/slot_bits/veryfast/genome_len).
+    Arrays are memory-mapped; jnp.asarray streams them to the device."""
+    if index.path is None:
+        return None
+    d = _prepared_dir(index.path, p)
+    mf = os.path.join(d, "meta.json")
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        meta = json.load(f)
+    cfg = index.config
+    if (meta.get("p") != p or meta.get("k") != cfg.k
+            or meta.get("slot_bits") != cfg.slot_bits
+            or meta.get("veryfast") != cfg.veryfast
+            or meta.get("genome_total_len") != index.seqdb.total_len):
+        return None
+    ht = {key: np.load(os.path.join(d, f"{key}.npy"), mmap_mode="r")
+          for key in ("offsets", "positions", "ginter")}
+    ht["base_off"] = meta["base_off"]
+    ht["genome_max_biased"] = meta["genome_max_biased"]
+    return ht, meta

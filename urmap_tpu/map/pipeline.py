@@ -492,9 +492,9 @@ class Mapper:
         # no-straddle pad would bloat HBM (mid-loaded slots, e.g. a
         # GRCh38-scale index at auto slot_bits, pad ~35%): then classic
         # CSR + straddle-row gather keeps the table dense.
-        from urmap_tpu.index.store import align_runs
+        from urmap_tpu.index.store import (load_prepared, prepare_tables,
+                                           tables_to_device)
         from urmap_tpu.kernels.preflight import ensure_kernels
-        from urmap_tpu.map.seed import align_row_words
 
         # seed/vote kernel lowering probe: one tiny compile on TPU
         # backends; flips the jnp-fallback env hatches on failure so a
@@ -502,20 +502,16 @@ class Mapper:
         # preflight.py)
         ensure_kernels()
         p = self.mcfg.positions_per_seed
-        capped = index.recapped(p)
-        rw = align_row_words(p)
-        counts = np.diff(capped.offsets.astype(np.int64))
-        starts, total = align_runs(counts, rw)
-        npos = max(capped.num_positions, 1)
-        self.csr_aligned = total <= 1.15 * npos
-        # tiered gather width from the PADDED-count distribution (what
-        # the device actually sees — pipeline.pick_gather_tier)
-        self.gather_tier = None
-        if self.csr_aligned:
-            padded = np.diff(np.concatenate([starts, [total]]))
-            self.gather_tier = pick_gather_tier(padded)
-        self.tables = capped.device_tables(
-            row_align=rw if self.csr_aligned else None)
+        # map-ready tables: the prepared_p<p>/ cache next to the index
+        # (written by -make_ufi / save_prepared) skips the recap/align/
+        # pack prep — ~tens of minutes at GRCh38 scale
+        prep = load_prepared(index, p)
+        if prep is None:
+            prep = prepare_tables(index, p)
+        ht, meta = prep
+        self.csr_aligned = meta["csr_aligned"]
+        self.gather_tier = meta["gather_tier"]
+        self.tables = tables_to_device(ht)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
