@@ -208,25 +208,34 @@ def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
 
     if n_words > spill_threshold:
         spill = _RadixSpill(cfg.slot_bits, spill_dir)
-        start = 0
-        host_chunk = chunk if backend == "device" else max(chunk, 1 << 27)
-        while start < n_words:
-            stop = min(start + host_chunk, n_words)
-            if backend == "device":
-                sl, po = _chunk_sorted_slots(
-                    jnp.asarray(codes[start : stop + cfg.k - 1]),
-                    start, cfg.k, cfg.slot_bits)
-                sl = np.asarray(sl)
-                po = np.asarray(po)
-                nvalid = np.searchsorted(sl, np.uint32(1 << cfg.slot_bits))
-                sl, po = sl[:nvalid], po[:nvalid]
-            else:
-                sl, po = _host_chunk_slots(codes, start, stop, cfg.k,
-                                           cfg.slot_bits)
-            spill.add(sl, po)
-            start = stop
-        offsets, positions = spill.finalize(cfg.num_slots,
-                                            cfg.max_positions_per_slot)
+        try:
+            start = 0
+            host_chunk = chunk if backend == "device" else max(chunk, 1 << 27)
+            while start < n_words:
+                stop = min(start + host_chunk, n_words)
+                if backend == "device":
+                    sl, po = _chunk_sorted_slots(
+                        jnp.asarray(codes[start : stop + cfg.k - 1]),
+                        start, cfg.k, cfg.slot_bits)
+                    sl = np.asarray(sl)
+                    po = np.asarray(po)
+                    nvalid = np.searchsorted(sl,
+                                             np.uint32(1 << cfg.slot_bits))
+                    sl, po = sl[:nvalid], po[:nvalid]
+                else:
+                    sl, po = _host_chunk_slots(codes, start, stop, cfg.k,
+                                               cfg.slot_bits)
+                spill.add(sl, po)
+                start = stop
+            offsets, positions = spill.finalize(cfg.num_slots,
+                                                cfg.max_positions_per_slot)
+        except BaseException:
+            # a multi-Gbp spill is ~25 GB of /tmp — don't leak it when
+            # the build dies mid-way (finalize removes it on success)
+            import shutil
+
+            shutil.rmtree(spill.dir, ignore_errors=True)
+            raise
         return UfiIndex(config=cfg, offsets=offsets, positions=positions,
                         seqdb=seqdb)
 
