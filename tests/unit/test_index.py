@@ -142,6 +142,67 @@ def test_streaming_spill_build_matches_inram(rng, tmp_path):
         assert st.offsets.dtype == np.uint32
 
 
+def test_native_build_matches_numpy_twin(rng, tmp_path, monkeypatch):
+    """The C++ build kernels (urmap_extract_partition + urmap_sort_u64,
+    codecs.cpp) must yield bit-identical indexes to the numpy twins on
+    both host paths (in-RAM and disk spill)."""
+    from urmap_tpu.index import build as bmod
+
+    if bmod._native_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    seq = _random_genome(rng, 50_000) + "ACGT" * 300 + "N" * 37 \
+        + _random_genome(rng, 10_000)
+    db = SeqDB.from_seqs(["c"], [seq])
+    for k, sb in ((24, 14), (17, 11)):
+        cfg = IndexConfig(k=k, slot_bits=sb, max_positions_per_slot=8)
+        native_inram = build_index(db, cfg, backend="host")
+        native_spill = build_index(db, cfg, backend="host",
+                                   spill_threshold=9_000,
+                                   spill_dir=str(tmp_path))
+        monkeypatch.setenv("URMAP_NO_NATIVE_BUILD", "1")
+        ref = build_index(db, cfg, backend="host")
+        ref_spill = build_index(db, cfg, backend="host",
+                                spill_threshold=9_000,
+                                spill_dir=str(tmp_path))
+        monkeypatch.delenv("URMAP_NO_NATIVE_BUILD")
+        np.testing.assert_array_equal(ref.offsets, ref_spill.offsets)
+        for got in (native_inram, native_spill):
+            np.testing.assert_array_equal(got.offsets, ref.offsets)
+            np.testing.assert_array_equal(got.positions, ref.positions)
+
+
+def test_native_extract_partition_primitive(rng):
+    """urmap_extract_partition: key set == numpy extraction, partitioned
+    by slot high bits, counts consistent; urmap_sort_u64 == np.sort."""
+    from urmap_tpu.hashing import extract_words_np, words_to_slots_np
+    from urmap_tpu.index import build as bmod
+
+    L = bmod._native_lib()
+    if L is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    codes = rng.integers(0, 4, 120_000).astype(np.uint8)
+    codes[rng.random(codes.shape[0]) < 0.01] = 4  # N bases
+    for k, slot_bits, radix_bits in ((24, 18, 8), (16, 12, 4), (31, 20, 0)):
+        keys, counts = bmod._native_extract_partition(
+            L, codes, 1000, k, slot_bits, radix_bits)
+        lo, hi, valid = extract_words_np(codes, k)
+        slots = words_to_slots_np(lo, hi, slot_bits)
+        pos = (np.nonzero(valid)[0] + 1000).astype(np.uint32)
+        ref = (slots[valid].astype(np.uint64) << np.uint64(32)) | pos
+        assert keys.shape[0] == ref.shape[0]
+        buck = (keys >> np.uint64(32 + slot_bits - radix_bits))
+        assert (np.diff(buck.astype(np.int64)) >= 0).all()
+        assert (np.bincount(buck.astype(np.int64),
+                            minlength=1 << radix_bits) == counts).all()
+        ks = keys.copy()
+        bmod._sort_u64(L, ks)
+        assert (ks == np.sort(ref)).all()
+
+
 def test_row_aligned_tables_equal_classic(rng):
     """row_align device tables + aligned gather == classic CSR tables +
     classic gather, candidate-for-candidate (store.align_runs layout)."""

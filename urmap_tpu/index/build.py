@@ -19,10 +19,12 @@ workspace). Both paths produce bit-identical indexes.
 
 from __future__ import annotations
 
+import ctypes
 import functools
 import os
 import shutil
 import tempfile
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +40,51 @@ from urmap_tpu.io.fasta import SeqDB
 DEFAULT_CHUNK = 64 * 1024 * 1024
 # Above this many words the build streams through the disk radix spill.
 SPILL_THRESHOLD = 256 * 1024 * 1024
+
+_P_U64 = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _native_lib():
+    """The C++ build kernels (codecs.cpp urmap_extract_partition /
+    urmap_sort_u64), or None → bit-identical numpy twins. Env hatch
+    URMAP_NO_NATIVE_BUILD=1 forces the numpy path (tests compare both)."""
+    if os.environ.get("URMAP_NO_NATIVE_BUILD"):
+        return None
+    from urmap_tpu.io import native
+
+    return native.lib()
+
+
+def _native_extract_partition(L, codes: np.ndarray, base_pos: int, k: int,
+                              slot_bits: int, radix_bits: int):
+    """Multithreaded C++ extract+hash+partition: codes uint8[n] →
+    (keys uint64[(slot<<32)|pos] partitioned by slot>>shift ascending,
+    per-bucket counts int64[2**radix_bits]). Bit-identical key set to
+    extract_words_np → words_to_slots_np (tests/unit/test_index.py)."""
+    from urmap_tpu.io import native
+
+    codes = np.ascontiguousarray(codes)
+    n_words = codes.shape[0] - k + 1
+    keys = np.empty(n_words, np.uint64)
+    counts = np.zeros(1 << radix_bits, np.int64)
+    tot = L.urmap_extract_partition(
+        codes.ctypes.data_as(native.p_u8), codes.shape[0], base_pos, k,
+        slot_bits, slot_bits - radix_bits, os.cpu_count() or 4,
+        keys.ctypes.data_as(_P_U64), counts.ctypes.data_as(native.p_i64))
+    if tot < 0:
+        raise MemoryError("urmap_extract_partition failed")
+    return keys[:tot], counts
+
+
+def _sort_u64(L, keys: np.ndarray) -> None:
+    """In-place full sort of unique uint64 keys (native radix when
+    available — ctypes releases the GIL, so callers parallelize across
+    independent buckets with Python threads)."""
+    if L is not None and keys.shape[0] > 1:
+        if L.urmap_sort_u64(keys.ctypes.data_as(_P_U64),
+                            keys.shape[0]) == 0:
+            return
+    keys.sort(kind="stable")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "slot_bits"))
@@ -103,7 +150,22 @@ def _host_sorted_slots(codes: np.ndarray, k: int, slot_bits: int):
 
     One radix sort of the combined (slot << 32 | pos) uint64 key replaces
     stable-argsort + two payload gathers — positions are unique, so the
-    combined order IS (slot asc, pos asc)."""
+    combined order IS (slot asc, pos asc). With the native kernels the
+    extraction partitions by slot high bits and the buckets sort in
+    parallel (a bucket is a key-prefix range, so bucket-ascending +
+    sorted-within == fully sorted)."""
+    L = _native_lib()
+    if L is not None:
+        radix_bits = min(8, slot_bits)
+        keys, counts = _native_extract_partition(L, codes, 0, k,
+                                                 slot_bits, radix_bits)
+        off = np.zeros(counts.shape[0] + 1, np.int64)
+        np.cumsum(counts, out=off[1:])
+        segs = [keys[off[i] : off[i + 1]] for i in range(counts.shape[0])]
+        with ThreadPoolExecutor(min(4, os.cpu_count() or 4)) as ex:
+            list(ex.map(lambda s: _sort_u64(L, s), segs))
+        return (keys >> np.uint64(32)).astype(np.uint32), \
+            keys.astype(np.uint32)
     from urmap_tpu.hashing import extract_words_np, words_to_slots_np
 
     lo, hi, valid = extract_words_np(codes, k)
@@ -132,12 +194,22 @@ class _RadixSpill:
                       for i in range(self.nbuck)]
         self.files = [open(p, "wb", buffering=1 << 20) for p in self.paths]
 
-    def add(self, slots: np.ndarray, pos: np.ndarray) -> None:
+    def add(self, slots: np.ndarray, pos: np.ndarray,
+            sorted_by_slot: bool = False) -> None:
         key = (slots.astype(np.uint64) << np.uint64(32)) | pos
-        b = (slots >> np.uint32(self.shift)).astype(np.uint8)
-        order = np.argsort(b, kind="stable")      # radix partition
-        key = key[order]
-        counts = np.bincount(b, minlength=self.nbuck)
+        if sorted_by_slot:
+            # device-build chunks arrive slot-sorted: bucket boundaries
+            # are nbuck binary searches, no argsort partition pass
+            cuts = np.searchsorted(
+                slots, np.arange(1, self.nbuck, dtype=np.uint64)
+                << np.uint64(self.shift))
+            counts = np.diff(np.concatenate(
+                [[0], cuts, [slots.shape[0]]]))
+        else:
+            b = (slots >> np.uint32(self.shift)).astype(np.uint8)
+            order = np.argsort(b, kind="stable")  # radix partition
+            key = key[order]
+            counts = np.bincount(b, minlength=self.nbuck)
         off = 0
         for i in range(self.nbuck):
             c = int(counts[i])
@@ -145,32 +217,63 @@ class _RadixSpill:
                 self.files[i].write(key[off : off + c].tobytes())
                 off += c
 
+    def add_partitioned(self, keys: np.ndarray,
+                        counts: np.ndarray) -> None:
+        """Append keys already partitioned by bucket (ascending, counts
+        per bucket) — the native extract_partition output lands here
+        with zero host post-processing."""
+        off = 0
+        for i in range(self.nbuck):
+            c = int(counts[i])
+            if c:
+                self.files[i].write(keys[off : off + c].tobytes())
+                off += c
+
     def finalize(self, num_slots: int, cap: int):
         """Per-bucket sort + cap → (offsets uint32[num_slots+1],
-        positions uint32). Deletes the spill directory."""
+        positions uint32). Deletes the spill directory.
+
+        Buckets are independent, so a small thread pool loads + sorts a
+        few buckets ahead (the native radix sort releases the GIL); the
+        consumer assembles offsets/positions in bucket order. RAM stays
+        bounded by the in-flight window + the final positions array."""
         for f in self.files:
             f.close()
+        L = _native_lib()
         offsets = np.zeros(num_slots + 1, np.uint32)
         pos_parts = []
         running = 0
         sps = 1 << self.shift                     # slots per bucket
-        for i in range(self.nbuck):
+
+        def load_sort(i: int) -> np.ndarray:
             key = np.fromfile(self.paths[i], "<u8")
-            key.sort(kind="stable")               # radix for integers
-            sl_rel = (key >> np.uint64(32)).astype(np.int64) - i * sps
-            po = key.astype(np.uint32)
-            del key
-            counts_b = np.bincount(sl_rel, minlength=sps).astype(np.int64)
-            if cap > 0 and int(counts_b.max(initial=0)) > cap:
-                po = po[evenly_cap_runs(counts_b, cap)]
-                counts_b = np.minimum(counts_b, cap)
-            pos_parts.append(po)
-            lo = i * sps
-            cum = running + np.concatenate([[0], np.cumsum(counts_b)])
-            if cum[-1] >= (1 << 32):
-                raise ValueError("positions exceed uint32 CSR range")
-            offsets[lo : lo + sps + 1] = cum
-            running = int(cum[-1])
+            _sort_u64(L, key)
+            return key
+
+        window = min(4, (os.cpu_count() or 4))
+        with ThreadPoolExecutor(window) as ex:
+            pending = {i: ex.submit(load_sort, i)
+                       for i in range(min(window, self.nbuck))}
+            for i in range(self.nbuck):
+                key = pending.pop(i).result()
+                nxt = i + window
+                if nxt < self.nbuck:
+                    pending[nxt] = ex.submit(load_sort, nxt)
+                sl_rel = (key >> np.uint64(32)).astype(np.int64) - i * sps
+                po = key.astype(np.uint32)
+                del key
+                counts_b = np.bincount(sl_rel,
+                                       minlength=sps).astype(np.int64)
+                if cap > 0 and int(counts_b.max(initial=0)) > cap:
+                    po = po[evenly_cap_runs(counts_b, cap)]
+                    counts_b = np.minimum(counts_b, cap)
+                pos_parts.append(po)
+                lo = i * sps
+                cum = running + np.concatenate([[0], np.cumsum(counts_b)])
+                if cum[-1] >= (1 << 32):
+                    raise ValueError("positions exceed uint32 CSR range")
+                offsets[lo : lo + sps + 1] = cum
+                running = int(cum[-1])
         shutil.rmtree(self.dir, ignore_errors=True)
         return offsets, np.concatenate(pos_parts) if pos_parts \
             else np.zeros(0, np.uint32)
@@ -208,6 +311,7 @@ def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
 
     if n_words > spill_threshold:
         spill = _RadixSpill(cfg.slot_bits, spill_dir)
+        L = None if backend == "device" else _native_lib()
         try:
             start = 0
             host_chunk = chunk if backend == "device" else max(chunk, 1 << 27)
@@ -222,10 +326,16 @@ def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
                     nvalid = np.searchsorted(sl,
                                              np.uint32(1 << cfg.slot_bits))
                     sl, po = sl[:nvalid], po[:nvalid]
+                    spill.add(sl, po, sorted_by_slot=True)
+                elif L is not None:
+                    keys, counts = _native_extract_partition(
+                        L, codes[start : stop + cfg.k - 1], start,
+                        cfg.k, cfg.slot_bits, spill.radix_bits)
+                    spill.add_partitioned(keys, counts)
                 else:
                     sl, po = _host_chunk_slots(codes, start, stop, cfg.k,
                                                cfg.slot_bits)
-                spill.add(sl, po)
+                    spill.add(sl, po)
                 start = stop
             offsets, positions = spill.finalize(cfg.num_slots,
                                                 cfg.max_positions_per_slot)

@@ -43,8 +43,8 @@ def _build(so: str) -> bool:
     try:
         tmp = f"{so}.{os.getpid()}.tmp"
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", tmp, _SRC],
+            ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+             "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)
         return True
@@ -80,6 +80,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_pack_reads.argtypes = [p_u8, c_i64, c_i64, p_u8, p_u8]
     lib.urmap_align_runs.restype = c_i64
     lib.urmap_align_runs.argtypes = [p_i64, c_i64, c_i64, p_i64]
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    lib.urmap_extract_partition.restype = c_i64
+    lib.urmap_extract_partition.argtypes = [
+        p_u8, c_i64, c_i64, c_i32, c_i32, c_i32, c_i32, p_u64, p_i64]
+    lib.urmap_sort_u64.restype = c_i32
+    lib.urmap_sort_u64.argtypes = [p_u64, c_i64]
     return lib
 
 

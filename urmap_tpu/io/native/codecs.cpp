@@ -9,9 +9,13 @@
 //
 // Build: urmap_tpu/io/native/__init__.py shells out to g++ -O3 -shared.
 
+#include <algorithm>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -515,6 +519,231 @@ int64_t urmap_align_runs(const int64_t* counts, int64_t n, int64_t rw,
     cur += c;
   }
   return cur;
+}
+
+}  // extern "C"
+
+// -------------------- UFI index-build kernels --------------------
+//
+// Native twins of the host index-build hot loops (index/build.py): k-mer
+// word extraction + lossy slot hashing (hashing.extract_words_np /
+// hash_words_np, bit-identical) fused with the disk-spill radix partition,
+// and an LSD radix sort for the per-bucket (slot<<32|pos) keys. The
+// reference's builder is a two-pass counting sort over the genome
+// (SURVEY.md §3.1); this is the same classic shape, multithreaded.
+// ctypes releases the GIL around these calls, so index/build.py also runs
+// urmap_sort_u64 over several buckets concurrently from Python threads.
+
+namespace {
+
+// hashing.hash_words_np twin (murmur3 fmix32-style avalanche).
+inline uint32_t fmix_hash(uint32_t lo, uint32_t hi) {
+  uint32_t h = lo * 0x9E3779B1u;
+  h ^= hi * 0x85EBCA6Bu;
+  h ^= h >> 16;
+  h *= 0x7FEB352Du;
+  h ^= h >> 15;
+  h *= 0x846CA68Bu;
+  h ^= h >> 16;
+  return h;
+}
+
+struct ExtractShard {
+  const uint8_t* codes;
+  int64_t w0, w1;          // word-start range [w0, w1)
+  int64_t base_pos;
+  int32_t k, slot_bits, radix_shift;
+  uint64_t* scratch;       // phase-1 keys land at scratch[w0 + j]
+  int64_t n_emitted;       // valid words in [w0, w1)
+  std::vector<int64_t> hist;  // per-bucket counts
+};
+
+// Phase 1: rolling k-window over the shard's word range. The (hi, lo)
+// split matches extract_words_np: lo = last min(k,16) bases, hi = the
+// earlier k-16 (2 bits per base, first base most significant). The
+// rolling update feeds each new base into lo and spills lo's top base
+// into hi, with masks truncating to the exact widths the from-scratch
+// build produces.
+void extract_shard(ExtractShard* s) {
+  const int32_t k = s->k;
+  const int32_t lo_bases = k < 16 ? k : 16;
+  const uint32_t lo_mask =
+      k >= 16 ? 0xFFFFFFFFu : ((1u << (2 * k)) - 1u);
+  const int32_t hi_bits = 2 * (k - lo_bases);
+  const uint32_t hi_mask =
+      hi_bits <= 0 ? 0u
+                   : (hi_bits >= 32 ? 0xFFFFFFFFu : ((1u << hi_bits) - 1u));
+  const uint32_t slot_mask = (s->slot_bits >= 32)
+                                 ? 0xFFFFFFFFu
+                                 : ((1u << s->slot_bits) - 1u);
+  const int32_t lo_top = 2 * (lo_bases - 1);
+  const uint8_t* codes = s->codes;
+  uint64_t* out = s->scratch + s->w0;
+  int64_t n_out = 0;
+  uint32_t lo = 0, hi = 0;
+  int64_t last_bad = s->w0 - 1;
+  // Prime the first window's k-1 leading bases.
+  for (int64_t j = s->w0; j < s->w0 + k - 1; ++j) {
+    const uint8_t c = codes[j];
+    if (c >= 4) last_bad = j;
+    hi = ((hi << 2) | (lo >> lo_top)) & hi_mask;
+    lo = ((lo << 2) | (c & 3u)) & lo_mask;
+  }
+  for (int64_t i = s->w0; i < s->w1; ++i) {
+    const uint8_t c = codes[i + k - 1];
+    if (c >= 4) last_bad = i + k - 1;
+    hi = ((hi << 2) | (lo >> lo_top)) & hi_mask;
+    lo = ((lo << 2) | (c & 3u)) & lo_mask;
+    if (last_bad < i) {
+      const uint32_t slot = fmix_hash(lo, hi) & slot_mask;
+      ++s->hist[slot >> s->radix_shift];
+      out[n_out++] =
+          ((uint64_t)slot << 32) | (uint32_t)(s->base_pos + i);
+    }
+  }
+  s->n_emitted = n_out;
+}
+
+struct ScatterShard {
+  const uint64_t* scratch;
+  int64_t s0, n;           // this shard's phase-1 keys
+  int32_t bucket_shift;    // 32 + radix_shift
+  uint64_t* key_out;
+  std::vector<int64_t> cursor;  // per-bucket write positions
+};
+
+void scatter_shard(ScatterShard* s) {
+  for (int64_t j = 0; j < s->n; ++j) {
+    const uint64_t key = s->scratch[s->s0 + j];
+    s->key_out[s->cursor[key >> s->bucket_shift]++] = key;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Extract all k-mer words of codes[0:n_codes), hash to slot_bits-bit
+// slots, and emit (slot << 32 | pos) uint64 keys PARTITIONED by bucket
+// (= slot >> radix_shift, ascending; arbitrary order within a bucket —
+// the caller fully sorts each bucket later). pos = base_pos + word index.
+// Words containing a code >= 4 (N) are dropped. Multithreaded.
+//
+//   key_out        uint64[n_codes - k + 1] capacity; first <return> used
+//   bucket_counts  int64[1 << (slot_bits - radix_shift)] out
+//
+// Returns the number of valid words emitted, or -1 on bad args / OOM.
+int64_t urmap_extract_partition(const uint8_t* codes, int64_t n_codes,
+                                int64_t base_pos, int32_t k,
+                                int32_t slot_bits, int32_t radix_shift,
+                                int32_t n_threads, uint64_t* key_out,
+                                int64_t* bucket_counts) {
+  const int64_t n_words = n_codes - k + 1;
+  if (k < 1 || k > 32 || n_words <= 0 || radix_shift < 0 ||
+      radix_shift > slot_bits || slot_bits < 1 || slot_bits > 32)
+    return -1;
+  const int32_t nbuck_bits = slot_bits - radix_shift;
+  if (nbuck_bits > 16) return -1;
+  const int64_t nbuck = 1ll << nbuck_bits;
+  int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (n_words < (1 << 20)) t = 1;
+  uint64_t* scratch =
+      static_cast<uint64_t*>(malloc((size_t)n_words * sizeof(uint64_t)));
+  if (!scratch) return -1;
+
+  std::vector<ExtractShard> shards(t);
+  const int64_t per = (n_words + t - 1) / t;
+  for (int64_t i = 0; i < t; ++i) {
+    ExtractShard& s = shards[i];
+    s.codes = codes;
+    s.w0 = i * per;
+    s.w1 = (i + 1) * per < n_words ? (i + 1) * per : n_words;
+    s.base_pos = base_pos;
+    s.k = k;
+    s.slot_bits = slot_bits;
+    s.radix_shift = radix_shift;
+    s.scratch = scratch;
+    s.n_emitted = 0;
+    s.hist.assign(nbuck, 0);
+  }
+  {
+    std::vector<std::thread> pool;
+    for (int64_t i = 1; i < t; ++i)
+      pool.emplace_back(extract_shard, &shards[i]);
+    extract_shard(&shards[0]);
+    for (auto& th : pool) th.join();
+  }
+  // Global bucket totals, then per-(bucket, thread) write cursors.
+  int64_t total = 0;
+  for (int64_t b = 0; b < nbuck; ++b) {
+    int64_t c = 0;
+    for (int64_t i = 0; i < t; ++i) c += shards[i].hist[b];
+    bucket_counts[b] = c;
+    total += c;
+  }
+  std::vector<ScatterShard> sc(t);
+  {
+    std::vector<int64_t> base(nbuck, 0);
+    int64_t run = 0;
+    for (int64_t b = 0; b < nbuck; ++b) {
+      base[b] = run;
+      run += bucket_counts[b];
+    }
+    for (int64_t i = 0; i < t; ++i) {
+      sc[i].scratch = scratch;
+      sc[i].s0 = shards[i].w0;
+      sc[i].n = shards[i].n_emitted;
+      sc[i].bucket_shift = 32 + radix_shift;
+      sc[i].key_out = key_out;
+      sc[i].cursor.assign(nbuck, 0);
+      for (int64_t b = 0; b < nbuck; ++b) {
+        sc[i].cursor[b] = base[b];
+        base[b] += shards[i].hist[b];
+      }
+    }
+  }
+  {
+    std::vector<std::thread> pool;
+    for (int64_t i = 1; i < t; ++i)
+      pool.emplace_back(scatter_shard, &sc[i]);
+    scatter_shard(&sc[0]);
+    for (auto& th : pool) th.join();
+  }
+  free(scratch);
+  return total;
+}
+
+// In-place LSD radix sort of uint64 keys (4 x 16-bit digit passes).
+// Keys are unique (positions are), so any full sort matches numpy's
+// stable sort bit-for-bit. Returns 0, or -1 on OOM.
+int32_t urmap_sort_u64(uint64_t* keys, int64_t n) {
+  if (n <= 1) return 0;
+  uint64_t* tmp =
+      static_cast<uint64_t*>(malloc((size_t)n * sizeof(uint64_t)));
+  if (!tmp) return -1;
+  uint64_t* src = keys;
+  uint64_t* dst = tmp;
+  std::vector<int64_t> hist(1 << 16);
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = 16 * pass;
+    std::fill(hist.begin(), hist.end(), 0);
+    for (int64_t i = 0; i < n; ++i)
+      ++hist[(src[i] >> shift) & 0xFFFF];
+    int64_t run = 0;
+    for (int64_t d = 0; d < (1 << 16); ++d) {
+      const int64_t c = hist[d];
+      hist[d] = run;
+      run += c;
+    }
+    for (int64_t i = 0; i < n; ++i)
+      dst[hist[(src[i] >> shift) & 0xFFFF]++] = src[i];
+    uint64_t* t2 = src;
+    src = dst;
+    dst = t2;
+  }
+  // 4 passes: src == keys again (even number of swaps).
+  free(tmp);
+  return 0;
 }
 
 }  // extern "C"
