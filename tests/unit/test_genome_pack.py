@@ -315,3 +315,23 @@ def test_unpack_words_roundtrip(rng):
     rp, rn = gp.pack_reads(jnp.asarray(codes), jnp.asarray(lengths), NW)
     back = np.asarray(gp.unpack_words_to_codes(rp, rn, L))
     np.testing.assert_array_equal(codes, back)
+
+
+def test_native_pack_genome_matches_numpy(rng, monkeypatch):
+    """pack_genome's C++ kernel (urmap_pack_genome) must be bit-identical
+    to the numpy chunked path, including N lanes and a ragged tail."""
+    from urmap_tpu.io import native
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    for n in (16 * 1000, 16 * 1000 + 7, 333):
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        codes[rng.random(n) < 0.03] = 4
+        nat_g, nat_off = gp.pack_genome(codes)
+        monkeypatch.setenv("URMAP_NO_NATIVE_BUILD", "1")
+        ref_g, ref_off = gp.pack_genome(codes)
+        monkeypatch.delenv("URMAP_NO_NATIVE_BUILD")
+        assert nat_off == ref_off
+        np.testing.assert_array_equal(nat_g, ref_g)

@@ -203,6 +203,34 @@ def test_native_extract_partition_primitive(rng):
         assert (ks == np.sort(ref)).all()
 
 
+def test_native_recap_and_place_match_numpy(rng, monkeypatch):
+    """UfiIndex.recapped and the aligned-layout placement must be
+    bit-identical between the C++ kernels (urmap_recap/urmap_place_runs)
+    and the numpy fallbacks, including heavy-repeat slots."""
+    from urmap_tpu.index import build as bmod
+
+    if bmod._native_lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    seq = _random_genome(rng, 30_000) + "ACGTACGT" * 500 \
+        + _random_genome(rng, 5_000)
+    db = SeqDB.from_seqs(["c"], [seq])
+    cfg = IndexConfig(k=12, slot_bits=12, max_positions_per_slot=64)
+    idx = build_index(db, cfg, backend="host")
+    for cap in (4, 8, 16):
+        nat = idx.recapped(cap)
+        nat_ht = idx.host_tables(cap=cap, row_align=16)
+        monkeypatch.setenv("URMAP_NO_NATIVE_BUILD", "1")
+        ref = idx.recapped(cap)
+        ref_ht = idx.host_tables(cap=cap, row_align=16)
+        monkeypatch.delenv("URMAP_NO_NATIVE_BUILD")
+        np.testing.assert_array_equal(nat.offsets, ref.offsets)
+        np.testing.assert_array_equal(nat.positions, ref.positions)
+        for key in ("offsets", "positions", "ginter"):
+            np.testing.assert_array_equal(nat_ht[key], ref_ht[key], key)
+
+
 def test_row_aligned_tables_equal_classic(rng):
     """row_align device tables + aligned gather == classic CSR tables +
     classic gather, candidate-for-candidate (store.align_runs layout)."""

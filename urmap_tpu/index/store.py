@@ -134,11 +134,30 @@ class UfiIndex:
         counts = np.diff(self.offsets.astype(np.int64))
         if cap <= 0 or int(counts.max(initial=0)) <= cap:
             return self
-        keep = evenly_cap_runs(counts, cap)
         new_counts = np.minimum(counts, cap)
         off = np.zeros(counts.shape[0] + 1, np.int64)
         np.cumsum(new_counts, out=off[1:])
-        return UfiIndex(config=self.config, offsets=off.astype(np.uint32),
+        off32 = off.astype(np.uint32)
+        from urmap_tpu.io import native as _native
+
+        nlib = None if os.environ.get("URMAP_NO_NATIVE_BUILD") \
+            else _native.lib()
+        if nlib is not None:
+            import ctypes
+
+            p_u32 = ctypes.POINTER(ctypes.c_uint32)
+            offsets = np.ascontiguousarray(self.offsets, np.uint32)
+            positions = np.ascontiguousarray(self.positions, np.uint32)
+            new_pos = np.empty(int(off[-1]), np.uint32)
+            nlib.urmap_recap(
+                offsets.ctypes.data_as(p_u32), counts.shape[0],
+                positions.ctypes.data_as(p_u32), cap,
+                os.cpu_count() or 4, off32.ctypes.data_as(p_u32),
+                new_pos.ctypes.data_as(p_u32))
+            return UfiIndex(config=self.config, offsets=off32,
+                            positions=new_pos, seqdb=self.seqdb)
+        keep = evenly_cap_runs(counts, cap)
+        return UfiIndex(config=self.config, offsets=off32,
                         positions=self.positions[keep], seqdb=self.seqdb)
 
     def host_tables(self, cap: int | None = None,
@@ -189,8 +208,11 @@ class UfiIndex:
         offsets = self.offsets
         npos = self.positions.shape[0]
         if row_align is None:
-            pos_b = (self.positions.astype(np.int64) - POS_BIAS) \
-                .astype(np.int32)
+            # uint32 wraparound == two's-complement int32 bias (biased
+            # coords are in int32 range by the glen guard above); one
+            # pass, no int64 widening at GRCh38 scale
+            pos_b = (np.asarray(self.positions, np.uint32)
+                     - np.uint32(POS_BIAS)).view(np.int32)
             fill = 0
         else:
             rw = int(row_align)
@@ -200,28 +222,48 @@ class UfiIndex:
                 raise ValueError("row-aligned positions table exceeds "
                                  "uint32 offsets; raise the cap filter")
             pos_b = np.full(total, SENTINEL, np.int32)
-            # chunked scatter (transient index arrays are 8 B/entry —
-            # bounded so GRCh38-scale tables don't spike tens of GB)
-            CH = 1 << 26
-            ends = np.cumsum(counts)
-            old_starts = ends - counts
-            s = 0
-            S = counts.shape[0]
-            while s < S:
-                e = int(np.searchsorted(ends, int(old_starts[s]) + CH,
-                                        side="left"))
-                e = max(e, s + 1)
-                cs = counts[s:e]
-                m = int(cs.sum())
-                if m:
-                    rank = (np.arange(m, dtype=np.int64)
-                            - np.repeat(old_starts[s:e] - old_starts[s],
-                                        cs))
-                    idx = np.repeat(starts[s:e], cs) + rank
-                    src = self.positions[old_starts[s] : old_starts[s] + m]
-                    pos_b[idx] = ((src.astype(np.int64) - POS_BIAS)
-                                  .astype(np.int32))
-                s = e
+            from urmap_tpu.io import native as _native
+
+            nlib = None if os.environ.get("URMAP_NO_NATIVE_BUILD") \
+                else _native.lib()
+            if nlib is not None:
+                import ctypes
+
+                p_u32 = ctypes.POINTER(ctypes.c_uint32)
+                off_c = np.ascontiguousarray(offsets, np.uint32)
+                pos_c = np.ascontiguousarray(self.positions, np.uint32)
+                starts_c = np.ascontiguousarray(starts, np.int64)
+                nlib.urmap_place_runs(
+                    off_c.ctypes.data_as(p_u32), counts.shape[0],
+                    pos_c.ctypes.data_as(p_u32),
+                    starts_c.ctypes.data_as(_native.p_i64), POS_BIAS,
+                    os.cpu_count() or 4,
+                    pos_b.ctypes.data_as(_native.p_i32))
+            else:
+                # chunked scatter (transient index arrays are 8 B/entry —
+                # bounded so GRCh38-scale tables don't spike tens of GB)
+                CH = 1 << 26
+                ends = np.cumsum(counts)
+                old_starts = ends - counts
+                s = 0
+                S = counts.shape[0]
+                while s < S:
+                    e = int(np.searchsorted(ends,
+                                            int(old_starts[s]) + CH,
+                                            side="left"))
+                    e = max(e, s + 1)
+                    cs = counts[s:e]
+                    m = int(cs.sum())
+                    if m:
+                        rank = (np.arange(m, dtype=np.int64)
+                                - np.repeat(
+                                    old_starts[s:e] - old_starts[s], cs))
+                        idx = np.repeat(starts[s:e], cs) + rank
+                        src = self.positions[
+                            old_starts[s] : old_starts[s] + m]
+                        pos_b[idx] = ((src.astype(np.int64) - POS_BIAS)
+                                      .astype(np.int32))
+                    s = e
             offsets = np.concatenate(
                 [starts, [total]]).astype(np.uint32)
             npos = total

@@ -86,6 +86,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_u8, c_i64, c_i64, c_i32, c_i32, c_i32, c_i32, p_u64, p_i64]
     lib.urmap_sort_u64.restype = c_i32
     lib.urmap_sort_u64.argtypes = [p_u64, c_i64]
+    p_u32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.urmap_recap.restype = c_i32
+    lib.urmap_recap.argtypes = [p_u32, c_i64, p_u32, c_i64, c_i32,
+                                p_u32, p_u32]
+    lib.urmap_place_runs.restype = c_i32
+    lib.urmap_place_runs.argtypes = [p_u32, c_i64, p_u32, p_i64, c_i64,
+                                     c_i32, p_i32]
+    lib.urmap_pack_genome.restype = c_i32
+    lib.urmap_pack_genome.argtypes = [p_u8, c_i64, c_i32, p_u32, p_u32]
     return lib
 
 

@@ -713,6 +713,109 @@ int64_t urmap_extract_partition(const uint8_t* codes, int64_t n_codes,
   return total;
 }
 
+// Evenly-subsampled CSR recap (store.UfiIndex.recapped twin): for every
+// slot, copy its positions run capped to <= cap entries, kept ranks
+// ceil(m*c/cap) for m in [0, cap) — identical selection to
+// store.evenly_cap_runs. new_offsets must hold the capped CSR offsets
+// (numpy: cumsum(min(counts, cap))). Slots are sharded over threads;
+// each output run's location is fully determined by new_offsets, so the
+// fill is embarrassingly parallel. Returns 0.
+int32_t urmap_recap(const uint32_t* offsets, int64_t n_slots,
+                    const uint32_t* positions, int64_t cap,
+                    int32_t n_threads, const uint32_t* new_offsets,
+                    uint32_t* new_positions) {
+  int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (n_slots < (1 << 16)) t = 1;
+  const int64_t per = (n_slots + t - 1) / t;
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t lo = offsets[s], hi = offsets[s + 1];
+      const int64_t c = hi - lo;
+      uint32_t* out = new_positions + new_offsets[s];
+      if (c <= cap) {
+        for (int64_t j = 0; j < c; ++j) out[j] = positions[lo + j];
+      } else {
+        for (int64_t m = 0; m < cap; ++m)
+          out[m] = positions[lo + (m * c + cap - 1) / cap];
+      }
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t i = 1; i < t; ++i) {
+    const int64_t s0 = i * per;
+    const int64_t s1 = (i + 1) * per < n_slots ? (i + 1) * per : n_slots;
+    if (s0 < s1) pool.emplace_back(work, s0, s1);
+  }
+  work(0, per < n_slots ? per : n_slots);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
+// Row-aligned CSR placement (store._tables_np aligned-layout twin):
+// copy each slot's positions run to out[starts[s] ...] as biased int32
+// (pos - pos_bias). out must be prefilled with the pad sentinel. The
+// destination of every run is independent, so slots shard over threads.
+int32_t urmap_place_runs(const uint32_t* offsets, int64_t n_slots,
+                         const uint32_t* positions, const int64_t* starts,
+                         int64_t pos_bias, int32_t n_threads,
+                         int32_t* out) {
+  int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (n_slots < (1 << 16)) t = 1;
+  const int64_t per = (n_slots + t - 1) / t;
+  auto work = [&](int64_t s0, int64_t s1) {
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t lo = offsets[s], hi = offsets[s + 1];
+      int32_t* dst = out + starts[s];
+      for (int64_t j = lo; j < hi; ++j)
+        dst[j - lo] = (int32_t)((int64_t)positions[j] - pos_bias);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t i = 1; i < t; ++i) {
+    const int64_t s0 = i * per;
+    const int64_t s1 = (i + 1) * per < n_slots ? (i + 1) * per : n_slots;
+    if (s0 < s1) pool.emplace_back(work, s0, s1);
+  }
+  work(0, per < n_slots ? per : n_slots);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
+// 2-bit genome packing (genome_pack.pack_genome core loop twin): word w
+// = OR of (code&3) << 2i over its 16 bases (base i in lane 2i); nplane
+// gets 01 in the lane when the code is N (>= 4). The trailing partial
+// word is padded with N. Parallel over word ranges.
+int32_t urmap_pack_genome(const uint8_t* codes, int64_t n,
+                          int32_t n_threads, uint32_t* packed,
+                          uint32_t* nplane) {
+  const int64_t W = (n + 15) / 16;
+  int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (W < (1 << 18)) t = 1;
+  const int64_t per = (W + t - 1) / t;
+  auto work = [&](int64_t w0, int64_t w1) {
+    for (int64_t w = w0; w < w1; ++w) {
+      uint32_t pk = 0, np_ = 0;
+      const int64_t b0 = w * 16;
+      for (int64_t i = 0; i < 16; ++i) {
+        const uint8_t c = (b0 + i < n) ? codes[b0 + i] : (uint8_t)4;
+        pk |= (uint32_t)(c & 3) << (2 * i);
+        np_ |= (uint32_t)(c >= 4 ? 1 : 0) << (2 * i);
+      }
+      packed[w] = pk;
+      nplane[w] = np_;
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int64_t i = 1; i < t; ++i) {
+    const int64_t w0 = i * per;
+    const int64_t w1 = (i + 1) * per < W ? (i + 1) * per : W;
+    if (w0 < w1) pool.emplace_back(work, w0, w1);
+  }
+  work(0, per < W ? per : W);
+  for (auto& th : pool) th.join();
+  return 0;
+}
+
 // In-place LSD radix sort of uint64 keys (4 x 16-bit digit passes).
 // Keys are unique (positions are), so any full sort matches numpy's
 // stable sort bit-for-bit. Returns 0, or -1 on OOM.
