@@ -32,6 +32,9 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 BASELINE_READS_PER_SEC = 1.0e6
 
+# Set in main() when the TPU probe fails and the bench runs on CPU.
+CPU_FALLBACK = False
+
 
 def synth_reads(rng, db, n, length, snp_rate=0.01):
     """Vectorized planted reads: codes uint8[n, length], truth positions."""
@@ -171,7 +174,8 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     total_reads = 2 * n_pairs
     rps = total_reads / elapsed
     print(json.dumps({
-        "metric": "map_reads_per_sec_150bp_pe",
+        "metric": "map_reads_per_sec_150bp_pe"
+                  + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
@@ -216,7 +220,34 @@ def main(argv=None):
                          "all-native CIGAR path; 0 = inline)")
     args = ap.parse_args(argv)
 
+    # The axon relay can wedge so that EVERY client (even bare
+    # jax.devices()) hangs forever in recv (round-2 incident, NOTES_NEXT
+    # _ROUND.md). Probe device acquisition in a child with a timeout so
+    # a driver-run bench records an honest CPU-fallback number instead
+    # of hanging the round.
+    if os.environ.get("JAX_PLATFORMS", "").lower() not in ("cpu",):
+        import subprocess
+
+        probe_s = float(os.environ.get("URMAP_BENCH_PROBE_TIMEOUT", "300"))
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_s, check=True, capture_output=True)
+            tpu_ok = True
+        except (subprocess.SubprocessError, OSError) as e:
+            tpu_ok = False
+            print(f"bench: device probe failed ({type(e).__name__}); "
+                  "falling back to CPU — numbers are NOT chip numbers",
+                  file=sys.stderr)
+    else:
+        tpu_ok = True
+
     import jax
+
+    if not tpu_ok:
+        global CPU_FALLBACK
+        CPU_FALLBACK = True
+        jax.config.update("jax_platforms", "cpu")
 
     from urmap_tpu import alphabet
     from urmap_tpu.config import IndexConfig, MapConfig
@@ -412,7 +443,8 @@ def main(argv=None):
     rps = args.reads / elapsed
 
     print(json.dumps({
-        "metric": "map_reads_per_sec_150bp_se",
+        "metric": "map_reads_per_sec_150bp_se"
+               + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
