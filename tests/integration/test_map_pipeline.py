@@ -186,3 +186,39 @@ def test_gzip_samout_equals_plain(rng, tmp_path):
     strip = lambda b: b"\n".join(
         ln for ln in b.split(b"\n") if not ln.startswith(b"@PG"))
     assert strip(got) == strip(want)
+
+
+def test_selfcheck_flag_passes_and_audits(rng, tmp_path, capsys):
+    """-selfcheck (SURVEY §5.2 sanitizer mode) re-derives a sample of
+    device calls on the host per batch; on healthy planted reads (SE and
+    PE) it must stay silent and the output must equal a run without it."""
+    from tests.utils import make_seqdb, plant_pair, plant_read, write_fastq
+    from urmap_tpu.cli import main
+    from urmap_tpu.config import IndexConfig
+    from urmap_tpu.index.build import build_index
+
+    db = make_seqdb(rng, [60_000])
+    index = build_index(db, IndexConfig(slot_bits=15), backend="host")
+    ufi = str(tmp_path / "g.ufi")
+    index.save(ufi)
+    reads = [plant_read(rng, db, length=100,
+                        n_snps=int(rng.integers(0, 3))) for _ in range(24)]
+    fq = str(tmp_path / "r.fq")
+    write_fastq(fq, reads)
+    plain = str(tmp_path / "out.sam")
+    audited = str(tmp_path / "out_sc.sam")
+    assert main(["-map", fq, "-ufi", ufi, "-samout", plain, "-batch",
+                 "16", "-quiet"]) == 0
+    assert main(["-map", fq, "-ufi", ufi, "-samout", audited, "-batch",
+                 "16", "-quiet", "-selfcheck"]) == 0
+    assert open(audited).read() == open(plain).read()
+
+    pairs = [plant_pair(rng, db, length=90) for _ in range(12)]
+    fq1, fq2 = str(tmp_path / "r1.fq"), str(tmp_path / "r2.fq")
+    write_fastq(fq1, [p[0] for p in pairs])
+    write_fastq(fq2, [p[1] for p in pairs])
+    pe = str(tmp_path / "pe_sc.sam")
+    assert main(["-map", fq1, "-reverse", fq2, "-ufi", ufi, "-samout",
+                 pe, "-batch", "8", "-quiet", "-selfcheck"]) == 0
+    n = sum(1 for ln in open(pe) if not ln.startswith("@"))
+    assert n == 24
