@@ -121,25 +121,40 @@ def pack_genome(codes: np.ndarray):
 
     G = codes.shape[0]
     W = -(-G // BASES_PER_WORD)
-    packed = np.empty(W, np.uint32)
-    nplane = np.empty(W, np.uint32)
     nlib = None
     if not os.environ.get("URMAP_NO_NATIVE_BUILD"):
         from urmap_tpu.io import native as _native
 
         nlib = _native.lib()
     if nlib is not None:
+        # native path: write the planes straight into the interleaved
+        # table (no multi-GB concatenate/interleave copies; the table
+        # itself rides on bigmem shared-hugepage storage)
         import ctypes
 
         from urmap_tpu.io import native as _native
+        from urmap_tpu.utils.bigmem import big_empty
 
+        back = 6 * ROW_WORDS
+        total = WORD_PAD + W + back
+        back += (-total) % ROW_WORDS
+        total = WORD_PAD + W + back
+        inter = big_empty(2 * total, np.uint32)
+        inter[: 2 * WORD_PAD : 2] = 0
+        inter[1 : 2 * WORD_PAD : 2] = 0x5555_5555
+        inter[2 * (WORD_PAD + W) :: 2] = 0
+        inter[2 * (WORD_PAD + W) + 1 :: 2] = 0x5555_5555
         p_u32 = ctypes.POINTER(ctypes.c_uint32)
         codes_c = np.ascontiguousarray(codes)
+        base = inter.ctypes.data + 8 * WORD_PAD
         nlib.urmap_pack_genome(
             codes_c.ctypes.data_as(_native.p_u8), G,
-            os.cpu_count() or 4, packed.ctypes.data_as(p_u32),
-            nplane.ctypes.data_as(p_u32))
-    else:
+            os.cpu_count() or 4, ctypes.cast(base, p_u32),
+            ctypes.cast(base + 4, p_u32), 2)
+        return inter, WORD_PAD
+    packed = np.empty(W, np.uint32)
+    nplane = np.empty(W, np.uint32)
+    if True:
         shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 2)
         # chunked packing: the uint32 widening transients are 8 bytes/
         # base — bounded so GRCh38-scale genomes don't spike ~25 GB

@@ -55,17 +55,28 @@ def _native_lib():
     return native.lib()
 
 
+_keys_buf = np.empty(0, np.uint64)  # grow-only chunk buffer (builds are
+#                                     serial per process; callers copy or
+#                                     persist before the next chunk)
+
+
 def _native_extract_partition(L, codes: np.ndarray, base_pos: int, k: int,
                               slot_bits: int, radix_bits: int):
     """Multithreaded C++ extract+hash+partition: codes uint8[n] →
     (keys uint64[(slot<<32)|pos] partitioned by slot>>shift ascending,
     per-bucket counts int64[2**radix_bits]). Bit-identical key set to
-    extract_words_np → words_to_slots_np (tests/unit/test_index.py)."""
+    extract_words_np → words_to_slots_np (tests/unit/test_index.py).
+    The returned keys are a VIEW of a reused module buffer."""
+    global _keys_buf
     from urmap_tpu.io import native
 
     codes = np.ascontiguousarray(codes)
     n_words = codes.shape[0] - k + 1
-    keys = np.empty(n_words, np.uint64)
+    if _keys_buf.shape[0] < n_words:
+        from urmap_tpu.utils.bigmem import big_empty
+
+        _keys_buf = big_empty(n_words, np.uint64)
+    keys = _keys_buf[:n_words]
     counts = np.zeros(1 << radix_bits, np.int64)
     tot = L.urmap_extract_partition(
         codes.ctypes.data_as(native.p_u8), codes.shape[0], base_pos, k,
@@ -234,31 +245,101 @@ class _RadixSpill:
         positions uint32). Deletes the spill directory.
 
         Buckets are independent, so a small thread pool loads + sorts a
-        few buckets ahead (the native radix sort releases the GIL); the
-        consumer assembles offsets/positions in bucket order. RAM stays
-        bounded by the in-flight window + the final positions array."""
+        few buckets ahead (the native kernels release the GIL); the
+        consumer assembles offsets/positions in bucket order. Buffers
+        come from a fixed free-list and the capped positions land
+        directly in the final array (bigmem shared-hugepage storage) —
+        fresh multi-GB allocations cost ~5-20 s/GB of page faults on
+        this VM class, so the loop reuses every large buffer."""
         for f in self.files:
             f.close()
         L = _native_lib()
-        offsets = np.zeros(num_slots + 1, np.uint32)
-        pos_parts = []
         running = 0
         sps = 1 << self.shift                     # slots per bucket
+        sizes = [os.path.getsize(p) // 8 for p in self.paths]
+        grand = sum(sizes)
+        if grand >= (1 << 32):
+            # uncapped upper bound; the capped total is checked below too
+            pass
+        window = min(4, (os.cpu_count() or 4))
 
-        def load_sort(i: int) -> np.ndarray:
+        if L is not None:
+            import ctypes
+            import queue
+
+            from urmap_tpu.utils.bigmem import big_empty
+
+            # every entry is assigned below (each slot belongs to
+            # exactly one bucket), so no zero-fill is needed — and a
+            # zeroed anon array would fault ~10 s/GB on this VM class
+            offsets = big_empty(num_slots + 1, np.uint32)
+            final_pos = big_empty(max(grand, 1), np.uint32)
+            maxb = max(sizes, default=1)
+            free: queue.Queue = queue.Queue()
+            for _ in range(window + 1):
+                free.put((big_empty(maxb, np.uint64),
+                          big_empty(maxb, np.uint32),
+                          np.empty(sps, np.int64)))
+
+            def load_sort(i: int):
+                bufs = free.get()
+                kbuf, pbuf, cbuf = bufs
+                n = sizes[i]
+                key = kbuf[:n]
+                with open(self.paths[i], "rb") as f:
+                    if f.readinto(key) != n * 8:
+                        raise IOError(f"short read on {self.paths[i]}")
+                _sort_u64(L, key)
+                m = L.urmap_bucket_csr(
+                    key.ctypes.data_as(_P_U64), n, i * sps, sps, cap,
+                    pbuf.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint32)),
+                    cbuf.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int64)))
+                if m < 0:
+                    raise RuntimeError("urmap_bucket_csr failed")
+                return bufs, int(m)
+
+            cum_buf = np.empty(sps + 1, np.int64)
+            with ThreadPoolExecutor(window) as ex:
+                pending = {i: ex.submit(load_sort, i)
+                           for i in range(min(window, self.nbuck))}
+                for i in range(self.nbuck):
+                    bufs, m = pending.pop(i).result()
+                    nxt = i + window
+                    if nxt < self.nbuck:
+                        pending[nxt] = ex.submit(load_sort, nxt)
+                    _, pbuf, cbuf = bufs
+                    lo = i * sps
+                    cum_buf[0] = running
+                    np.cumsum(cbuf, out=cum_buf[1:])
+                    cum_buf[1:] += running
+                    if cum_buf[-1] >= (1 << 32):
+                        raise ValueError(
+                            "positions exceed uint32 CSR range")
+                    offsets[lo : lo + sps + 1] = cum_buf
+                    final_pos[running : running + m] = pbuf[:m]
+                    running = int(cum_buf[-1])
+                    free.put(bufs)
+            shutil.rmtree(self.dir, ignore_errors=True)
+            return offsets, final_pos[:running]
+
+        offsets = np.zeros(num_slots + 1, np.uint32)
+        pos_parts = []
+
+        def load_sort_np(i: int) -> np.ndarray:
             key = np.fromfile(self.paths[i], "<u8")
             _sort_u64(L, key)
             return key
 
-        window = min(4, (os.cpu_count() or 4))
         with ThreadPoolExecutor(window) as ex:
-            pending = {i: ex.submit(load_sort, i)
+            pending = {i: ex.submit(load_sort_np, i)
                        for i in range(min(window, self.nbuck))}
             for i in range(self.nbuck):
                 key = pending.pop(i).result()
                 nxt = i + window
                 if nxt < self.nbuck:
-                    pending[nxt] = ex.submit(load_sort, nxt)
+                    pending[nxt] = ex.submit(load_sort_np, nxt)
                 sl_rel = (key >> np.uint64(32)).astype(np.int64) - i * sps
                 po = key.astype(np.uint32)
                 del key

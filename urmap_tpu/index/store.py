@@ -63,6 +63,21 @@ def evenly_cap_runs(counts: np.ndarray, cap: int,
     return keep
 
 
+def counts_i64(offsets: np.ndarray) -> np.ndarray:
+    """CSR run lengths (diff of offsets) as int64. Routed through u32
+    math + bigmem storage: `np.diff(offsets.astype(int64))` allocates
+    ~3 fresh anon GB at GRCh38 scale, which costs ~10 s/GB of page
+    faults on this VM class (BASELINE.md round-2 cont.-3)."""
+    from urmap_tpu.utils.bigmem import big_empty
+
+    n = offsets.shape[0] - 1
+    c32 = big_empty(n, np.uint32)
+    np.subtract(offsets[1:], offsets[:-1], out=c32)
+    counts = big_empty(n, np.int64)
+    counts[...] = c32
+    return counts
+
+
 def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
     """Greedy no-straddle placement of CSR runs: each run of ``c``
     entries (≤ rw) is placed so it never crosses a g-word boundary,
@@ -77,9 +92,11 @@ def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
     Native C when available (the decision is a sequential recurrence on
     the running fill level); Python loop fallback for tiny/test indexes.
     """
+    from urmap_tpu.utils.bigmem import big_empty
+
     counts = np.ascontiguousarray(counts, np.int64)
     n = counts.shape[0]
-    starts = np.empty(n, np.int64)
+    starts = big_empty(n, np.int64)
     if n == 0:
         return starts, 0
     assert rw & (rw - 1) == 0, "rw must be a power of two"
@@ -131,33 +148,42 @@ class UfiIndex:
         Used at map time so the gather width (MapConfig.positions_per_seed)
         is an EXPLICIT, position-unbiased cap instead of a silent
         first-N truncation inside the CSR gather."""
-        counts = np.diff(self.offsets.astype(np.int64))
-        if cap <= 0 or int(counts.max(initial=0)) <= cap:
+        if cap <= 0:
             return self
-        new_counts = np.minimum(counts, cap)
-        off = np.zeros(counts.shape[0] + 1, np.int64)
-        np.cumsum(new_counts, out=off[1:])
-        off32 = off.astype(np.uint32)
         from urmap_tpu.io import native as _native
 
         nlib = None if os.environ.get("URMAP_NO_NATIVE_BUILD") \
             else _native.lib()
+        n_slots = self.offsets.shape[0] - 1
         if nlib is not None:
             import ctypes
 
+            from urmap_tpu.utils.bigmem import big_empty
+
             p_u32 = ctypes.POINTER(ctypes.c_uint32)
             offsets = np.ascontiguousarray(self.offsets, np.uint32)
+            off32 = big_empty(n_slots + 1, np.uint32)
+            mx = nlib.urmap_cap_offsets(
+                offsets.ctypes.data_as(p_u32), n_slots, cap,
+                os.cpu_count() or 4, off32.ctypes.data_as(p_u32))
+            if mx <= cap:
+                return self
             positions = np.ascontiguousarray(self.positions, np.uint32)
-            new_pos = np.empty(int(off[-1]), np.uint32)
+            new_pos = big_empty(int(off32[-1]), np.uint32)
             nlib.urmap_recap(
-                offsets.ctypes.data_as(p_u32), counts.shape[0],
+                offsets.ctypes.data_as(p_u32), n_slots,
                 positions.ctypes.data_as(p_u32), cap,
                 os.cpu_count() or 4, off32.ctypes.data_as(p_u32),
                 new_pos.ctypes.data_as(p_u32))
             return UfiIndex(config=self.config, offsets=off32,
                             positions=new_pos, seqdb=self.seqdb)
+        counts = np.diff(self.offsets.astype(np.int64))
+        if int(counts.max(initial=0)) <= cap:
+            return self
+        off = np.zeros(n_slots + 1, np.int64)
+        np.cumsum(np.minimum(counts, cap), out=off[1:])
         keep = evenly_cap_runs(counts, cap)
-        return UfiIndex(config=self.config, offsets=off32,
+        return UfiIndex(config=self.config, offsets=off.astype(np.uint32),
                         positions=self.positions[keep], seqdb=self.seqdb)
 
     def host_tables(self, cap: int | None = None,
@@ -204,24 +230,31 @@ class UfiIndex:
             raise ValueError(
                 f"genome of {glen:,} bases exceeds the biased-int32 "
                 "device coordinate range (~4.29 Gbp); shard the genome")
+        from urmap_tpu.utils.bigmem import big_empty
+
         ginter, base_off = gpk.pack_genome(self.seqdb.codes)
         offsets = self.offsets
         npos = self.positions.shape[0]
         if row_align is None:
+            pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
+            positions = big_empty(npos + pad, np.int32)
             # uint32 wraparound == two's-complement int32 bias (biased
             # coords are in int32 range by the glen guard above); one
-            # pass, no int64 widening at GRCh38 scale
-            pos_b = (np.asarray(self.positions, np.uint32)
-                     - np.uint32(POS_BIAS)).view(np.int32)
-            fill = 0
+            # pass into the final padded table, no int64 widening and no
+            # concatenate copy at GRCh38 scale
+            np.subtract(np.asarray(self.positions, np.uint32),
+                        np.uint32(POS_BIAS),
+                        out=positions[:npos].view(np.uint32))
+            positions[npos:] = 0
         else:
             rw = int(row_align)
-            counts = np.diff(offsets.astype(np.int64))
+            counts = counts_i64(offsets)
             starts, total = align_runs(counts, rw)
             if total + 4 * gpk.ROW_WORDS >= 1 << 32:
                 raise ValueError("row-aligned positions table exceeds "
                                  "uint32 offsets; raise the cap filter")
-            pos_b = np.full(total, SENTINEL, np.int32)
+            pad = 2 * gpk.ROW_WORDS + ((-total) % gpk.ROW_WORDS)
+            positions = big_empty(total + pad, np.int32)
             from urmap_tpu.io import native as _native
 
             nlib = None if os.environ.get("URMAP_NO_NATIVE_BUILD") \
@@ -229,6 +262,8 @@ class UfiIndex:
             if nlib is not None:
                 import ctypes
 
+                positions[...] = SENTINEL
+                pos_b = positions[:total]
                 p_u32 = ctypes.POINTER(ctypes.c_uint32)
                 off_c = np.ascontiguousarray(offsets, np.uint32)
                 pos_c = np.ascontiguousarray(self.positions, np.uint32)
@@ -240,6 +275,8 @@ class UfiIndex:
                     os.cpu_count() or 4,
                     pos_b.ctypes.data_as(_native.p_i32))
             else:
+                positions[...] = SENTINEL
+                pos_b = positions[:total]
                 # chunked scatter (transient index arrays are 8 B/entry —
                 # bounded so GRCh38-scale tables don't spike tens of GB)
                 CH = 1 << 26
@@ -264,18 +301,15 @@ class UfiIndex:
                         pos_b[idx] = ((src.astype(np.int64) - POS_BIAS)
                                       .astype(np.int32))
                     s = e
-            offsets = np.concatenate(
-                [starts, [total]]).astype(np.uint32)
-            npos = total
-            fill = SENTINEL
-        # positions padded to a ROW_WORDS multiple + guard rows for the
-        # row-slice gather (dead lanes are masked by the CSR counts /
+            off_al = big_empty(counts.shape[0] + 1, np.uint32)
+            off_al[:-1] = starts
+            off_al[-1] = total
+            offsets = off_al
+        # positions were padded to a ROW_WORDS multiple + guard rows for
+        # the row-slice gather (dead lanes are masked by the CSR counts /
         # SENTINEL pads in aligned mode)
-        pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
-        positions = np.concatenate(
-            [pos_b, np.full(pad, fill, np.int32)])
         return {
-            "offsets": offsets.astype(np.uint32),
+            "offsets": np.asarray(offsets, np.uint32),  # no-copy when u32
             "positions": positions,
             "ginter": ginter,
             # static word offset: genome guard pad + the coordinate bias
@@ -350,7 +384,7 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
 
     capped = index.recapped(p)
     rw = align_row_words(p)
-    counts = np.diff(capped.offsets.astype(np.int64))
+    counts = counts_i64(capped.offsets)
     starts, total = align_runs(counts, rw)
     csr_aligned = bool(total <= 1.15 * max(capped.num_positions, 1))
     tier = None

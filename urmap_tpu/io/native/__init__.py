@@ -94,7 +94,13 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_place_runs.argtypes = [p_u32, c_i64, p_u32, p_i64, c_i64,
                                      c_i32, p_i32]
     lib.urmap_pack_genome.restype = c_i32
-    lib.urmap_pack_genome.argtypes = [p_u8, c_i64, c_i32, p_u32, p_u32]
+    lib.urmap_pack_genome.argtypes = [p_u8, c_i64, c_i32, p_u32, p_u32,
+                                      c_i64]
+    lib.urmap_cap_offsets.restype = c_i64
+    lib.urmap_cap_offsets.argtypes = [p_u32, c_i64, c_i64, c_i32, p_u32]
+    lib.urmap_bucket_csr.restype = c_i64
+    lib.urmap_bucket_csr.argtypes = [p_u64, c_i64, c_i64, c_i64, c_i64,
+                                     p_u32, p_i64]
     return lib
 
 

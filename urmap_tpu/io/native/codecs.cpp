@@ -14,8 +14,11 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <mutex>
 #include <thread>
 #include <vector>
+
+#include <sys/mman.h>
 
 namespace {
 
@@ -536,6 +539,38 @@ int64_t urmap_align_runs(const int64_t* counts, int64_t n, int64_t rw,
 
 namespace {
 
+// Grow-only mmap-backed scratch. Page-fault cost on this class of VM is
+// ~5-20 s per fresh GB for anon-private pages but ~1 s/GB for shared
+// ones with MADV_HUGEPAGE, and malloc munmaps gigabyte buffers on free —
+// so repeated per-chunk scratch would re-fault its pages on every call.
+// Keep the scratch alive and reuse it.
+struct Scratch {
+  void* p = nullptr;
+  size_t cap = 0;
+  ~Scratch() {
+    if (p) munmap(p, cap);
+  }
+  void* get(size_t n) {
+    if (n <= cap) return p;
+    if (p) munmap(p, cap);
+    size_t need = (n + ((size_t)2 << 20) - 1) & ~(((size_t)2 << 20) - 1);
+    p = mmap(nullptr, need, PROT_READ | PROT_WRITE,
+             MAP_SHARED | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) {
+      p = nullptr;
+      cap = 0;
+      return nullptr;
+    }
+    madvise(p, need, MADV_HUGEPAGE);
+    cap = need;
+    return p;
+  }
+};
+
+Scratch g_extract_scratch;         // guarded by g_extract_mu
+std::mutex g_extract_mu;
+thread_local Scratch t_sort_scratch;
+
 // hashing.hash_words_np twin (murmur3 fmix32-style avalanche).
 inline uint32_t fmix_hash(uint32_t lo, uint32_t hi) {
   uint32_t h = lo * 0x9E3779B1u;
@@ -647,8 +682,9 @@ int64_t urmap_extract_partition(const uint8_t* codes, int64_t n_codes,
   const int64_t nbuck = 1ll << nbuck_bits;
   int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
   if (n_words < (1 << 20)) t = 1;
-  uint64_t* scratch =
-      static_cast<uint64_t*>(malloc((size_t)n_words * sizeof(uint64_t)));
+  std::lock_guard<std::mutex> lk(g_extract_mu);
+  uint64_t* scratch = static_cast<uint64_t*>(
+      g_extract_scratch.get((size_t)n_words * sizeof(uint64_t)));
   if (!scratch) return -1;
 
   std::vector<ExtractShard> shards(t);
@@ -709,7 +745,6 @@ int64_t urmap_extract_partition(const uint8_t* codes, int64_t n_codes,
     scatter_shard(&sc[0]);
     for (auto& th : pool) th.join();
   }
-  free(scratch);
   return total;
 }
 
@@ -781,13 +816,106 @@ int32_t urmap_place_runs(const uint32_t* offsets, int64_t n_slots,
   return 0;
 }
 
+// One spill bucket -> capped CSR, single pass over the SORTED keys
+// ((slot<<32)|pos ascending): for each slot run, copy its positions
+// (low 32 bits) capped to <= cap with the even-subsample ranks
+// ceil(m*c/cap) (identical selection to urmap_recap / evenly_cap_runs),
+// and record the capped run length. counts_out must hold sps (slots per
+// bucket) entries; slot_lo is the bucket's first slot id. Returns the
+// number of positions written to pos_out.
+int64_t urmap_bucket_csr(const uint64_t* keys, int64_t n, int64_t slot_lo,
+                         int64_t sps, int64_t cap, uint32_t* pos_out,
+                         int64_t* counts_out) {
+  memset(counts_out, 0, (size_t)sps * sizeof(int64_t));
+  int64_t w = 0;
+  int64_t i = 0;
+  while (i < n) {
+    const uint64_t slot = keys[i] >> 32;
+    int64_t j = i + 1;
+    while (j < n && (keys[j] >> 32) == slot) ++j;
+    const int64_t c = j - i;
+    const int64_t rel = (int64_t)slot - slot_lo;
+    if (rel < 0 || rel >= sps) return -1;
+    if (cap <= 0 || c <= cap) {
+      for (int64_t q = i; q < j; ++q) pos_out[w++] = (uint32_t)keys[q];
+      counts_out[rel] = c;
+    } else {
+      for (int64_t m = 0; m < cap; ++m)
+        pos_out[w++] = (uint32_t)keys[i + (m * c + cap - 1) / cap];
+      counts_out[rel] = cap;
+    }
+    i = j;
+  }
+  return w;
+}
+
+// Capped CSR offsets: new_offsets[s+1]-new_offsets[s] =
+// min(offsets[s+1]-offsets[s], cap). Returns the MAX uncapped run
+// length (callers skip the whole recap when it's <= cap). Two-phase
+// parallel prefix over slot shards.
+int64_t urmap_cap_offsets(const uint32_t* offsets, int64_t n_slots,
+                          int64_t cap, int32_t n_threads,
+                          uint32_t* new_offsets) {
+  int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
+  if (n_slots < (1 << 18)) t = 1;
+  const int64_t per = (n_slots + t - 1) / t;
+  std::vector<int64_t> totals(t, 0), maxes(t, 0);
+  auto phase1 = [&](int64_t ti) {
+    const int64_t s0 = ti * per;
+    const int64_t s1 = (ti + 1) * per < n_slots ? (ti + 1) * per : n_slots;
+    int64_t tot = 0, mx = 0;
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t c = (int64_t)offsets[s + 1] - offsets[s];
+      if (c > mx) mx = c;
+      tot += c < cap ? c : cap;
+    }
+    totals[ti] = tot;
+    maxes[ti] = mx;
+  };
+  {
+    std::vector<std::thread> pool;
+    for (int64_t i = 1; i < t; ++i) pool.emplace_back(phase1, i);
+    phase1(0);
+    for (auto& th : pool) th.join();
+  }
+  std::vector<int64_t> base(t, 0);
+  int64_t run = 0, mx = 0;
+  for (int64_t i = 0; i < t; ++i) {
+    base[i] = run;
+    run += totals[i];
+    if (maxes[i] > mx) mx = maxes[i];
+  }
+  auto phase2 = [&](int64_t ti) {
+    const int64_t s0 = ti * per;
+    const int64_t s1 = (ti + 1) * per < n_slots ? (ti + 1) * per : n_slots;
+    int64_t acc = base[ti];
+    for (int64_t s = s0; s < s1; ++s) {
+      const int64_t c = (int64_t)offsets[s + 1] - offsets[s];
+      acc += c < cap ? c : cap;
+      new_offsets[s + 1] = (uint32_t)acc;
+    }
+  };
+  new_offsets[0] = 0;
+  {
+    std::vector<std::thread> pool;
+    for (int64_t i = 1; i < t; ++i) pool.emplace_back(phase2, i);
+    phase2(0);
+    for (auto& th : pool) th.join();
+  }
+  return mx;
+}
+
 // 2-bit genome packing (genome_pack.pack_genome core loop twin): word w
 // = OR of (code&3) << 2i over its 16 bases (base i in lane 2i); nplane
 // gets 01 in the lane when the code is N (>= 4). The trailing partial
-// word is padded with N. Parallel over word ranges.
+// word is padded with N. Parallel over word ranges. out_stride lets the
+// caller pass views into the final INTERLEAVED (code, N) table —
+// packed = &inter[2*WORD_PAD], nplane = &inter[2*WORD_PAD + 1],
+// out_stride = 2 — so the planes are written in place, no concatenate
+// or interleave copies of the multi-GB table.
 int32_t urmap_pack_genome(const uint8_t* codes, int64_t n,
                           int32_t n_threads, uint32_t* packed,
-                          uint32_t* nplane) {
+                          uint32_t* nplane, int64_t out_stride) {
   const int64_t W = (n + 15) / 16;
   int64_t t = n_threads < 1 ? 1 : (n_threads > 16 ? 16 : n_threads);
   if (W < (1 << 18)) t = 1;
@@ -801,8 +929,8 @@ int32_t urmap_pack_genome(const uint8_t* codes, int64_t n,
         pk |= (uint32_t)(c & 3) << (2 * i);
         np_ |= (uint32_t)(c >= 4 ? 1 : 0) << (2 * i);
       }
-      packed[w] = pk;
-      nplane[w] = np_;
+      packed[w * out_stride] = pk;
+      nplane[w * out_stride] = np_;
     }
   };
   std::vector<std::thread> pool;
@@ -821,8 +949,8 @@ int32_t urmap_pack_genome(const uint8_t* codes, int64_t n,
 // stable sort bit-for-bit. Returns 0, or -1 on OOM.
 int32_t urmap_sort_u64(uint64_t* keys, int64_t n) {
   if (n <= 1) return 0;
-  uint64_t* tmp =
-      static_cast<uint64_t*>(malloc((size_t)n * sizeof(uint64_t)));
+  uint64_t* tmp = static_cast<uint64_t*>(
+      t_sort_scratch.get((size_t)n * sizeof(uint64_t)));
   if (!tmp) return -1;
   uint64_t* src = keys;
   uint64_t* dst = tmp;
@@ -845,7 +973,6 @@ int32_t urmap_sort_u64(uint64_t* keys, int64_t n) {
     dst = t2;
   }
   // 4 passes: src == keys again (even number of swaps).
-  free(tmp);
   return 0;
 }
 
