@@ -104,3 +104,37 @@ def test_gzip_fasta_and_fastq(rng, tmp_path):
     assert len(batches[0]) == 10
     assert batches[0].names[0] == "g0"
     assert batches[0].lengths.tolist() == [80] * 10
+
+
+def test_fasta_native_parse_matches_python(tmp_path, monkeypatch):
+    """from_fasta's C parser (urmap_parse_fasta) must be bit-identical to
+    the Python path: labels, starts, lengths, codes — including soft-
+    masked lowercase, ambiguity codes, CRLF, ragged wrap widths, a
+    mid-line '>' (sequence data, not a record start), and no trailing
+    newline."""
+    from urmap_tpu.io import native
+    from urmap_tpu.io.fasta import SeqDB
+
+    if native.lib() is None:
+        import pytest
+
+        pytest.skip("no native toolchain")
+    text = (b">chr1 first sequence\r\n"
+            b"ACGTacgtNNRYKM\r\n"
+            b"TTTT>GGGG\n"
+            b"acg\n"
+            b">chr2\n"
+            b"A\nC\nG\nT\n"
+            b"\n"
+            b">  chr3xx  desc \n"
+            b"UUUUuuACGT")
+    p = tmp_path / "g.fa"
+    p.write_bytes(text)
+    nat = SeqDB.from_fasta(str(p))
+    monkeypatch.setenv("URMAP_NO_NATIVE_BUILD", "1")
+    ref = SeqDB.from_fasta(str(p))
+    monkeypatch.delenv("URMAP_NO_NATIVE_BUILD")
+    assert nat.labels == ref.labels == ["chr1", "chr2", "chr3xx"]
+    np.testing.assert_array_equal(nat.starts, ref.starts)
+    np.testing.assert_array_equal(nat.lengths, ref.lengths)
+    np.testing.assert_array_equal(nat.codes, ref.codes)

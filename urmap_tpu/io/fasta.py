@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import gzip
 import io as _io
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -59,11 +60,28 @@ class SeqDB:
 
     @classmethod
     def from_fasta(cls, path: str) -> "SeqDB":
-        """Whole-file parse: record split + C-speed whitespace strip
-        (bytes.translate) — a Python per-line loop is minutes on a 3 Gbp
-        genome; this is seconds."""
+        """Whole-file parse. Hot path: one C pass (codecs.cpp
+        urmap_parse_fasta) strips whitespace, encodes, and writes the
+        codes straight into the final concatenated layout (~30× the
+        translate-then-encode Python path at GRCh38 scale, mostly by
+        skipping the per-record temporaries). Python fallback: record
+        split + bytes.translate whitespace strip."""
         with _open_maybe_gzip(path) as f:
-            data = f.read()
+            if isinstance(f, gzip.GzipFile):
+                data = np.frombuffer(f.read(), np.uint8)
+            else:
+                # read into bigmem storage: a fresh multi-GB bytes
+                # object costs ~10 s/GB of page faults on this VM class
+                from urmap_tpu.utils.bigmem import big_empty
+
+                size = os.fstat(f.fileno()).st_size
+                data = big_empty(size, np.uint8)
+                if f.readinto(data) != size:
+                    raise IOError(f"{path}: short read")
+        db = cls._from_fasta_native(data, path)
+        if db is not None:
+            return db
+        data = data.tobytes()                     # rare fallback path
         head = data.lstrip()
         if not head.startswith(b">"):
             snippet = head[:20]
@@ -90,6 +108,53 @@ class SeqDB:
         if not labels:
             raise ValueError(f"{path}: no FASTA records")
         return cls.from_seqs(labels, seqs)
+
+    @classmethod
+    def _from_fasta_native(cls, data: np.ndarray,
+                           path: str) -> "SeqDB | None":
+        """C parser fast path (data = uint8 view of the file bytes);
+        None → caller uses the Python path (which also produces the
+        precise error messages on malformed input)."""
+        import ctypes
+        import os as _os
+
+        if _os.environ.get("URMAP_NO_NATIVE_BUILD"):
+            return None
+        from urmap_tpu.io import native
+
+        nlib = native.lib()
+        if nlib is None:
+            return None
+        from urmap_tpu.utils.bigmem import big_empty
+
+        n = int(data.shape[0])
+        max_rec = max(int(np.count_nonzero(data == ord(">"))), 1)
+        codes = big_empty(n + (max_rec + 1) * SEPARATOR_LEN, np.uint8)
+        seq_start = np.empty(max_rec, np.int64)
+        seq_len = np.empty(max_rec, np.int64)
+        head_off = np.empty(max_rec, np.int64)
+        head_len = np.empty(max_rec, np.int64)
+        clen = np.zeros(1, np.int64)
+        nrec = nlib.urmap_parse_fasta(
+            ctypes.cast(data.ctypes.data, native.p_char), n,
+            SEPARATOR_LEN, max_rec,
+            codes.ctypes.data_as(native.p_u8),
+            seq_start.ctypes.data_as(native.p_i64),
+            seq_len.ctypes.data_as(native.p_i64),
+            head_off.ctypes.data_as(native.p_i64),
+            head_len.ctypes.data_as(native.p_i64),
+            clen.ctypes.data_as(native.p_i64))
+        if nrec <= 0:
+            return None                          # Python path raises
+        labels = [
+            data[head_off[i] : head_off[i] + head_len[i]]
+            .tobytes().split()[0].decode("ascii")
+            for i in range(nrec)
+        ]
+        return cls(labels=labels,
+                   starts=seq_start[:nrec].copy(),
+                   lengths=seq_len[:nrec].copy(),
+                   codes=codes[: int(clen[0])])
 
     @classmethod
     def from_seqs(cls, labels: list[str], seqs: list[bytes | str]) -> "SeqDB":

@@ -101,6 +101,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_bucket_csr.restype = c_i64
     lib.urmap_bucket_csr.argtypes = [p_u64, c_i64, c_i64, c_i64, c_i64,
                                      p_u32, p_i64]
+    lib.urmap_parse_fasta.restype = c_i64
+    lib.urmap_parse_fasta.argtypes = [p_char, c_i64, c_i64, c_i64, p_u8,
+                                      p_i64, p_i64, p_i64, p_i64, p_i64]
     return lib
 
 

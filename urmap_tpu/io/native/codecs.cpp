@@ -816,6 +816,77 @@ int32_t urmap_place_runs(const uint32_t* offsets, int64_t n_slots,
   return 0;
 }
 
+// FASTA text -> concatenated genome codes (io/fasta.py SeqDB layout):
+// [sep][seq0][sep][seq1][sep]... with sep = sep_len bases of genome-N
+// (code 4). Whitespace inside bodies is skipped; other bytes encode via
+// the genome table (A/C/G/T/U case-insensitive, everything else -> 4) —
+// byte-identical to alphabet.encode(is_genome=True) after the Python
+// path's bytes.translate whitespace strip. Headers are returned as byte
+// spans into buf (caller decodes + takes the first token).
+// Returns the record count, or -1 (data before first header) /
+// -2 (empty header) / -3 (more than max_records). *codes_len gets the
+// total code length written.
+int64_t urmap_parse_fasta(const char* buf, int64_t n, int64_t sep_len,
+                          int64_t max_records, uint8_t* codes,
+                          int64_t* seq_start, int64_t* seq_len,
+                          int64_t* head_off, int64_t* head_len,
+                          int64_t* codes_len) {
+  static const struct GenomeTable {
+    uint8_t t[256];
+    GenomeTable() {
+      memset(t, 4, sizeof(t));
+      t[(int)'A'] = t[(int)'a'] = 0;
+      t[(int)'C'] = t[(int)'c'] = 1;
+      t[(int)'G'] = t[(int)'g'] = 2;
+      t[(int)'T'] = t[(int)'t'] = 3;
+      t[(int)'U'] = t[(int)'u'] = 3;
+    }
+  } kGenome;
+  int64_t i = 0;
+  while (i < n && (buf[i] == ' ' || buf[i] == '\t' || buf[i] == '\r' ||
+                   buf[i] == '\n'))
+    ++i;
+  if (i >= n || buf[i] != '>') return -1;
+  int64_t w = 0;
+  for (int64_t s = 0; s < sep_len; ++s) codes[w++] = 4;
+  int64_t nrec = 0;
+  while (i < n) {
+    // at '>': header runs to end of line
+    ++i;
+    const char* nl = static_cast<const char*>(
+        memchr(buf + i, '\n', (size_t)(n - i)));
+    int64_t hend = nl ? (nl - buf) : n;
+    int64_t hlo = i, hhi = hend;
+    while (hlo < hhi && (buf[hlo] == ' ' || buf[hlo] == '\t' ||
+                         buf[hlo] == '\r'))
+      ++hlo;
+    while (hhi > hlo && (buf[hhi - 1] == ' ' || buf[hhi - 1] == '\t' ||
+                         buf[hhi - 1] == '\r'))
+      --hhi;
+    if (hhi == hlo) return -2;
+    if (nrec >= max_records) return -3;
+    head_off[nrec] = hlo;
+    head_len[nrec] = hhi - hlo;
+    i = hend + 1;
+    const int64_t body_w = w;
+    // a record starts only at a LINE-START '>' (the Python path splits
+    // on "\n>"); a mid-line '>' is sequence data (encodes to 4)
+    bool line_start = true;
+    while (i < n && !(line_start && buf[i] == '>')) {
+      const char c = buf[i++];
+      line_start = (c == '\n');
+      if (c == ' ' || c == '\t' || c == '\r' || c == '\n') continue;
+      codes[w++] = kGenome.t[(uint8_t)c];
+    }
+    seq_start[nrec] = body_w;
+    seq_len[nrec] = w - body_w;
+    for (int64_t s = 0; s < sep_len; ++s) codes[w++] = 4;
+    ++nrec;
+  }
+  *codes_len = w;
+  return nrec;
+}
+
 // One spill bucket -> capped CSR, single pass over the SORTED keys
 // ((slot<<32)|pos ascending): for each slot run, copy its positions
 // (low 32 bits) capped to <= cap with the even-subsample ranks
