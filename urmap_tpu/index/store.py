@@ -6,8 +6,14 @@ a directory:
 
     <name>.ufi/
       header.json   — format version, k, slot_bits, cap, counts
-      tables.npz    — offsets[int32, num_slots+1], positions[uint32, P]
-      seqdb.npz     — genome codes + labels/starts/lengths (io/fasta.py)
+      offsets.npy   — uint32[num_slots+1] CSR offsets (mmap'd at load)
+      positions.npy — uint32[P] positions (mmap'd at load)
+      seqdb.npz/    — genome codes.npy + meta.json (io/fasta.py; the
+                      historical .npz name, a directory since round 3)
+      prepared_p<p>/ — optional map-ready tables (save_prepared)
+
+    (pre-round-3 indexes stored offsets+positions as tables.npz and the
+    seqdb as a real npz file; load() still reads both layouts)
 
 CSR semantics: positions[offsets[s] : offsets[s+1]] are the global genome
 start positions (ascending) of every indexed k-mer whose hash slot is s.
@@ -335,8 +341,11 @@ class UfiIndex:
         }
         with open(os.path.join(path, "header.json"), "w") as f:
             json.dump(header, f, indent=2)
-        np.savez(os.path.join(path, "tables.npz"),
-                 offsets=self.offsets, positions=self.positions)
+        # raw .npy tables: mmap back in at -map startup (load-and-go,
+        # like the reference's .ufi) instead of an npz CRC+copy pass
+        # that costs minutes at GRCh38 scale
+        np.save(os.path.join(path, "offsets.npy"), self.offsets)
+        np.save(os.path.join(path, "positions.npy"), self.positions)
         self.seqdb.save(os.path.join(path, "seqdb.npz"))
         self.path = path
 
@@ -346,9 +355,16 @@ class UfiIndex:
             header = json.load(f)
         if header["format_version"] != FORMAT_VERSION:
             raise ValueError(f"unsupported index format {header['format_version']}")
-        with np.load(os.path.join(path, "tables.npz")) as z:
-            offsets = z["offsets"].astype(np.uint32)
-            positions = z["positions"]
+        npz = os.path.join(path, "tables.npz")
+        if os.path.exists(npz):                   # pre-round-3 layout
+            with np.load(npz) as z:
+                offsets = z["offsets"].astype(np.uint32)
+                positions = z["positions"]
+        else:
+            offsets = np.load(os.path.join(path, "offsets.npy"),
+                              mmap_mode="r")
+            positions = np.load(os.path.join(path, "positions.npy"),
+                                mmap_mode="r")
         seqdb = SeqDB.load(os.path.join(path, "seqdb.npz"))
         cfg = IndexConfig(
             k=header["k"],

@@ -203,16 +203,36 @@ class SeqDB:
     # -- (de)serialization (stored inside the index directory) ---------------
 
     def save(self, path: str) -> None:
-        np.savez(
-            path,
-            labels=np.array(self.labels, dtype=object),
-            starts=self.starts,
-            lengths=self.lengths,
-            codes=self.codes,
-        )
+        """Raw .npy members beside a small json — the multi-GB codes
+        array mmaps straight back in at load (npz members can't mmap,
+        and the zip CRC pass costs minutes at GRCh38 scale). ``path``
+        keeps its historical '<x>.npz' name but is a directory."""
+        import json
+
+        if os.path.isfile(path):
+            os.remove(path)                       # format-v1 file
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"labels": self.labels,
+                       "starts": [int(x) for x in self.starts],
+                       "lengths": [int(x) for x in self.lengths]}, f)
+        np.save(os.path.join(path, "codes.npy"), self.codes)
 
     @classmethod
     def load(cls, path: str) -> "SeqDB":
+        import json
+
+        if os.path.isdir(path):
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            return cls(
+                labels=list(meta["labels"]),
+                starts=np.asarray(meta["starts"], np.int64),
+                lengths=np.asarray(meta["lengths"], np.int64),
+                codes=np.load(os.path.join(path, "codes.npy"),
+                              mmap_mode="r"),
+            )
+        # format v1: single npz file
         with np.load(path, allow_pickle=True) as z:
             return cls(
                 labels=[str(x) for x in z["labels"]],
