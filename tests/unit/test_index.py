@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 
 from urmap_tpu import alphabet
@@ -408,3 +410,36 @@ def test_prepared_tables_roundtrip(rng, tmp_path):
     np.testing.assert_array_equal(r1.pos, r2.pos)
     np.testing.assert_array_equal(r1.mapped, r2.mapped)
     np.testing.assert_array_equal(r1.score, r2.score)
+
+
+def test_resave_over_old_format_and_in_place(rng, tmp_path):
+    """(a) Re-saving into a pre-round-3 index dir must remove the stale
+    tables.npz (load() prefers it, silently pairing old tables with the
+    new seqdb). (b) load → save to the SAME path must round-trip even
+    though load() hands back mmaps of the very files save() rewrites."""
+    from tests.utils import make_seqdb
+
+    db1 = make_seqdb(rng, [20_000])
+    db2 = make_seqdb(rng, [30_000])
+    cfg = IndexConfig(k=16, slot_bits=12, max_positions_per_slot=16)
+    path = str(tmp_path / "g.ufi")
+    old = build_index(db1, cfg, backend="host")
+    old.save(path)
+    # simulate the pre-round-3 layout: tables.npz + npz seqdb
+    np.savez(os.path.join(path, "tables.npz"),
+             offsets=old.offsets, positions=old.positions)
+    os.remove(os.path.join(path, "offsets.npy"))
+    os.remove(os.path.join(path, "positions.npy"))
+    new = build_index(db2, cfg, backend="host")
+    new.save(path)                      # must clear the stale npz
+    got = UfiIndex.load(path)
+    np.testing.assert_array_equal(got.offsets, new.offsets)
+    np.testing.assert_array_equal(got.positions, new.positions)
+    assert got.seqdb.total_len == db2.total_len
+    # in-place re-save of a loaded (mmap-backed) index
+    got.save(path)
+    again = UfiIndex.load(path)
+    np.testing.assert_array_equal(again.offsets, new.offsets)
+    np.testing.assert_array_equal(again.positions, new.positions)
+    np.testing.assert_array_equal(np.asarray(again.seqdb.codes),
+                                  np.asarray(db2.codes))

@@ -154,29 +154,25 @@ def pack_genome(codes: np.ndarray):
         return inter, WORD_PAD
     packed = np.empty(W, np.uint32)
     nplane = np.empty(W, np.uint32)
-    if True:
-        shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 2)
-        # chunked packing: the uint32 widening transients are 8 bytes/
-        # base — bounded so GRCh38-scale genomes don't spike ~25 GB
-        CW = 1 << 26                               # words per chunk
-        for w0 in range(0, W, CW):
-            w1 = min(w0 + CW, W)
-            seg = codes[w0 * BASES_PER_WORD : w1 * BASES_PER_WORD]
-            if seg.shape[0] < (w1 - w0) * BASES_PER_WORD:
-                seg = np.concatenate(
-                    [seg,
-                     np.full((w1 - w0) * BASES_PER_WORD - seg.shape[0],
-                             4, np.uint8)])
-            c = seg.astype(np.uint32)
-            isn = (c >= 4).astype(np.uint32)
-            c &= 3
-            cw = c.reshape(w1 - w0, BASES_PER_WORD)
-            nw = isn.reshape(w1 - w0, BASES_PER_WORD)
-            packed[w0:w1] = np.bitwise_or.reduce(cw << shifts[None, :],
-                                                 axis=1)
-            # N plane: 01 in the base's 2-bit lane when N
-            nplane[w0:w1] = np.bitwise_or.reduce(nw << shifts[None, :],
-                                                 axis=1)
+    shifts = (np.arange(BASES_PER_WORD, dtype=np.uint32) * 2)
+    # chunked packing: the uint32 widening transients are 8 bytes/base —
+    # bounded so GRCh38-scale genomes don't spike ~25 GB
+    CW = 1 << 26                                   # words per chunk
+    for w0 in range(0, W, CW):
+        w1 = min(w0 + CW, W)
+        seg = codes[w0 * BASES_PER_WORD : w1 * BASES_PER_WORD]
+        if seg.shape[0] < (w1 - w0) * BASES_PER_WORD:
+            seg = np.concatenate(
+                [seg, np.full((w1 - w0) * BASES_PER_WORD - seg.shape[0],
+                              4, np.uint8)])
+        c = seg.astype(np.uint32)
+        isn = (c >= 4).astype(np.uint32)
+        c &= 3
+        cw = c.reshape(w1 - w0, BASES_PER_WORD)
+        nw = isn.reshape(w1 - w0, BASES_PER_WORD)
+        packed[w0:w1] = np.bitwise_or.reduce(cw << shifts[None, :], axis=1)
+        # N plane: 01 in the base's 2-bit lane when N
+        nplane[w0:w1] = np.bitwise_or.reduce(nw << shifts[None, :], axis=1)
     # guards: front WORD_PAD all-N words; back enough all-N words that
     # any in-range window (largest client: the rescue scan, ~80 words,
     # plus the row-gather's extra rows) stays inside the table; total

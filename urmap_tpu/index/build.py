@@ -210,10 +210,12 @@ class _RadixSpill:
         key = (slots.astype(np.uint64) << np.uint64(32)) | pos
         if sorted_by_slot:
             # device-build chunks arrive slot-sorted: bucket boundaries
-            # are nbuck binary searches, no argsort partition pass
+            # are nbuck binary searches, no argsort partition pass.
+            # uint32 needles — uint64 ones would promote (copy) the
+            # whole slots chunk
             cuts = np.searchsorted(
-                slots, np.arange(1, self.nbuck, dtype=np.uint64)
-                << np.uint64(self.shift))
+                slots, (np.arange(1, self.nbuck, dtype=np.uint32)
+                        << np.uint32(self.shift)).astype(slots.dtype))
             counts = np.diff(np.concatenate(
                 [[0], cuts, [slots.shape[0]]]))
         else:
@@ -257,10 +259,9 @@ class _RadixSpill:
         running = 0
         sps = 1 << self.shift                     # slots per bucket
         sizes = [os.path.getsize(p) // 8 for p in self.paths]
-        grand = sum(sizes)
-        if grand >= (1 << 32):
-            # uncapped upper bound; the capped total is checked below too
-            pass
+        grand = sum(sizes)          # uncapped upper bound on positions;
+        #                             the capped total is range-checked
+        #                             per bucket below
         window = min(4, (os.cpu_count() or 4))
 
         if L is not None:

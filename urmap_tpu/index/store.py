@@ -77,6 +77,8 @@ def counts_i64(offsets: np.ndarray) -> np.ndarray:
     from urmap_tpu.utils.bigmem import big_empty
 
     n = offsets.shape[0] - 1
+    if offsets.dtype != np.uint32:      # tests/external callers may pass
+        return np.diff(offsets.astype(np.int64))  # other integer dtypes
     c32 = big_empty(n, np.uint32)
     np.subtract(offsets[1:], offsets[:-1], out=c32)
     counts = big_empty(n, np.int64)
@@ -343,9 +345,18 @@ class UfiIndex:
             json.dump(header, f, indent=2)
         # raw .npy tables: mmap back in at -map startup (load-and-go,
         # like the reference's .ufi) instead of an npz CRC+copy pass
-        # that costs minutes at GRCh38 scale
-        np.save(os.path.join(path, "offsets.npy"), self.offsets)
-        np.save(os.path.join(path, "positions.npy"), self.positions)
+        # that costs minutes at GRCh38 scale. Written to a temp name +
+        # os.replace: self.offsets/positions may BE mmaps of these very
+        # files (re-save of a loaded index) and an in-place truncate
+        # would SIGBUS mid-write; replace leaves the mapped inode alive.
+        for name, arr in (("offsets", self.offsets),
+                          ("positions", self.positions)):
+            tmp = os.path.join(path, f".{name}.{os.getpid()}.tmp.npy")
+            np.save(tmp, arr)
+            os.replace(tmp, os.path.join(path, f"{name}.npy"))
+        stale = os.path.join(path, "tables.npz")
+        if os.path.exists(stale):
+            os.remove(stale)        # pre-round-3 layout shadows .npy at load
         self.seqdb.save(os.path.join(path, "seqdb.npz"))
         self.path = path
 

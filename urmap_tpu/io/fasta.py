@@ -128,7 +128,12 @@ class SeqDB:
         from urmap_tpu.utils.bigmem import big_empty
 
         n = int(data.shape[0])
-        max_rec = max(int(np.count_nonzero(data == ord(">"))), 1)
+        # count '>' in bounded windows — a whole-file `data == ord('>')`
+        # temp would be a fresh multi-GB bool array (page-fault tax)
+        gt = np.uint8(ord(">"))
+        max_rec = max(
+            sum(int(np.count_nonzero(data[s : s + (1 << 26)] == gt))
+                for s in range(0, n, 1 << 26)), 1)
         codes = big_empty(n + (max_rec + 1) * SEPARATOR_LEN, np.uint8)
         seq_start = np.empty(max_rec, np.int64)
         seq_len = np.empty(max_rec, np.int64)
@@ -216,7 +221,11 @@ class SeqDB:
             json.dump({"labels": self.labels,
                        "starts": [int(x) for x in self.starts],
                        "lengths": [int(x) for x in self.lengths]}, f)
-        np.save(os.path.join(path, "codes.npy"), self.codes)
+        # temp + replace: self.codes may be an mmap of this very file
+        # (re-save of a loaded SeqDB); see UfiIndex.save
+        tmp = os.path.join(path, f".codes.{os.getpid()}.tmp.npy")
+        np.save(tmp, self.codes)
+        os.replace(tmp, os.path.join(path, "codes.npy"))
 
     @classmethod
     def load(cls, path: str) -> "SeqDB":
