@@ -443,3 +443,23 @@ def test_resave_over_old_format_and_in_place(rng, tmp_path):
     np.testing.assert_array_equal(again.positions, new.positions)
     np.testing.assert_array_equal(np.asarray(again.seqdb.codes),
                                   np.asarray(db2.codes))
+
+
+def test_device_chunk_base_pos_past_2_31():
+    """The jitted device-build chunk must accept word starts beyond
+    2^31 (GRCh38-scale chunk bases): a bare Python int overflows the
+    int32 jit argument parse — callers pass uint32."""
+    import jax.numpy as jnp
+
+    from urmap_tpu.index.build import _chunk_sorted_slots
+
+    rng2 = np.random.default_rng(5)
+    codes = rng2.integers(0, 4, 2_000).astype(np.uint8)
+    base = 3_000_000_000
+    sl, po = _chunk_sorted_slots(jnp.asarray(codes), np.uint32(base),
+                                 12, 10)
+    po = np.asarray(po).astype(np.int64)
+    sl = np.asarray(sl)
+    valid = sl < (1 << 10)
+    assert po[valid].min() >= base
+    assert po[valid].max() < base + codes.shape[0]

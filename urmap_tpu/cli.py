@@ -32,6 +32,7 @@ USAGE = """urmap-tpu v{v} — TPU-native short-read mapper
 Index build:
   python -m urmap_tpu -make_ufi <genome.fa> -output <genome.ufi>
       [-wordlength K] [-slot_bits B] [-maxpos N] [-veryfast]
+      [-device_build]  (XLA sort pipeline instead of the C++ host build)
 
 Mapping:
   python -m urmap_tpu -map <reads.fq> -ufi <genome.ufi> -samout <out.sam>
@@ -54,7 +55,8 @@ Other: -version, -help
 # flag → (has_value, description)
 _FLAGS = {
     "make_ufi": True, "output": True, "wordlength": True, "slot_bits": True,
-    "maxpos": True, "veryfast": False, "ufistats": True,
+    "maxpos": True, "veryfast": False, "device_build": False,
+    "ufistats": True,
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
     "inflight": True, "endclip": False, "selfcheck": False,
@@ -112,7 +114,12 @@ def cmd_make_ufi(opts: dict) -> int:
     if "maxpos" in opts:
         kw["max_positions_per_slot"] = int(str(opts["maxpos"]))
     cfg = IndexConfig(**kw)
-    idx = build_index(db, cfg)
+    # host backend by default: the multithreaded C++ build (3.1 Gbp in
+    # ~5 min, BASELINE.md) beats shipping chunks through the device —
+    # the reference also builds on the host CPU. -device_build opts in
+    # to the XLA sort pipeline (bit-identical output).
+    backend = "device" if opts.get("device_build") else "host"
+    idx = build_index(db, cfg, backend=backend)
     idx.save(str(out))
     # map-ready tables alongside the raw CSR (reference parity: its
     # .ufi is load-and-go; without this a GRCh38-scale -map pays tens

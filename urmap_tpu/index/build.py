@@ -110,7 +110,10 @@ def _chunk_sorted_slots(codes, base_pos, k: int, slot_bits: int):
     sentinel = jnp.uint32(1 << slot_bits)
     slots = jnp.where(valid, slots, sentinel)
     n = slots.shape[0]
-    pos = (jnp.arange(n, dtype=jnp.uint32) + jnp.uint32(base_pos))
+    # base_pos must arrive as uint32 (callers cast): a bare Python int
+    # > 2^31 overflows the default int32 jit argument parse at GRCh38
+    # scale (chunk starts run to ~3.1e9)
+    pos = (jnp.arange(n, dtype=jnp.uint32) + base_pos)
     slots_s, pos_s = jax.lax.sort((slots, pos), num_keys=2)
     return slots_s, pos_s
 
@@ -402,7 +405,7 @@ def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
                 if backend == "device":
                     sl, po = _chunk_sorted_slots(
                         jnp.asarray(codes[start : stop + cfg.k - 1]),
-                        start, cfg.k, cfg.slot_bits)
+                        np.uint32(start), cfg.k, cfg.slot_bits)
                     sl = np.asarray(sl)
                     po = np.asarray(po)
                     nvalid = np.searchsorted(sl,
@@ -445,7 +448,7 @@ def build_index(seqdb: SeqDB, cfg: IndexConfig | None = None, *,
         # chunk covers word starts [start, stop) → needs codes[start : stop+k-1]
         sl, po = _chunk_sorted_slots(
             jnp.asarray(codes[start : stop + cfg.k - 1]),
-            start, cfg.k, cfg.slot_bits,
+            np.uint32(start), cfg.k, cfg.slot_bits,
         )
         sl = np.asarray(sl)
         po = np.asarray(po)
