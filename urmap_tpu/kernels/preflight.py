@@ -38,7 +38,8 @@ def ensure_kernels() -> None:
     from urmap_tpu import genome_pack as gpk
     from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
     from urmap_tpu.kernels.vote import vote_pallas
-    from urmap_tpu.map.seed import SENTINEL
+    from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
+                                    vote_top_candidates)
 
     L, k, q, sb = 64, 24, 8, 20
     rng = np.random.default_rng(0)
@@ -50,19 +51,34 @@ def ensure_kernels() -> None:
     @jax.jit
     def probe(cj, lj, cd):
         rp, rn = gpk.pack_reads(cj, lj, -(-L // 16))
-        s, _o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
-                                           slot_bits=sb, block_r=128)
-        tc, tv = vote_pallas(cd, v=4, block_n=64)
-        return (jnp.sum(s.astype(jnp.int32)) + jnp.sum(v)
-                + jnp.sum(tc) + jnp.sum(tv))
+        s, o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
+                                          slot_bits=sb, block_r=128)
+        # default block_n: production shape (a block_n=64 probe was
+        # ILLEGAL — output block (8, 64) over (8, 128) trips the Mosaic
+        # lane-divisibility rule and disabled perfectly good kernels)
+        tc, tv = vote_pallas(cd, v=4)
+        # jnp twins: the probe verifies NUMERICS, not just lowering —
+        # a silently-wrong Mosaic lowering (e.g. default MXU precision
+        # rounding f32 operands through bf16) must also trip the hatch
+        sj, oj, vj = extract_seed_slots_words(rp, rn, lj, L, k=k, q=q,
+                                              slot_bits=sb)
+        tcj, tvj = vote_top_candidates(cd, v=4)
+        seed_ok = (jnp.all(v == vj) & jnp.all(o == oj)
+                   & jnp.all(jnp.where(vj, s == sj, True)))
+        vote_ok = jnp.all(tc == tcj) & jnp.all(tv == tvj)
+        return seed_ok, vote_ok
 
     try:
-        np.asarray(probe(jnp.asarray(codes), jnp.asarray(lens),
-                         jnp.asarray(cand)))
+        seed_ok, vote_ok = (bool(np.asarray(x)) for x in probe(
+            jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand)))
+        if not seed_ok or not vote_ok:
+            raise AssertionError(
+                f"kernel/jnp twin mismatch (seed_ok={seed_ok}, "
+                f"vote_ok={vote_ok})")
     except Exception as e:  # noqa: BLE001 — any lowering/runtime failure
         os.environ["URMAP_NO_SEED_KERNEL"] = "1"
         os.environ["URMAP_NO_VOTE_KERNEL"] = "1"
         print(f"urmap-tpu: seed/vote Pallas kernels unavailable on this "
-              f"backend ({type(e).__name__}); using jnp fallbacks",
+              f"backend ({type(e).__name__}: {e}); using jnp fallbacks",
               file=sys.stderr)
     _DONE = True

@@ -86,9 +86,15 @@ def _make_kernel(L: int, k: int, q: int, slot_bits: int, nwp: int,
             # [nwp, R] i32 -> (M1, M2, M3) [mp, R], Mi[j] = word j//16+i
             lo16 = (slab & 0xFFFF).astype(jnp.float32)
             hi16 = srl(slab, jnp.int32(16)).astype(jnp.float32)
+            # HIGHEST: default MXU precision rounds f32 operands through
+            # bf16 (exact only to 2^8) — the 16-bit halves need the
+            # multi-pass exact decomposition (interpret mode can't catch
+            # this; tools/check_kernels.py on-chip does).
             mlo = jax.lax.dot(e, lo16,
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
             mhi = jax.lax.dot(e, hi16,
+                              precision=jax.lax.Precision.HIGHEST,
                               preferred_element_type=jnp.float32)
             full = mlo.astype(jnp.int32) | (mhi.astype(jnp.int32) << 16)
             return full[0:mp], full[mp : 2 * mp], full[2 * mp : 3 * mp]

@@ -68,7 +68,7 @@ def _make_kernel(v: int, vp: int, block_n: int):
 
         # ---- run-length votes at run heads ----
         prev = lroll(x, 1)
-        is_head = jnp.where(lane == 0, True, x != prev)
+        is_head = (lane == 0) | (x != prev)
         headpos = jnp.where(is_head, lane, M)
         # next_head[l] = min headpos over lanes > l (reverse scan)
         y = jnp.where(lane >= M - 1, M, lroll(headpos, M - 1))
@@ -109,6 +109,10 @@ def vote_pallas(cand, *, v: int, block_n: int = DEFAULT_BLOCK_N,
     cand int32[N, M] → (top_cand int32[N, V], votes int32[N, V])."""
     N, M = cand.shape
     assert supports(M)
+    # output blocks are [vp, R] over [vp, npad]: compiled mode needs R
+    # to satisfy the Mosaic lane rule (divisible by 128); interpret mode
+    # has no such constraint (unit tests use small blocks there)
+    assert interpret or block_n % LANES == 0, block_n
     R = block_n
     npad = -(-N // R) * R
     vp = -(-v // 8) * 8

@@ -127,21 +127,19 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
     win = gpk.gather_codes(tables["ginter"], tables["base_off"],
                            win_start, W)                         # [B, W]
 
-    def onehot(codes):
-        return (codes[..., None] == jnp.arange(4, dtype=codes.dtype)
-                ).astype(jnp.bfloat16)
-
-    oh_win = onehot(win)                                          # [B, W, 4]
-    oh_read = onehot(other_codes)                                 # [B, L, 4]
-    lhs = oh_win.transpose(0, 2, 1).reshape(1, B * 4, W)
-    rhs = oh_read.transpose(0, 2, 1).reshape(B * 4, 1, L)
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=B * 4,
-        preferred_element_type=jnp.float32,
-    )                                                              # [1, B*4, O]
-    counts = out.reshape(B, 4, O).sum(axis=1)                      # [B, O]
+    # counts[b, o] = #{l : win[b, o+l] == read[b, l]} by an integer
+    # sliding-window accumulation. Read pads are READ_N (5) and genome
+    # N is 4, so pads/Ns never match — same semantics as the one-hot
+    # correlation this replaces. (The previous grouped bf16
+    # conv_general_dilated silently produced garbage when traced INSIDE
+    # a lax.while_loop on real TPU — caught by the /tmp/verify_e2e
+    # corpus, reproduced in isolation; integer adds are loop-safe.)
+    def _acc(l, acc):
+        seg = jax.lax.dynamic_slice_in_dim(win, l, O, axis=1)
+        rl = jax.lax.dynamic_slice_in_dim(other_codes, l, 1, axis=1)
+        return acc + (seg == rl).astype(jnp.int32)
+    counts = jax.lax.fori_loop(0, L, _acc,
+                               jnp.zeros((B, O), jnp.int32))       # [B, O]
     best_off = jnp.argmax(counts, axis=-1).astype(jnp.int32)
     # genome range in biased device coordinates (seed.POS_BIAS)
     cand = jnp.clip(win_start + best_off, -POS_BIAS,
