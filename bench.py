@@ -1,21 +1,40 @@
 """Headline benchmark: single-chip mapping throughput (reads/s).
 
 No genome data exists in this environment (SURVEY.md §4.2), so the bench
-synthesizes a random genome, builds the UFI index on-device, plants 150 bp
-reads (with SNPs) and measures end-to-end mapping throughput — device
-pipeline (seed→vote→DP→select) plus host CIGAR + SAM record formatting,
-i.e. the same work the reference's ``-map`` command does per read.
+synthesizes a random genome, builds the UFI index, plants 150 bp reads
+(with SNPs) and measures end-to-end mapping throughput — device pipeline
+(seed→vote→DP→select) plus host CIGAR + SAM record formatting, i.e. the
+same work the reference's ``-map`` command does per read.
 
-Prints ONE JSON line. ``vs_baseline`` is measured against 1.0e6 reads/s —
-the order of URMAP's published multi-core host throughput (Edgar 2020,
-PeerJ 8:e9338 reports ~10× BWA-MEM; exact table TODO in BASELINE.md since
-the reference mount is empty).
+Default invocation runs BOTH the SE and PE benchmarks and prints one JSON
+line per mode, PE LAST (BASELINE.json's north-star metric is PE reads/s;
+the driver parses the final line). Each mode times ``--passes`` (default
+3) full passes over the read set and reports the MEDIAN — the axon relay
+has ±2x noisy days (BASELINE.md round-2-cont-2) and a single pass is a
+coin flip. Diagnostics recorded per mode so a flat capture is
+attributable post hoc:
+
+  - ``kernel_preflight``: numerics outcome of the seed/vote/DP Pallas
+    kernels vs their jnp twins ON THIS DEVICE (kernels/preflight.py —
+    runs at Mapper init on every TPU run, catching the silent-wrong-
+    lowering class of 9a0c76c);
+  - ``kernels_active``: which Pallas kernels actually dispatched;
+  - ``pass_rps``: every pass's rate (spread == relay noise);
+  - ``batch_ms_p10/p50/p90``: steady-state per-batch completion deltas
+    within the median pass (host-bound vs device-bound signature);
+  - ``warmup_rps``: the untimed warm pass's rate (relay ramp visibility).
+
+``vs_baseline`` is measured against 1.0e6 reads/s — the order of URMAP's
+published multi-core host throughput (Edgar 2020, PeerJ 8:e9338 reports
+~10× BWA-MEM; exact table TODO in BASELINE.md since the reference mount
+is empty).
 """
 
 from __future__ import annotations
 
 import argparse
 import io
+import itertools
 import json
 import os
 import sys
@@ -82,28 +101,204 @@ def synth_pairs(rng, db, n_pairs, length, snp_rate=0.01,
     return r1, r2, t1, t2
 
 
-def run_paired(args, db, index, mapper, rng, t_index, dev):
-    """PE bench: native paired reader → PairedMapper → native SAM."""
+def write_fastq(path, codes, read_len, name_prefix=b"r"):
+    code_to_char = np.frombuffer(b"ACGTNN", np.uint8)
+    qual_row = b"I" * read_len
+    with open(path, "wb") as f:
+        chunk = []
+        for i in range(len(codes)):
+            chunk.append(b"@%s%d\n%s\n+\n%s\n"
+                         % (name_prefix, i, code_to_char[codes[i]].tobytes(),
+                            qual_row))
+            if len(chunk) == 50000:
+                f.write(b"".join(chunk)); chunk = []
+        f.write(b"".join(chunk))
+
+
+def kernel_diag():
+    """Preflight outcome + which Pallas kernels are active (post-hatch)."""
+    from urmap_tpu.kernels.preflight import last_result
+
+    active = {n: os.environ.get(f"URMAP_NO_{n.upper()}_KERNEL") != "1"
+              for n in ("seed", "vote", "dp")}
+    return {"kernel_preflight": last_result(), "kernels_active": active}
+
+
+def timed_passes(make_items, start, sync, fmt, write, *, passes, inflight,
+                 workers, warm_batches=4):
+    """Warm pass (untimed rate recorded) + N timed passes.
+
+    Returns (per-pass elapsed list, warmup stats, batch completion
+    timestamp list for each pass). ``write`` must reset its own counters
+    when called with None (pass boundary marker).
+    """
+    from urmap_tpu.utils.stream import run_stream
+
+    tw0 = time.monotonic()
+    n_warm = 0
+
+    def _warm_write(out):
+        nonlocal n_warm
+        n_warm += 1
+
+    run_stream(itertools.islice(make_items(), warm_batches), start, sync,
+               fmt, _warm_write, inflight=inflight, workers=workers)
+    warm_s = time.monotonic() - tw0
+
+    elapsed, stamps_all = [], []
+    for _ in range(passes):
+        write(None)  # reset counters
+        stamps = []
+
+        def _write(out, _stamps=stamps):
+            write(out)
+            _stamps.append(time.monotonic())
+
+        t0 = time.monotonic()
+        run_stream(make_items(), start, sync, fmt, _write,
+                   inflight=inflight, workers=workers)
+        elapsed.append(time.monotonic() - t0)
+        stamps_all.append(stamps)
+    return elapsed, (warm_s, n_warm), stamps_all
+
+
+def batch_percentiles(stamps):
+    """Steady-state per-batch ms p10/p50/p90 from completion stamps."""
+    if len(stamps) < 3:
+        return None
+    d = np.diff(np.asarray(stamps)) * 1e3
+    return {"batch_ms_p10": round(float(np.percentile(d, 10)), 1),
+            "batch_ms_p50": round(float(np.percentile(d, 50)), 1),
+            "batch_ms_p90": round(float(np.percentile(d, 90)), 1)}
+
+
+def emit(metric, total_reads, elapsed_list, warm, stamps_all, extra, args,
+         dev):
+    med = float(np.median(elapsed_list))
+    rps = total_reads / med
+    warm_s, n_warm = warm
+    warm_reads = min(4 * args.batch, total_reads)
+    rec = {
+        "metric": metric + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+        "device": str(dev),
+        "cpu_fallback": CPU_FALLBACK,
+        "reads": total_reads,
+        "genome_mbp": args.genome_mbp,
+        "passes": len(elapsed_list),
+        "pass_rps": [round(total_reads / e, 1) for e in elapsed_list],
+        "warmup_rps": round(warm_reads / warm_s, 1) if warm_s > 0 else None,
+        "map_s": round(med, 2),
+        "sam_formatting": not args.no_sam,
+    }
+    med_i = int(np.argsort(elapsed_list)[len(elapsed_list) // 2])
+    pct = batch_percentiles(stamps_all[med_i])
+    if pct:
+        rec.update(pct)
+    rec.update(extra)
+    rec.update(kernel_diag())
+    print(json.dumps(rec))
+    return rec
+
+
+def run_single(args, db, mapper, rng, t_index, dev):
+    """SE bench → JSON record."""
+    from urmap_tpu.io import sam as samio
     from urmap_tpu.io import sam_native
-    from urmap_tpu.io.fastq import FastqReader
+    from urmap_tpu.io.fastq import FastqReader, PrefetchIterator
+    from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_blob
+    from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+    codes, truth_pos, _ = synth_reads(rng, db, args.reads, args.read_len)
+    lengths = np.full(args.reads, args.read_len, np.int32)
+
+    # warmup / compile
+    wb = min(args.batch, args.reads)
+    mapper.map_codes(codes[:wb], lengths[:wb])
+
+    use_native = sam_native.available()
+    # materialize a real FASTQ (untimed) — the timed loop drives the
+    # actual product path: native parser → device map → native SAM
+    fq_path = "/tmp/urmap_bench.fq"
+    write_fastq(fq_path, codes, args.read_len)
+
+    sink = io.BytesIO()
+    stats = {"mapped": 0, "correct": 0}
+
+    def start(item):
+        _s, batch, pk = item
+        return mapper.start_batch(batch.codes, batch.lengths, prepacked=pk)
+
+    def sync(item, handle):
+        _s, batch, _pk = item
+        return mapper.finish_batch(handle, batch.lengths)
+
+    def fmt(item, res):
+        s, batch, _pk = item
+        st = (int(res.mapped.sum()),
+              int(((res.pos == truth_pos[s : s + len(batch)])
+                   & res.mapped).sum()))
+        if args.no_sam:
+            return None, st
+        if use_native:
+            blob, off, nm, _sp = cigars_nm_blob(db.codes, batch.codes,
+                                                res, mapper.sc)
+            return sam_native.format_single_end(batch, res, (blob, off),
+                                                nm, db), st
+        strand_codes = revcomp_strand_codes(batch.codes, res)
+        cigars, nms = cigars_for_result(db.codes, strand_codes, res,
+                                        mapper.sc)
+        return ("\n".join(samio.records_single_end(
+            batch, res, cigars, nms, db)) + "\n").encode(), st
+
+    def write(out):
+        if out is None:  # pass boundary: reset
+            stats["mapped"] = stats["correct"] = 0
+            sink.seek(0); sink.truncate()
+            return
+        data, (m, c) = out
+        stats["mapped"] += m; stats["correct"] += c
+        if data is not None:
+            sink.write(data)
+
+    def items():
+        s = 0
+        # upload prep (pad + pack) rides the prefetch thread, off the
+        # dispatch critical path (tools/bench_e2e_phases.py)
+        reader = FastqReader(fq_path, batch_size=args.batch,
+                             max_read_len=args.read_len)
+        pf = PrefetchIterator(
+            reader, transform=lambda b: (b, mapper.prepack(b.codes,
+                                                           b.lengths)))
+        for batch, pk in pf:
+            yield s, batch, pk
+            s += len(batch)
+
+    elapsed, warm, stamps = timed_passes(
+        items, start, sync, fmt, write, passes=args.passes,
+        inflight=args.inflight, workers=args.workers)
+    return emit(
+        "map_reads_per_sec_150bp_se", args.reads, elapsed, warm, stamps,
+        {"mapped_frac": round(stats["mapped"] / args.reads, 4),
+         "correct_frac": round(stats["correct"] / args.reads, 4),
+         "index_build_s": round(t_index, 2)},
+        args, dev)
+
+
+def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
+    """PE bench → JSON record (printed LAST: the north-star metric)."""
+    from urmap_tpu.io import sam_native
+    from urmap_tpu.io.fastq import FastqReader, PrefetchIterator
     from urmap_tpu.map.cigar import cigars_nm_blob
     from urmap_tpu.map.pair import PairedMapper
-    from urmap_tpu.map.pipeline import revcomp_strand_codes
 
     n_pairs = args.reads // 2
     r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len)
-    code_to_char = np.frombuffer(b"ACGTNN", np.uint8)
-    qual_row = b"I" * args.read_len
     paths = ("/tmp/urmap_bench_r1.fq", "/tmp/urmap_bench_r2.fq")
-    for path, arr in zip(paths, (r1, r2)):
-        with open(path, "wb") as f:
-            chunk = []
-            for i in range(n_pairs):
-                chunk.append(b"@p%d\n%s\n+\n%s\n"
-                             % (i, code_to_char[arr[i]].tobytes(), qual_row))
-                if len(chunk) == 50000:
-                    f.write(b"".join(chunk)); chunk = []
-            f.write(b"".join(chunk))
+    write_fastq(paths[0], r1, args.read_len, b"p")
+    write_fastq(paths[1], r2, args.read_len, b"p")
 
     pm = PairedMapper(mapper)
     # warmup / compile (pair batches are half the read batch)
@@ -111,11 +306,8 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     ln = np.full(wb, args.read_len, np.int32)
     pm.finish_batch(pm.start_batch(r1[:wb], ln, r2[:wb], ln), ln, ln)
 
-    from urmap_tpu.io.fastq import PrefetchIterator
-    from urmap_tpu.utils.stream import run_stream
-
     sink = io.BytesIO()
-    n_mapped = n_correct = n_proper = 0
+    stats = {"mapped": 0, "correct": 0, "proper": 0}
 
     def start(item):
         _s, b1, b2, pk = item
@@ -129,22 +321,25 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
     def fmt(item, res):
         s, b1, b2, _pk = item
         n = len(b1)
-        stats = (
+        st = (
             int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),
             int(res.proper.sum()),
             int(((res.m1.pos == t1[s:s + n]) & res.m1.mapped).sum())
             + int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum()))
         if args.no_sam:
-            return None, stats
+            return None, st
         b1b, o1, e1, sp1 = cigars_nm_blob(db.codes, b1.codes, res.m1, pm.sc)
         b2b, o2, e2, sp2 = cigars_nm_blob(db.codes, b2.codes, res.m2, pm.sc)
         return sam_native.format_paired(
-            b1, b2, res, (b1b, o1), e1, sp1, (b2b, o2), e2, sp2, db), stats
+            b1, b2, res, (b1b, o1), e1, sp1, (b2b, o2), e2, sp2, db), st
 
     def write(out):
-        nonlocal n_mapped, n_proper, n_correct
+        if out is None:
+            stats["mapped"] = stats["correct"] = stats["proper"] = 0
+            sink.seek(0); sink.truncate()
+            return
         data, (m, p, c) = out
-        n_mapped += m; n_proper += p; n_correct += c
+        stats["mapped"] += m; stats["proper"] += p; stats["correct"] += c
         if data is not None:
             sink.write(data)
 
@@ -161,35 +356,87 @@ def run_paired(args, db, index, mapper, rng, t_index, dev):
             yield s, b1, b2, pk
             s += len(b1)
 
-    import itertools
-
-    run_stream(itertools.islice(items(), 4), start, sync, fmt,
-               lambda out: None, inflight=args.inflight,
-               workers=args.workers)
-    n_mapped = n_correct = n_proper = 0
-    t1w = time.monotonic()
-    run_stream(items(), start, sync, fmt, write,
-               inflight=args.inflight, workers=args.workers)
-    elapsed = time.monotonic() - t1w
+    elapsed, warm, stamps = timed_passes(
+        items, start, sync, fmt, write, passes=args.passes,
+        inflight=args.inflight, workers=args.workers)
     total_reads = 2 * n_pairs
-    rps = total_reads / elapsed
-    print(json.dumps({
-        "metric": "map_reads_per_sec_150bp_pe"
-                  + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
-        "value": round(rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
-        "device": str(dev),
-        "reads": total_reads,
-        "genome_mbp": args.genome_mbp,
-        "mapped_frac": round(n_mapped / total_reads, 4),
-        "correct_frac": round(n_correct / total_reads, 4),
-        "proper_frac": round(n_proper / n_pairs, 4),
-        "index_build_s": round(t_index, 2),
-        "map_s": round(elapsed, 2),
-        "sam_formatting": not args.no_sam,
-    }))
-    return 0
+    extra = {"mapped_frac": round(stats["mapped"] / total_reads, 4),
+             "correct_frac": round(stats["correct"] / total_reads, 4),
+             "proper_frac": round(stats["proper"] / n_pairs, 4),
+             "index_build_s": round(t_index, 2)}
+    if se_rec is not None:
+        extra["se_reads_per_sec"] = se_rec["value"]
+        extra["se_correct_frac"] = se_rec["correct_frac"]
+    return emit("map_reads_per_sec_150bp_pe", total_reads, elapsed, warm,
+                stamps, extra, args, dev)
+
+
+def check_kernel_full(args, mcfg, icfg, dev):
+    """Opt-in: production-shape Pallas-vs-jnp parity on device (the
+    always-on preflight covers tiny shapes; this covers read_len/band)."""
+    import jax.numpy as jnp
+
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.config import ScoreConfig
+    from urmap_tpu.kernels.banded_dp import pallas_from_windows
+    from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
+    from urmap_tpu.kernels.vote import vote_pallas
+    from urmap_tpu.map.dp import banded_from_windows
+    from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
+                                    vote_top_candidates)
+
+    sc = ScoreConfig()
+    hw = mcfg.band_halfwidth
+    ck_rng = np.random.default_rng(1)
+    wlen = args.read_len + 2 * hw
+    kw = ck_rng.integers(0, 5, size=(2048, wlen)).astype(np.uint8)
+    kr = ck_rng.integers(0, 4, size=(2048, args.read_len)).astype(np.uint8)
+    kr[:512] = kw[:512, hw : hw + args.read_len]  # planted matches
+    kl = ck_rng.integers(30, args.read_len + 1, size=2048).astype(np.int32)
+    for clip in (None, sc.clip_open):
+        s_p, d_p, e_p = pallas_from_windows(
+            jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
+            hw=hw, sc=sc, clip_open=clip)
+        s_j, d_j, e_j = banded_from_windows(
+            jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
+            hw=hw, sc=sc, clip_open=clip)
+        if not (np.array_equal(np.asarray(s_p), np.asarray(s_j))
+                and np.array_equal(np.asarray(d_p), np.asarray(d_j))
+                and np.array_equal(np.asarray(e_p), np.asarray(e_j))):
+            print(json.dumps({"metric": "kernel_parity",
+                              "value": 0, "clip": clip is not None}))
+            return False
+
+    sreads = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
+        .astype(np.uint8)
+    sreads[ck_rng.random(sreads.shape) < 0.02] = 5
+    slens = ck_rng.integers(0, args.read_len + 1, size=2048).astype(np.int32)
+    sreads[np.arange(args.read_len)[None, :] >= slens[:, None]] = 5
+    s_nw = -(-args.read_len // 16)
+    s_rp, s_rn = gpk.pack_reads(jnp.asarray(sreads), jnp.asarray(slens),
+                                s_nw)
+    s_k, o_k, v_k = seed_slots_words_pallas(
+        s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
+        slot_bits=icfg.slot_bits)
+    s_j2, o_j2, v_j2 = extract_seed_slots_words(
+        s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
+        slot_bits=icfg.slot_bits)
+    vm = np.asarray(v_j2)
+    cands = ck_rng.integers(-(1 << 30), 1 << 28, size=(2048, 128)) \
+        .astype(np.int32)
+    cands[ck_rng.random(cands.shape) < 0.5] = SENTINEL
+    tc_k, tv_k = vote_pallas(jnp.asarray(cands), v=8)
+    tc_j, tv_j = vote_top_candidates(jnp.asarray(cands), v=8)
+    if not (np.array_equal(vm, np.asarray(v_k))
+            and np.array_equal(np.asarray(o_j2), np.asarray(o_k))
+            and np.array_equal(np.asarray(s_j2)[vm], np.asarray(s_k)[vm])
+            and np.array_equal(np.asarray(tc_j), np.asarray(tc_k))
+            and np.array_equal(np.asarray(tv_j), np.asarray(tv_k))):
+        print(json.dumps({"metric": "kernel_parity", "value": 0,
+                          "which": "seed/vote"}))
+        return False
+    print(f"# kernel parity ok on {dev} (dp/seed/vote)", file=sys.stderr)
+    return True
 
 
 def main(argv=None):
@@ -198,10 +445,17 @@ def main(argv=None):
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=32_768)
+    ap.add_argument("--passes", type=int, default=3,
+                    help="timed full passes per mode; the MEDIAN is "
+                         "reported (relay noise is ±2x on bad days)")
+    ap.add_argument("--mode", choices=("both", "se", "pe"), default="both",
+                    help="both (default) prints SE then PE (the driver "
+                         "parses the LAST line; BASELINE.json's metric "
+                         "is PE)")
     ap.add_argument("--no-sam", action="store_true",
                     help="skip host CIGAR/SAM formatting (device-only rate)")
     ap.add_argument("--paired", action="store_true",
-                    help="paired-end mode (BASELINE.json's PE metric)")
+                    help="alias for --mode pe (back-compat)")
     ap.add_argument("--inflight", type=int, default=1,
                     help="device batches outstanding beyond the one "
                          "being synced. 2 measured +10%% (227k vs 206k "
@@ -209,16 +463,19 @@ def main(argv=None):
                          "in round 2, but a round-1 hang is on record "
                          "-> default stays 1")
     ap.add_argument("--check-kernel", action="store_true",
-                    help="before timing, assert the Pallas banded-DP "
-                         "kernel equals the jnp twin ON DEVICE (catches "
-                         "Mosaic lowering regressions; costs one extra "
-                         "compile)")
+                    help="production-shape Pallas==jnp device parity "
+                         "before timing (the always-on preflight already "
+                         "verifies numerics on tiny shapes; this adds "
+                         "read-len/band-shape coverage at extra compile "
+                         "cost)")
     ap.add_argument("--workers", type=int, default=1,
                     help="host formatting worker threads (1 lets the "
                          "next execute overlap host formatting: 110k -> "
                          "~190k reads/s on the axon relay with the "
                          "all-native CIGAR path; 0 = inline)")
     args = ap.parse_args(argv)
+    if args.paired:
+        args.mode = "pe"
 
     # The axon relay can wedge so that EVERY client (even bare
     # jax.devices()) hangs forever in recv (round-2 incident, NOTES_NEXT
@@ -249,14 +506,10 @@ def main(argv=None):
         CPU_FALLBACK = True
         jax.config.update("jax_platforms", "cpu")
 
-    from urmap_tpu import alphabet
     from urmap_tpu.config import IndexConfig, MapConfig
     from urmap_tpu.index.build import build_index
     from urmap_tpu.io.fasta import SeqDB
-    from urmap_tpu.io.fastq import ReadBatch
-    from urmap_tpu.io import sam as samio
-    from urmap_tpu.map.cigar import cigars_for_result
-    from urmap_tpu.map.pipeline import Mapper, revcomp_strand_codes
+    from urmap_tpu.map.pipeline import Mapper
 
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
@@ -273,190 +526,16 @@ def main(argv=None):
     t_index = time.monotonic() - t0
 
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
-    mapper = Mapper(index, mcfg)
+    mapper = Mapper(index, mcfg)  # runs the kernel preflight on TPU
 
-    if args.check_kernel:
-        # on-device Pallas-vs-jnp parity (tests run interpret mode on
-        # CPU; this exercises the real Mosaic lowering)
-        import jax.numpy as jnp
+    if args.check_kernel and not check_kernel_full(args, mcfg, icfg, dev):
+        return 1
 
-        from urmap_tpu.config import ScoreConfig
-        from urmap_tpu.kernels.banded_dp import pallas_from_windows
-        from urmap_tpu.map.dp import banded_from_windows
-
-        sc = ScoreConfig()
-        hw = mcfg.band_halfwidth
-        ck_rng = np.random.default_rng(1)
-        wlen = args.read_len + 2 * hw
-        kw = ck_rng.integers(0, 5, size=(2048, wlen)).astype(np.uint8)
-        kr = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
-            .astype(np.uint8)
-        kr[:512] = kw[:512, hw : hw + args.read_len]  # planted matches
-        kl = ck_rng.integers(30, args.read_len + 1, size=2048) \
-            .astype(np.int32)
-        for clip in (None, sc.clip_open):
-            s_p, d_p, e_p = pallas_from_windows(
-                jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
-                hw=hw, sc=sc, clip_open=clip)
-            s_j, d_j, e_j = banded_from_windows(
-                jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
-                hw=hw, sc=sc, clip_open=clip)
-            if not (np.array_equal(np.asarray(s_p), np.asarray(s_j))
-                    and np.array_equal(np.asarray(d_p), np.asarray(d_j))
-                    and np.array_equal(np.asarray(e_p), np.asarray(e_j))):
-                print(json.dumps({"metric": "kernel_parity",
-                                  "value": 0, "clip": clip is not None}))
-                return 1
-        from urmap_tpu import genome_pack as gpk
-        from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
-        from urmap_tpu.kernels.vote import vote_pallas
-        from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
-                                        vote_top_candidates)
-
-        sreads = ck_rng.integers(0, 4, size=(2048, args.read_len)) \
-            .astype(np.uint8)
-        sreads[ck_rng.random(sreads.shape) < 0.02] = 5
-        slens = ck_rng.integers(0, args.read_len + 1, size=2048) \
-            .astype(np.int32)
-        sreads[np.arange(args.read_len)[None, :] >= slens[:, None]] = 5
-        s_nw = -(-args.read_len // 16)
-        s_rp, s_rn = gpk.pack_reads(jnp.asarray(sreads), jnp.asarray(slens),
-                                    s_nw)
-        s_k, o_k, v_k = seed_slots_words_pallas(
-            s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
-            slot_bits=icfg.slot_bits)
-        s_j2, o_j2, v_j2 = extract_seed_slots_words(
-            s_rp, s_rn, jnp.asarray(slens), args.read_len, k=icfg.k, q=8,
-            slot_bits=icfg.slot_bits)
-        vm = np.asarray(v_j2)
-        cands = ck_rng.integers(-(1 << 30), 1 << 28, size=(2048, 128)) \
-            .astype(np.int32)
-        cands[ck_rng.random(cands.shape) < 0.5] = SENTINEL
-        tc_k, tv_k = vote_pallas(jnp.asarray(cands), v=8)
-        tc_j, tv_j = vote_top_candidates(jnp.asarray(cands), v=8)
-        if not (np.array_equal(vm, np.asarray(v_k))
-                and np.array_equal(np.asarray(o_j2), np.asarray(o_k))
-                and np.array_equal(np.asarray(s_j2)[vm], np.asarray(s_k)[vm])
-                and np.array_equal(np.asarray(tc_j), np.asarray(tc_k))
-                and np.array_equal(np.asarray(tv_j), np.asarray(tv_k))):
-            print(json.dumps({"metric": "kernel_parity", "value": 0,
-                              "which": "seed/vote"}))
-            return 1
-        print(f"# kernel parity ok on {dev} (dp/seed/vote)",
-              file=sys.stderr)
-
-    if args.paired:
-        return run_paired(args, db, index, mapper, rng, t_index, dev)
-
-    codes, truth_pos, truth_strand = synth_reads(
-        rng, db, args.reads, args.read_len)
-    lengths = np.full(args.reads, args.read_len, np.int32)
-
-    # warmup / compile
-    wb = min(args.batch, args.reads)
-    mapper.map_codes(codes[:wb], lengths[:wb])
-
-    from urmap_tpu.io import sam_native
-    from urmap_tpu.io.fastq import FastqReader
-    from urmap_tpu.map.cigar import cigars_nm_blob
-
-    use_native = sam_native.available()
-    # materialize a real FASTQ (untimed) — the timed loop drives the
-    # actual product path: native parser → device map → native SAM
-    fq_path = "/tmp/urmap_bench.fq"
-    code_to_char = np.frombuffer(b"ACGTNN", np.uint8)
-    qual_row = b"I" * args.read_len
-    with open(fq_path, "wb") as f:
-        chunk = []
-        for i in range(args.reads):
-            seq = code_to_char[codes[i]].tobytes()
-            chunk.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual_row))
-            if len(chunk) == 50000:
-                f.write(b"".join(chunk)); chunk = []
-        f.write(b"".join(chunk))
-
-    from urmap_tpu.io.fastq import PrefetchIterator
-    from urmap_tpu.utils.stream import run_stream
-
-    sink = io.BytesIO()
-    n_mapped = n_correct = 0
-
-    def start(item):
-        _s, batch, pk = item
-        return mapper.start_batch(batch.codes, batch.lengths, prepacked=pk)
-
-    def sync(item, handle):
-        _s, batch, _pk = item
-        return mapper.finish_batch(handle, batch.lengths)
-
-    def fmt(item, res):
-        s, batch, _pk = item
-        stats = (int(res.mapped.sum()),
-                 int(((res.pos == truth_pos[s : s + len(batch)])
-                      & res.mapped).sum()))
-        if args.no_sam:
-            return None, stats
-        if use_native:
-            blob, off, nm, _sp = cigars_nm_blob(db.codes, batch.codes,
-                                                res, mapper.sc)
-            return sam_native.format_single_end(batch, res, (blob, off),
-                                                nm, db), stats
-        strand_codes = revcomp_strand_codes(batch.codes, res)
-        cigars, nms = cigars_for_result(db.codes, strand_codes, res,
-                                        mapper.sc)
-        return ("\n".join(samio.records_single_end(
-            batch, res, cigars, nms, db)) + "\n").encode(), stats
-
-    def write(out):
-        nonlocal n_mapped, n_correct
-        data, (m, c) = out
-        n_mapped += m; n_correct += c
-        if data is not None:
-            sink.write(data)
-
-    def items():
-        s = 0
-        # upload prep (pad + pack) rides the prefetch thread, off the
-        # dispatch critical path (tools/bench_e2e_phases.py)
-        reader = FastqReader(fq_path, batch_size=args.batch,
-                             max_read_len=args.read_len)
-        pf = PrefetchIterator(
-            reader, transform=lambda b: (b, mapper.prepack(b.codes,
-                                                           b.lengths)))
-        for batch, pk in pf:
-            yield s, batch, pk
-            s += len(batch)
-
-    # warm pass: the relay ramps over the first batches (first-pass
-    # rates are ~2x below steady state); run a few batches through the
-    # FULL path untimed, then time a complete pass
-    import itertools
-
-    run_stream(itertools.islice(items(), 4), start, sync, fmt,
-               lambda out: None, inflight=args.inflight,
-               workers=args.workers)
-    n_mapped = n_correct = 0
-    t1 = time.monotonic()
-    run_stream(items(), start, sync, fmt, write,
-               inflight=args.inflight, workers=args.workers)
-    elapsed = time.monotonic() - t1
-    rps = args.reads / elapsed
-
-    print(json.dumps({
-        "metric": "map_reads_per_sec_150bp_se"
-               + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
-        "value": round(rps, 1),
-        "unit": "reads/s",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
-        "device": str(dev),
-        "reads": args.reads,
-        "genome_mbp": args.genome_mbp,
-        "mapped_frac": round(n_mapped / args.reads, 4),
-        "correct_frac": round(n_correct / args.reads, 4),
-        "index_build_s": round(t_index, 2),
-        "map_s": round(elapsed, 2),
-        "sam_formatting": not args.no_sam,
-    }))
+    se_rec = None
+    if args.mode in ("both", "se"):
+        se_rec = run_single(args, db, mapper, rng, t_index, dev)
+    if args.mode in ("both", "pe"):
+        run_paired(args, db, mapper, rng, t_index, dev, se_rec)
     return 0
 
 

@@ -58,8 +58,6 @@ def main():
         else:
             r = None  # junk
         if r is None:
-            from urmap_tpu import alphabet
-
             seq = alphabet.decode(
                 rng.integers(0, 4, size=150).astype(np.uint8))
             reads.append(seq)

@@ -1,13 +1,23 @@
 """One-shot on-device kernel preflight.
 
-The seed/vote Pallas kernels are bit-identical to their jnp twins and
-interpret-tested, but a Mosaic lowering regression (or an unsupported
-op on a new TPU generation) would otherwise surface as a crashed map
-run. ``ensure_kernels()`` compiles and runs BOTH kernels once on tiny
-shapes inside one jitted program; on any failure it flips the
-URMAP_NO_SEED_KERNEL / URMAP_NO_VOTE_KERNEL escape hatches so the
-dispatches (map/seed.py) take the jnp paths, and the mapper degrades to
-slower-but-correct instead of dead.
+The seed/vote/banded-DP Pallas kernels are bit-identical to their jnp
+twins and interpret-tested, but a Mosaic lowering regression (or an
+unsupported op / silently-wrong lowering on a new TPU generation) would
+otherwise surface as a crashed run — or worse, wrong SAM.
+``ensure_kernels()`` compiles and runs ALL THREE kernels once on tiny
+shapes inside one jitted program and compares each against its jnp twin
+(NUMERICS, not just lowering — the class of bug where the MXU default
+precision rounds f32 operands through bf16 is invisible to compile-only
+probes and to CPU interpret-mode tests).
+
+Failure handling:
+  - clean probe run, one kernel's twin mismatches → flip ONLY that
+    kernel's URMAP_NO_*_KERNEL escape hatch (the healthy kernels keep
+    their ~10x speedups);
+  - compile/runtime exception → attribution is unknown, flip ALL
+    hatches (degrade to slower-but-correct jnp everywhere).
+
+``last_result()`` reports the outcome (for bench.py's JSON record).
 
 Cost: one extra ~tiny compile per process on TPU backends (skipped on
 CPU, where kernels never dispatch; skip explicitly with
@@ -20,10 +30,17 @@ import os
 import sys
 
 _DONE = False
+_RESULT: dict | None = None
+
+
+def last_result() -> dict | None:
+    """Outcome of the preflight: None if it never ran (CPU backend or
+    skipped), else {"seed_ok","vote_ok","dp_ok","dp_clip_ok","error"}."""
+    return _RESULT
 
 
 def ensure_kernels() -> None:
-    global _DONE
+    global _DONE, _RESULT
     if _DONE or os.environ.get("URMAP_NO_KERNEL_PREFLIGHT") == "1":
         return
     from urmap_tpu.map.dp import on_tpu
@@ -36,20 +53,31 @@ def ensure_kernels() -> None:
     import numpy as np
 
     from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.config import ScoreConfig
+    from urmap_tpu.kernels.banded_dp import pallas_from_windows
     from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
     from urmap_tpu.kernels.vote import vote_pallas
+    from urmap_tpu.map.dp import banded_from_windows
     from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
                                     vote_top_candidates)
 
-    L, k, q, sb = 64, 24, 8, 20
+    L, k, q, sb, hw = 64, 24, 8, 20, 8
+    sc = ScoreConfig()
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, size=(128, L)).astype(np.uint8)
     lens = np.full(128, L, np.int32)
     cand = rng.integers(0, 1000, size=(128, 128)).astype(np.int32)
     cand[rng.random(cand.shape) < 0.5] = SENTINEL
+    # DP probe: genome windows = mutated copies of the reads (SNPs +
+    # shifts) so every score path (match/mismatch/gaps/clip) is hit
+    win = np.roll(codes, 3, axis=1)
+    mut = rng.random(win.shape) < 0.1
+    win[mut] ^= rng.integers(1, 4, size=int(mut.sum())).astype(np.uint8)
+    win &= 3
+    win = np.pad(win, ((0, 0), (hw, hw)), constant_values=4)  # [128, L+2hw]
 
     @jax.jit
-    def probe(cj, lj, cd):
+    def probe(cj, lj, cd, wj):
         rp, rn = gpk.pack_reads(cj, lj, -(-L // 16))
         s, o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
                                           slot_bits=sb, block_r=128)
@@ -57,28 +85,53 @@ def ensure_kernels() -> None:
         # ILLEGAL — output block (8, 64) over (8, 128) trips the Mosaic
         # lane-divisibility rule and disabled perfectly good kernels)
         tc, tv = vote_pallas(cd, v=4)
-        # jnp twins: the probe verifies NUMERICS, not just lowering —
-        # a silently-wrong Mosaic lowering (e.g. default MXU precision
-        # rounding f32 operands through bf16) must also trip the hatch
         sj, oj, vj = extract_seed_slots_words(rp, rn, lj, L, k=k, q=q,
                                               slot_bits=sb)
         tcj, tvj = vote_top_candidates(cd, v=4)
         seed_ok = (jnp.all(v == vj) & jnp.all(o == oj)
                    & jnp.all(jnp.where(vj, s == sj, True)))
         vote_ok = jnp.all(tc == tcj) & jnp.all(tv == tvj)
-        return seed_ok, vote_ok
+        # banded DP, both modes, vs the jnp twin
+        ds, dd0, dd1 = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        js, jd0, jd1 = banded_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        dp_ok = (jnp.all(ds == js) & jnp.all(dd0 == jd0)
+                 & jnp.all(dd1 == jd1))
+        cs, cd0, _ = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc,
+                                         clip_open=sc.clip_open)
+        zs, zd0, _ = banded_from_windows(wj, cj, lj, hw=hw, sc=sc,
+                                         clip_open=sc.clip_open)
+        dp_clip_ok = jnp.all(cs == zs) & jnp.all(cd0 == zd0)
+        return seed_ok, vote_ok, dp_ok, dp_clip_ok
 
+    hatches = {"seed": "URMAP_NO_SEED_KERNEL",
+               "vote": "URMAP_NO_VOTE_KERNEL",
+               "dp": "URMAP_NO_DP_KERNEL"}
     try:
-        seed_ok, vote_ok = (bool(np.asarray(x)) for x in probe(
-            jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand)))
-        if not seed_ok or not vote_ok:
-            raise AssertionError(
-                f"kernel/jnp twin mismatch (seed_ok={seed_ok}, "
-                f"vote_ok={vote_ok})")
-    except Exception as e:  # noqa: BLE001 — any lowering/runtime failure
-        os.environ["URMAP_NO_SEED_KERNEL"] = "1"
-        os.environ["URMAP_NO_VOTE_KERNEL"] = "1"
-        print(f"urmap-tpu: seed/vote Pallas kernels unavailable on this "
-              f"backend ({type(e).__name__}: {e}); using jnp fallbacks",
+        seed_ok, vote_ok, dp_ok, dp_clip_ok = (
+            bool(np.asarray(x)) for x in probe(
+                jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand),
+                jnp.asarray(win)))
+        _RESULT = {"seed_ok": seed_ok, "vote_ok": vote_ok, "dp_ok": dp_ok,
+                   "dp_clip_ok": dp_clip_ok, "error": None}
+        bad = {"seed": not seed_ok, "vote": not vote_ok,
+               "dp": not (dp_ok and dp_clip_ok)}
+        if any(bad.values()):
+            # clean run, attributable mismatch → disable ONLY the
+            # failing kernel(s); the healthy ones keep their speedups
+            for name, is_bad in bad.items():
+                if is_bad:
+                    os.environ[hatches[name]] = "1"
+            print(f"urmap-tpu: kernel/jnp twin mismatch "
+                  f"({_RESULT}); disabled: "
+                  f"{[n for n, b in bad.items() if b]}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 — lowering/runtime failure:
+        # attribution unknown, disable everything
+        for var in hatches.values():
+            os.environ[var] = "1"
+        _RESULT = {"seed_ok": False, "vote_ok": False, "dp_ok": False,
+                   "dp_clip_ok": False,
+                   "error": f"{type(e).__name__}: {e}"}
+        print(f"urmap-tpu: Pallas kernels unavailable on this backend "
+              f"({type(e).__name__}: {e}); using jnp fallbacks",
               file=sys.stderr)
     _DONE = True

@@ -23,6 +23,7 @@ for the winning gapped alignments (map/cigar.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -48,8 +49,12 @@ def on_tpu() -> bool:
 def banded_dispatch(genome, cand_starts, reads, lengths, *, hw: int,
                     sc: ScoreConfig, use_pallas: bool = True,
                     clip_open: int | None = None):
-    """banded_semiglobal, via the Pallas kernel on TPU backends."""
-    if use_pallas and on_tpu():
+    """banded_semiglobal, via the Pallas kernel on TPU backends.
+
+    URMAP_NO_DP_KERNEL=1 forces the jnp path (Mosaic escape hatch,
+    flipped by kernels/preflight.py on a numerics mismatch)."""
+    if (use_pallas and on_tpu()
+            and os.environ.get("URMAP_NO_DP_KERNEL") != "1"):
         from urmap_tpu.kernels.banded_dp import banded_semiglobal_pallas
 
         return banded_semiglobal_pallas(genome, cand_starts, reads,
@@ -235,7 +240,8 @@ def banded_packed(ginter, base_off: int, cand_starts, reads,
     N, L = reads.shape
     wlen = L + 2 * hw
     windows = gpk.gather_codes(ginter, base_off, cand_starts - hw, wlen)
-    if use_pallas and on_tpu():
+    if (use_pallas and on_tpu()
+            and os.environ.get("URMAP_NO_DP_KERNEL") != "1"):
         from urmap_tpu.kernels.banded_dp import pallas_from_windows
 
         scores, d0, d1 = pallas_from_windows(windows, reads, lengths,
