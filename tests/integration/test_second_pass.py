@@ -1,0 +1,95 @@
+"""Wide-gather second-pass recovery (MapConfig.second_pass_p).
+
+GRCh38-scale HBM-fit configs shrink the per-seed gather (positions_per
+_seed 8 at slot load ~12), and the even recap subsample then drops the
+true locus for a few % of reads (VERDICT r2 item 6). The second pass
+re-maps exactly those reads on the host CPU backend against a WIDE-cap
+table in host RAM. Reproduced here at small scale: slot load ~11
+(1.5 Mbp at slot_bits 17) with a first-pass cap of 2 loses a large
+fraction of reads; the P=16 second pass recovers them bit-identically
+to a direct P=16 map.
+"""
+
+import numpy as np
+
+from tests.utils import make_seqdb, plant_pair, plant_read
+from urmap_tpu.config import IndexConfig, MapConfig
+from urmap_tpu.index.build import build_index
+from urmap_tpu.map.pipeline import Mapper
+
+
+def _reads(rng, db, n=200, L=120):
+    reads = [plant_read(rng, db, length=L, n_snps=1) for _ in range(n)]
+    codes = np.stack([r.codes for r in reads])
+    lengths = np.full(n, L, np.int32)
+    truth = np.asarray([r.gpos for r in reads])
+    return codes, lengths, truth
+
+
+def test_second_pass_recovers_recap_loss(rng):
+    db = make_seqdb(rng, [1_500_000])
+    index = build_index(db, IndexConfig(slot_bits=17), backend="host")
+    codes, lengths, truth = _reads(rng, db)
+
+    narrow = MapConfig(max_read_len=120, batch_size=64,
+                       positions_per_seed=2)
+    r1 = Mapper(index, narrow).map_codes(codes, lengths)
+    recall1 = float(((r1.pos == truth) & r1.mapped).mean())
+
+    import dataclasses
+
+    both = dataclasses.replace(narrow, second_pass_p=16)
+    r2 = Mapper(index, both).map_codes(codes, lengths)
+    recall2 = float(((r2.pos == truth) & r2.mapped).mean())
+
+    # the failure mode must actually exist at cap 2...
+    assert recall1 < 0.9, recall1
+    # ...and the second pass must recover it
+    assert recall2 >= 0.99, (recall1, recall2)
+
+    # rows the second pass recovered are BIT-IDENTICAL to a direct wide
+    # map (same program, same prepared-at-16 tables)
+    wide = Mapper(index, dataclasses.replace(narrow,
+                                             positions_per_seed=16))
+    rw = wide.map_codes(codes, lengths)
+    rec = ~r1.mapped & r2.mapped
+    assert rec.any()
+    for f in ("mapped", "pos", "strand", "score", "second", "mapq",
+              "gapped", "ungapped"):
+        np.testing.assert_array_equal(getattr(r2, f)[rec],
+                                      getattr(rw, f)[rec], err_msg=f)
+    # rows the device pass already mapped keep the device result
+    kept = r1.mapped
+    np.testing.assert_array_equal(r2.pos[kept], r1.pos[kept])
+
+
+def test_second_pass_paired_mates(rng):
+    """PE: unmapped mates recover; proper flags stay conservative (never
+    invented host-side) and pass-1 proper pairs are untouched."""
+    import dataclasses
+
+    from urmap_tpu.map.pair import PairedMapper
+
+    db = make_seqdb(rng, [1_500_000])
+    index = build_index(db, IndexConfig(slot_bits=17), backend="host")
+    pairs = [plant_pair(rng, db, length=120, frag=400) for _ in range(120)]
+    r1 = np.stack([p[0].codes for p in pairs])
+    r2 = np.stack([p[1].codes for p in pairs])
+    ln = np.full(120, 120, np.int32)
+    t1 = np.asarray([p[0].gpos for p in pairs])
+    t2 = np.asarray([p[1].gpos for p in pairs])
+
+    narrow = MapConfig(max_read_len=120, batch_size=64,
+                       positions_per_seed=2)
+    p1 = PairedMapper(Mapper(index, narrow)).map_pair_codes(r1, ln, r2, ln)
+    both = dataclasses.replace(narrow, second_pass_p=16)
+    p2 = PairedMapper(Mapper(index, both)).map_pair_codes(r1, ln, r2, ln)
+
+    rec1 = float(((p2.m1.pos == t1) & p2.m1.mapped).mean())
+    rec2 = float(((p2.m2.pos == t2) & p2.m2.mapped).mean())
+    base = float(((p1.m1.pos == t1) & p1.m1.mapped).mean())
+    assert rec1 >= 0.99 and rec2 >= 0.99, (base, rec1, rec2)
+    assert rec1 > base  # the pass actually did something
+    # proper only where pass 1 said so (no host-side promotion)
+    assert not np.any(p2.proper & ~p1.proper)
+    np.testing.assert_array_equal(p2.proper, p1.proper)

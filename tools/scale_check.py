@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--index-cache", default="",
                     help="directory to save/load the built index (the "
                          "3.1 Gbp host build is ~1 h — pay it once)")
+    ap.add_argument("--paired", action="store_true",
+                    help="also map --reads/2 planted FR pairs through "
+                         "the paired-end step (rescue included) and "
+                         "report PE throughput + proper rate")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -144,12 +148,39 @@ def main():
     print(json.dumps({
         "stage": "map", "reads": args.reads,
         "map_s": round(t_map, 1),
+        "reads_per_sec": round(args.reads / max(t_map, 1e-9), 1),
         "mapped_frac": round(float(res.mapped.mean()), 4),
         "correct_frac": round(float(correct.mean()), 4),
         "correct_of_mapped": round(prec, 4),
         "correct_of_mapped_past_2_31": round(prec_hi, 4),
         "max_pos_seen": int(res.pos[res.mapped].max()),
     }), flush=True)
+
+    if args.paired:
+        from bench import synth_pairs
+        from urmap_tpu.map.pair import PairedMapper
+
+        n_pairs = args.reads // 2
+        r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len)
+        ln = np.full(n_pairs, args.read_len, np.int32)
+        pm = PairedMapper(mapper)
+        t0 = time.monotonic()
+        pres = pm.map_pair_codes(r1, ln, r2, ln)
+        t_pe = time.monotonic() - t0
+        c1 = (pres.m1.pos == t1) & pres.m1.mapped
+        c2 = (pres.m2.pos == t2) & pres.m2.mapped
+        pe_mapped = (int(pres.m1.mapped.sum())
+                     + int(pres.m2.mapped.sum())) / (2 * n_pairs)
+        pe_correct = (int(c1.sum()) + int(c2.sum())) / (2 * n_pairs)
+        print(json.dumps({
+            "stage": "map_pe", "reads": 2 * n_pairs,
+            "map_s": round(t_pe, 1),
+            "reads_per_sec": round(2 * n_pairs / max(t_pe, 1e-9), 1),
+            "mapped_frac": round(pe_mapped, 4),
+            "correct_frac": round(pe_correct, 4),
+            "proper_frac": round(float(pres.proper.mean()), 4),
+        }), flush=True)
+        assert pe_correct / max(pe_mapped, 1e-9) > 0.99
     # what this tool PROVES is coordinate correctness (biased int32
     # device coords round-trip exactly, incl. past 2^31). Recall is a
     # config tradeoff: HBM-fit settings (--slot-bits 28

@@ -40,6 +40,14 @@ Mapping:
       [-reverse <reads2.fq>] [-threads N] [-batch B] [-maxreadlen L]
       [-inflight D] [-endclip] [-selfcheck] [-log <file>]
       [-metrics <file.jsonl>] [-quiet] [-resume] [-profile <dir>]
+      [-mesh DxI|auto] [-route a2a|psum] [-secondpass P]
+
+-mesh shards the UFI tables by hash-slot range over a DATAxINDEX device
+mesh (dist/sharded.py) — for indexes larger than one chip's HBM, or to
+scale the map step over a multi-chip host. "-mesh auto" engages all
+local devices when the prepared tables exceed the per-device memory
+budget (URMAP_DEVICE_MEM_GB, default 16). -route picks the cross-shard
+seed-lookup collective (a2a = all_to_all query routing, default).
 
 Multi-host: launch the same -map command on every host of the slice
 (JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
@@ -60,6 +68,7 @@ _FLAGS = {
     "map": True, "ufi": True, "samout": True, "reverse": True,
     "threads": True, "batch": True, "maxreadlen": True, "resume": False,
     "inflight": True, "endclip": False, "selfcheck": False,
+    "mesh": True, "route": True, "secondpass": True,
     "log": True, "metrics": True, "quiet": False, "profile": True,
     "version": False, "help": False,
 }
@@ -175,6 +184,67 @@ def _cig3(r):
     return (blob, off), nm, span
 
 
+def _make_mapper(opts: dict, index, mcfg, quiet: bool):
+    """Single-device Mapper, or ShardedMapper when -mesh asks for (or
+    "auto" decides on) hash-range index sharding over the local devices
+    (SURVEY.md §2.13/§5.7: the model-parallel analog — indexes larger
+    than one chip's HBM span the mesh)."""
+    import os
+
+    from urmap_tpu.map import Mapper
+
+    spec = opts.get("mesh")
+    if not spec:
+        return Mapper(index, mcfg)
+    import jax
+
+    from urmap_tpu.dist import multihost as mh
+    from urmap_tpu.dist.sharded import ShardedMapper, make_mesh
+
+    if mh.process_count() > 1:
+        raise SystemExit("-mesh shards over one process's local devices; "
+                         "combine it with multi-host SPMD by launching "
+                         "one process per host WITHOUT -mesh (batches "
+                         "round-robin by rank), or run a single process")
+    spec = str(spec)
+    ndev = len(jax.devices())
+    mesh = None
+    if spec == "auto":
+        # prepared tables (positions + offsets, ~4 B each) + packed
+        # genome vs a conservative fraction of per-device memory
+        budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16"))
+                  * 0.6 * 2**30)
+        tbytes = ((index.num_positions + index.config.num_slots) * 4
+                  + index.seqdb.total_len // 2)
+        if ndev > 1 and tbytes > budget:
+            mesh = make_mesh(ndev)
+        elif not quiet:
+            print(f"-mesh auto: single device "
+                  f"({tbytes / 2**30:.1f} GiB tables, {ndev} devices)",
+                  file=sys.stderr)
+    elif "x" in spec:
+        d, i = (int(t) for t in spec.split("x", 1))
+        if d * i > ndev:
+            raise SystemExit(f"-mesh {spec} needs {d * i} devices; "
+                             f"{ndev} visible (CPU runs: set XLA_FLAGS="
+                             f"--xla_force_host_platform_device_count=N)")
+        mesh = make_mesh(d * i, data=d, index=i)
+    else:
+        n = int(spec)
+        if n > ndev:
+            raise SystemExit(f"-mesh {spec} needs {n} devices; "
+                             f"{ndev} visible")
+        mesh = make_mesh(n)
+    if mesh is None:
+        return Mapper(index, mcfg)
+    route = str(opts.get("route", "a2a"))
+    if not quiet:
+        print(f"sharded mesh: data={mesh.shape['data']} x "
+              f"index={mesh.shape['index']} devices, route={route}",
+              file=sys.stderr)
+    return ShardedMapper(index, mesh, mcfg, route=route)
+
+
 def cmd_map(opts: dict) -> int:
     # distributed init must precede ANY backend-initializing JAX call
     from urmap_tpu.dist import multihost as mh
@@ -206,6 +276,11 @@ def cmd_map(opts: dict) -> int:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))
     if opts.get("endclip"):
         mkw["end_clip"] = True
+    if "secondpass" in opts:
+        # host-CPU wide-gather recovery of device-unmapped reads
+        # (MapConfig.second_pass_p): recovers the recall an HBM-
+        # constrained gather width sacrifices at GRCh38 scale
+        mkw["second_pass_p"] = int(str(opts["secondpass"]))
 
     t0 = time.monotonic()
     index = UfiIndex.load(str(ufi))
@@ -222,7 +297,7 @@ def cmd_map(opts: dict) -> int:
               f"({index.num_positions:,} positions, k={index.config.k}) "
               f"in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
-    mapper = Mapper(index, mcfg)
+    mapper = _make_mapper(opts, index, mcfg, quiet)
     metrics = MetricsLogger(str(opts["metrics"]) if "metrics" in opts else None)
     progress = Progress("reads") if not quiet else None
     cmdline = "urmap-tpu " + " ".join(sys.argv[1:])
@@ -298,8 +373,12 @@ def cmd_map(opts: dict) -> int:
     n_threads = int(str(opts.get("threads", 2)))
     pmapper = None
     if reader.paired:
+        from urmap_tpu.dist.sharded import (ShardedMapper,
+                                            ShardedPairedMapper)
         from urmap_tpu.map.pair import PairedMapper
-        pmapper = PairedMapper(mapper)
+        pmapper = (ShardedPairedMapper(mapper)
+                   if isinstance(mapper, ShardedMapper)
+                   else PairedMapper(mapper))
 
     # upload prep (pad + 2-bit pack) runs on the PREFETCH thread — it is
     # pure host CPU and the dispatch thread is the e2e critical path
@@ -333,10 +412,16 @@ def cmd_map(opts: dict) -> int:
         return mapper.finish_batch(handle, item.lengths)
 
     def format_one(entry, res):
-        """Host formatting (CPU only) → (SAM bytes, stats). Worker pool."""
+        """Host formatting (CPU only) → (SAM bytes, stats). Worker pool
+        (the second-pass recovery also rides here, overlapping the next
+        device batch)."""
         item = entry[0]
         if pmapper is not None:
             fwd, rev = item
+            sp2 = getattr(pmapper, "second_pass", None)
+            if sp2 is not None:
+                res = sp2(fwd.codes, fwd.lengths, rev.codes, rev.lengths,
+                          res)
             if selfcheck:
                 _selfcheck_batch(fwd.codes, res.m1)
                 _selfcheck_batch(rev.codes, res.m2)
@@ -360,6 +445,9 @@ def cmd_map(opts: dict) -> int:
                 data = ("\n".join(recs) + "\n").encode("ascii")
             return data, stats
         batch = item
+        sp1 = getattr(mapper, "second_pass", None)
+        if sp1 is not None:
+            res = sp1(batch.codes, batch.lengths, res)
         if selfcheck:
             _selfcheck_batch(batch.codes, res)
         stats = {"reads": len(batch), "mapped": int(res.mapped.sum()),

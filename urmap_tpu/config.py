@@ -110,6 +110,15 @@ class MapConfig:
     # routing response size; true loci in slots with >16 surviving
     # entries can still win via any of the other Q-1 seeds.
     positions_per_seed: int = 16
+    # Second-pass recovery (0 = off): reads still unmapped after the
+    # device pass are re-mapped on the HOST CPU backend against a table
+    # recapped at THIS wider gather width, living in host RAM instead of
+    # HBM. This recovers the recall an HBM-constrained device config
+    # sacrifices (GRCh38 at slot_bits 28 / P=8 fits 11 GB but drops ~3%
+    # of reads whose true locus was subsampled out; a P=32 host table
+    # catches nearly all of them at <5% of batch volume). CLI
+    # -secondpass P.
+    second_pass_p: int = 0
     # Top-V candidate diagonals (by vote count) verified per read strand.
     top_candidates: int = 8
     # Vote floor: candidates with fewer seed votes than this are dropped

@@ -20,9 +20,18 @@ distributed dimension designed in SURVEY.md §5.7/§3.3:
   ``all_gather`` rejoins the scores), so adding index shards scales the
   dominant FLOP stage, not just memory.
 
-Collectives are XLA-lowered (`psum`, `all_gather`) and mesh-shape-agnostic:
-the same program runs on an 8-virtual-device CPU mesh (tests), one real
-chip, or a multi-host slice (dist/multihost.py wires the global mesh).
+Production parity with the single-device path (round-3): the sharded
+mapper consumes the SAME map-ready prepared tables (store.prepare_tables /
+load_prepared — recapped, row-ALIGNED no-straddle layout, tiered gather),
+takes the packed 4-bases/byte H2D upload, and exposes the same async
+start_batch/finish_batch surface, so cli.cmd_map's pipelined run_stream
+drain drives it unchanged (-mesh flag). Paired-end rides the same sharded
+step (ShardedPairedMapper).
+
+Collectives are XLA-lowered (`psum`, `all_gather`, `all_to_all`) and
+mesh-shape-agnostic: the same program runs on an 8-virtual-device CPU mesh
+(tests), one real chip, or a multi-host slice (dist/multihost.py wires the
+global mesh).
 """
 
 from __future__ import annotations
@@ -73,9 +82,9 @@ class ShardedTables:
     """Host-side stacked per-shard tables, ready for device_put.
 
     offsets: int32[S, sps + 1] local CSR offsets per shard (slot range
-      [s*sps, (s+1)*sps), global slot space padded up to S*sps).
+    [s*sps, (s+1)*sps), global slot space padded up to S*sps).
     positions: int32[S, pmax] local position arrays, padded with 0 past
-      each shard's count (dead lanes are masked by the offsets).
+    each shard's count (dead lanes are masked by the offsets).
     """
 
     num_shards: int
@@ -115,6 +124,50 @@ def shard_index_tables(index: UfiIndex, num_shards: int) -> ShardedTables:
         positions[s, : p.shape[0]] = p
     return ShardedTables(num_shards=S, slots_per_shard=sps,
                          offsets=np.stack(off_l), positions=positions)
+
+
+def shard_prepared_tables(ht: dict, meta: dict,
+                          num_shards: int) -> ShardedTables:
+    """Split MAP-READY prepared tables (store.prepare_tables layout — the
+    positions already biased, optionally row-ALIGNED) by hash-slot range.
+
+    Alignment survives the split for free: each shard's local base is the
+    global run start rounded DOWN to a multiple of the row width rw, so
+    every local start keeps its residue mod g for all power-of-two
+    g ≤ rw — the exact invariant seed._aligned_rows_fetch and the tiered
+    gather rely on. No per-shard re-placement pass needed."""
+    from urmap_tpu.genome_pack import ROW_WORDS
+    from urmap_tpu.map.seed import align_row_words
+
+    offsets = np.asarray(ht["offsets"])           # uint32 [num_slots+1]
+    positions = ht["positions"]                   # int32, may be mmap
+    num_slots = offsets.shape[0] - 1
+    S = num_shards
+    sps = -(-num_slots // S)
+    aligned = bool(meta["csr_aligned"])
+    rw = align_row_words(int(meta["p"]))
+    fill = SENTINEL if aligned else 0
+
+    off_l, rng_l = [], []
+    plen = 1
+    for s in range(S):
+        lo = min(s * sps, num_slots)
+        hi = min((s + 1) * sps, num_slots)
+        start, end = int(offsets[lo]), int(offsets[hi])
+        base = start & ~(rw - 1)
+        o = offsets[lo : hi + 1].astype(np.int64) - base
+        if hi - lo < sps:  # pad tail shard's slot range with empty slots
+            o = np.concatenate([o, np.full(sps - (hi - lo), o[-1], np.int64)])
+        off_l.append(o.astype(np.uint32))
+        rng_l.append((base, end))
+        plen = max(plen, end - base)
+    pmax = plen + 2 * ROW_WORDS
+    pmax += (-pmax) % max(rw, ROW_WORDS)          # aligned-fetch row guard
+    out_pos = np.full((S, pmax), fill, np.int32)
+    for s, (base, end) in enumerate(rng_l):
+        out_pos[s, : end - base] = positions[base:end]
+    return ShardedTables(num_shards=S, slots_per_shard=sps,
+                         offsets=np.stack(off_l), positions=out_pos)
 
 
 def save_sharded_tables(index: UfiIndex, path: str, num_shards: int) -> None:
@@ -160,33 +213,34 @@ def load_sharded_tables(path: str,
                          offsets=np.stack(offs), positions=positions)
 
 
-def _sharded_step(offsets, positions, ginter, reads, lengths, *,
-                  icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
-                  sps: int, n_index: int, base_off: int, genome_len: int):
-    """Per-device body under shard_map. Shapes are the local blocks:
-    offsets [1, sps+1], positions [1, pmax], reads [b, L], lengths [b].
-
-    Reuses the single-device pipeline (map/pipeline.py) with two mesh-
-    aware runners plugged in: the CSR gather answers only locally-owned
-    hash slots and psum-combines partials, and the gapped-DP bucket is
-    chunked across the "index" axis and rejoined with all_gather."""
-    offsets = offsets[0]
-    positions = positions[0]
-    p = mcfg.positions_per_seed
-    my = jax.lax.axis_index("index")
-    my_base = my.astype(jnp.int32) * jnp.int32(sps)
+def _psum_gather_runner(offsets, positions, *, sps: int, p: int,
+                        csr_aligned: bool, tier: int | None):
+    """Owner-answers + psum combine (reads replicated over "index")."""
+    my_base = (jax.lax.axis_index("index").astype(jnp.int32)
+               * jnp.int32(sps))
 
     def gather_runner(slots, offs, valid):
         rel = slots.astype(jnp.int32) - my_base
         owned = valid & (rel >= 0) & (rel < sps)
         rel = jnp.clip(rel, 0, sps - 1)
         cand = gather_candidates(offsets, positions, rel.astype(jnp.uint32),
-                                 offs, owned, p=p)
+                                 offs, owned, p=p, csr_aligned=csr_aligned,
+                                 tier=tier)
         # exactly one shard owns each (read, seed): psum masked partials
         hit = cand != SENTINEL
         summed = jax.lax.psum(jnp.where(hit, cand, 0), "index")
         n_hit = jax.lax.psum(hit.astype(jnp.int32), "index")
         return jnp.where(n_hit > 0, summed, SENTINEL)
+
+    return gather_runner
+
+
+def _psum_dp_runner(ginter, base_off, *, mcfg: MapConfig, sc: ScoreConfig,
+                    n_index: int):
+    """Compute-shard the DP bucket over "index" (reads are replicated
+    there on the psum route, so each shard verifies 1/S of the lanes and
+    all_gather rejoins)."""
+    my = jax.lax.axis_index("index")
 
     def dp_runner(flat_cand, flat_reads, flat_lens, flat_rp, flat_rn):
         n = flat_cand.shape[0]
@@ -200,7 +254,7 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
             flat_rn = jnp.pad(flat_rn, ((0, npad - n), (0, 0)))
         start = my.astype(jnp.int32) * jnp.int32(chunk)
 
-        def sl(x, nd=1):
+        def sl(x):
             return jax.lax.dynamic_slice_in_dim(x, start, chunk, axis=0)
 
         s_, d0_, ung_, sp_ = banded_packed(
@@ -214,16 +268,12 @@ def _sharded_step(offsets, positions, ginter, reads, lengths, *,
         sp = jax.lax.all_gather(sp_, "index", tiled=True)[:n]
         return s, d0, ung, sp
 
-    tables = {"ginter": ginter,
-              "base_off": base_off,
-              "genome_max_biased": np.int32(genome_len - 1 - POS_BIAS)}
-    return map_batch_device(tables, reads, lengths,
-                            icfg=icfg, mcfg=mcfg, sc=sc,
-                            dp_runner=dp_runner, gather_runner=gather_runner)
+    return dp_runner
 
 
 def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
-                       p: int, slack: float = 2.0):
+                       p: int, csr_aligned: bool = False,
+                       tier: int | None = None, slack: float = 2.0):
     """Fixed-capacity all_to_all seed routing (SURVEY.md §2.8 [NS]).
 
     Each device owns a hash-slot range AND a distinct read block (reads
@@ -231,9 +281,11 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
     replicated). Per round: every device packs its unserved (read, seed)
     slot queries into per-destination lanes [S, K], all_to_all routes
     them to the owning shard, the owner answers with its CSR positions
-    [S, K, P], and a second all_to_all routes answers home. Queries that
-    overflow the K-lane capacity wait for the next round (while_loop —
-    zero extra rounds at the default 2× slack, full coverage always).
+    [S, K, P] (via the same aligned/tiered gather_candidates fetch as
+    the single-device path), and a second all_to_all routes answers
+    home. Queries that overflow the K-lane capacity wait for the next
+    round (while_loop — zero extra rounds at the default 2× slack, full
+    coverage always).
 
     Collective bytes per device ≈ 2·M·(P+1)·4·(S−1)/S with M local
     queries, vs the psum path's 2·M_global·P·4·(S−1)/S — an ~S·P/(P+1)
@@ -248,7 +300,6 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
         fslot = slots.reshape(-1).astype(jnp.int32)
         fvalid = valid.reshape(-1)
         owner = jnp.clip(fslot // jnp.int32(sps), 0, S - 1)
-        my = jax.lax.axis_index("index").astype(jnp.int32)
         SENT_Q = jnp.int32(-1)
 
         def cond(state):
@@ -272,20 +323,17 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
 
             recv = jax.lax.all_to_all(send, "index", split_axis=0,
                                       concat_axis=0)  # [S, K] per-src rows
+            my = jax.lax.axis_index("index").astype(jnp.int32)
             rel = recv - my * jnp.int32(sps)
             owned = (rel >= 0) & (rel < sps) & (recv != SENT_Q)
-            relc = jnp.clip(rel, 0, sps - 1).reshape(-1)
-            st = jnp.take(offsets, relc, axis=0)
-            cnt = (jnp.take(offsets, relc + 1, axis=0) - st) \
-                .astype(jnp.int32)
-            from urmap_tpu import genome_pack as gpk
-
-            posr = gpk.gather_window(
-                positions, st, p,
-                row_words=gpk.GATHER_ROW_WORDS)                 # [S*K, P]
-            lane_ok = (jnp.arange(p, dtype=jnp.int32)[None, :]
-                       < cnt[:, None]) & owned.reshape(-1)[:, None]
-            resp = jnp.where(lane_ok, posr.astype(jnp.int32), SENTINEL)
+            relc = jnp.clip(rel, 0, sps - 1).reshape(-1, 1)
+            # owner-side fetch == the single-device CSR gather with one
+            # "seed" per lane and offset 0 (aligned layout + tier ride
+            # through unchanged)
+            resp = gather_candidates(
+                offsets, positions, relc.astype(jnp.uint32),
+                jnp.zeros_like(relc), owned.reshape(-1, 1), p=p,
+                csr_aligned=csr_aligned, tier=tier)         # [S*K, P]
             back = jax.lax.all_to_all(resp.reshape(S, K, p), "index",
                                       split_axis=0, concat_axis=0)
             got = back[so, jnp.minimum(rank, K - 1)]            # [M, P]
@@ -306,69 +354,128 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
     return gather_runner
 
 
-def _sharded_step_a2a(offsets, positions, ginter, reads, lengths, *,
-                      icfg: IndexConfig, mcfg: MapConfig, sc: ScoreConfig,
-                      sps: int, n_index: int, base_off: int,
-                      genome_len: int):
-    """Per-device body, all_to_all routing: local blocks are
-    offsets [1, sps+1], positions [1, pmax], reads [b_local, L] — reads
-    sharded over ("data", "index"), so vote/verify/DP all run locally
-    with no replicated compute and no cross-device combine beyond the
-    two routing all_to_alls."""
+def _make_runners(offsets, positions, ginter, *, route: str, sps: int,
+                  n_index: int, icfg: IndexConfig, mcfg: MapConfig,
+                  sc: ScoreConfig, base_off: int, csr_aligned: bool,
+                  tier: int | None):
+    """(gather_runner, dp_runner) for one shard_map body. offsets and
+    positions arrive as the local [1, ...] blocks."""
     offsets = offsets[0]
     positions = positions[0]
-    tables = {"ginter": ginter, "base_off": base_off,
-              "genome_max_biased": np.int32(genome_len - 1 - POS_BIAS)}
-    runner = _a2a_gather_runner(offsets, positions, sps=sps,
-                                n_index=n_index,
-                                p=mcfg.positions_per_seed)
-    return map_batch_device(tables, reads, lengths, icfg=icfg, mcfg=mcfg,
-                            sc=sc, gather_runner=runner)
+    p = mcfg.positions_per_seed
+    if route == "a2a":
+        gr = _a2a_gather_runner(offsets, positions, sps=sps,
+                                n_index=n_index, p=p,
+                                csr_aligned=csr_aligned, tier=tier)
+        return gr, None   # reads sharded over both axes: DP is local
+    gr = _psum_gather_runner(offsets, positions, sps=sps, p=p,
+                             csr_aligned=csr_aligned, tier=tier)
+    dr = _psum_dp_runner(ginter, base_off, mcfg=mcfg, sc=sc,
+                         n_index=n_index)
+    return gr, dr
 
 
 def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                         sc: ScoreConfig, sps: int, base_off: int,
-                        genome_len: int, route: str = "psum"):
-    """Jitted fn(offsets, positions, genome, reads, lengths) → out dict,
-    sharded per the mesh. Genome is replicated; CSR tables live on the
-    "index" axis; reads/outputs on "data"."""
+                        genome_max_biased: int, route: str = "a2a",
+                        csr_aligned: bool = False,
+                        gather_tier: int | None = None):
+    """Jitted SE step fn(offsets, positions, ginter, pk, nm, lengths) →
+    packed int32[B, PACKED_COLS], sharded per the mesh. Genome is
+    replicated; CSR tables live on the "index" axis; reads (packed
+    4-bases/byte + N plane, pipeline packed-upload layout) and outputs
+    ride the batch axes."""
     from urmap_tpu.map.pipeline import pack_out
 
     n_index = mesh.shape["index"]
-    step = _sharded_step_a2a if route == "a2a" else _sharded_step
-    body = functools.partial(step, icfg=icfg, mcfg=mcfg, sc=sc,
-                             sps=sps, n_index=n_index, base_off=base_off,
-                             genome_len=genome_len)
 
-    def packed_body(*args):
-        # one packed int32[b, PACKED_COLS] output → one D2H fetch
-        return pack_out(body(*args))
+    def body(offsets, positions, ginter, pk, nm, lengths):
+        tables = {"ginter": ginter, "base_off": base_off,
+                  "genome_max_biased": np.int32(genome_max_biased)}
+        gr, dr = _make_runners(offsets, positions, ginter, route=route,
+                               sps=sps, n_index=n_index, icfg=icfg,
+                               mcfg=mcfg, sc=sc, base_off=base_off,
+                               csr_aligned=csr_aligned, tier=gather_tier)
+        out = map_batch_device(tables, None, lengths, icfg=icfg, mcfg=mcfg,
+                               sc=sc, dp_runner=dr, gather_runner=gr,
+                               packed_reads=(pk, nm))
+        return pack_out(out)
 
     batch_axes = ("data", "index") if route == "a2a" else "data"
     fn = jax.shard_map(
-        packed_body, mesh=mesh,
+        body, mesh=mesh,
         in_specs=(P("index", None), P("index", None), P(),
-                  P(batch_axes, None), P(batch_axes)),
+                  P(batch_axes, None), P(batch_axes, None), P(batch_axes)),
         out_specs=P(batch_axes, None),
         check_vma=False,
     )
     return jax.jit(fn)
 
 
+def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
+                          sc: ScoreConfig, sps: int, base_off: int,
+                          genome_max_biased: int, route: str = "a2a",
+                          csr_aligned: bool = False,
+                          gather_tier: int | None = None):
+    """Jitted PE step fn(offsets, positions, ginter, pk1, nm1, l1, pk2,
+    nm2, l2) → packed int32[Bp, 2*PACKED_COLS+1] (map/pair.py layout:
+    mate1 cols, mate2 cols, proper). Pairs stay together on their device
+    (both mates shard identically), so concordance scoring and mate
+    rescue run locally; only the seed gather crosses the "index" axis."""
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.map.pair import map_pairs_device
+    from urmap_tpu.map.pipeline import pack_out
+
+    n_index = mesh.shape["index"]
+    L = mcfg.max_read_len
+
+    def body(offsets, positions, ginter, pk1, nm1, l1, pk2, nm2, l2):
+        tables = {"ginter": ginter, "base_off": base_off,
+                  "genome_max_biased": np.int32(genome_max_biased)}
+        gr, dr = _make_runners(offsets, positions, ginter, route=route,
+                               sps=sps, n_index=n_index, icfg=icfg,
+                               mcfg=mcfg, sc=sc, base_off=base_off,
+                               csr_aligned=csr_aligned, tier=gather_tier)
+        r1 = gpk.unpack_read_codes_device(pk1, nm1, L)
+        r2 = gpk.unpack_read_codes_device(pk2, nm2, L)
+        out = map_pairs_device(tables, r1, l1, r2, l2, icfg=icfg,
+                               mcfg=mcfg, sc=sc, gather_runner=gr,
+                               dp_runner=dr)
+        return jnp.concatenate(
+            [pack_out(out["m1"]), pack_out(out["m2"]),
+             out["proper"].astype(jnp.int32)[:, None]], axis=1)
+
+    batch_axes = ("data", "index") if route == "a2a" else "data"
+    bspec = P(batch_axes, None)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("index", None), P("index", None), P(),
+                  bspec, bspec, P(batch_axes),
+                  bspec, bspec, P(batch_axes)),
+        out_specs=bspec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class ShardedMapper:
-    """Host wrapper mirroring map.pipeline.Mapper for a sharded mesh.
+    """Host wrapper mirroring map.pipeline.Mapper for a sharded mesh —
+    same prepared tables, packed upload, and async start/finish surface,
+    so cli.cmd_map's pipelined drain drives either interchangeably.
 
     ``route``: how sharded seed lookups combine across the "index" axis.
       - "a2a" (default): all_to_all query routing; reads sharded over
         BOTH axes, compute fully data-parallel (SURVEY.md §2.8 [NS]).
       - "psum": reads replicated over "index"; each shard answers its
-        slot range and masked partials psum-combine (round-1 design,
-        kept as the reference/ comparison path)."""
+        slot range and masked partials psum-combine, DP compute-sharded
+        with all_gather rejoin (round-1 design, kept as the reference/
+        comparison path)."""
 
     def __init__(self, index: UfiIndex, mesh: Mesh,
                  mcfg: MapConfig | None = None, sc: ScoreConfig | None = None,
                  route: str = "a2a"):
         assert route in ("a2a", "psum"), route
+        from urmap_tpu.index.store import load_prepared, prepare_tables
         from urmap_tpu.kernels.preflight import ensure_kernels
 
         ensure_kernels()   # see pipeline.Mapper — jnp fallback on failure
@@ -378,52 +485,177 @@ class ShardedMapper:
         self.icfg = index.config
         self.mcfg = mcfg or MapConfig()
         self.sc = sc or ScoreConfig()
+        self.packed_upload = True
         n_index = mesh.shape["index"]
-        # same explicit unbiased gather-width cap as the unsharded Mapper
-        st = shard_index_tables(index.recapped(self.mcfg.positions_per_seed),
-                                n_index)
+        # map-ready tables: identical prep (recap → aligned layout →
+        # gather tier) and prepared_p<p>/ cache as the single-device
+        # Mapper, then split by slot range (alignment survives the split
+        # — shard_prepared_tables)
+        p = self.mcfg.positions_per_seed
+        prep = load_prepared(index, p)
+        if prep is None:
+            prep = prepare_tables(index, p)
+        ht, meta = prep
+        self.csr_aligned = bool(meta["csr_aligned"])
+        self.gather_tier = meta["gather_tier"]
+        st = shard_prepared_tables(ht, meta, n_index)
         self._sps = st.slots_per_shard
+
+        # batch rows per device step: the configured batch size, rounded
+        # up to split evenly over the batch axes
+        n_rows = mesh.shape["data"]
+        if route == "a2a":
+            n_rows *= n_index
+        self._rows = n_rows
+        self._bs = -(-max(self.mcfg.batch_size, 2 * n_rows) // (2 * n_rows)) \
+            * (2 * n_rows)
 
         def put(x, spec):
             return jax.device_put(
                 x, jax.sharding.NamedSharding(mesh, spec))
 
-        from urmap_tpu import genome_pack as gpk
-        from urmap_tpu.map.seed import POS_BIAS
-
-        ginter, base_off = gpk.pack_genome(index.seqdb.codes)
         self.offsets = put(st.offsets, P("index", None))
         self.positions = put(st.positions, P("index", None))
-        self.ginter = put(ginter, P())
-        # static word offset carries the coordinate bias (device_tables)
-        self._fn = make_sharded_map_fn(mesh, self.icfg, self.mcfg, self.sc,
-                                       self._sps,
-                                       base_off + POS_BIAS // gpk.BASES_PER_WORD,
-                                       index.seqdb.total_len, route=route)
+        self.ginter = put(np.asarray(ht["ginter"]), P())
+        self._base_off = int(ht["base_off"])
+        self._gmax = int(ht["genome_max_biased"])
+        self._fn = make_sharded_map_fn(
+            mesh, self.icfg, self.mcfg, self.sc, self._sps, self._base_off,
+            self._gmax, route=route, csr_aligned=self.csr_aligned,
+            gather_tier=self.gather_tier)
+        self._pairs_fn = None   # built on first paired use
 
-    def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
-        from urmap_tpu import alphabet
+    # ---- Mapper-compatible async surface (cli run_stream drives this) ----
+
+    def prepack(self, codes: np.ndarray, lengths: np.ndarray):
+        """Host-side upload prep (pad to the mesh-even block + 2-bit
+        pack); run OFF the dispatch thread (PrefetchIterator transform)."""
+        from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.map.pair import _pad_block
 
         B = codes.shape[0]
-        n_data = self.mesh.shape["data"]
-        if self.route == "a2a":
-            n_data *= self.mesh.shape["index"]   # batch sharded over both
-        bs = max(self.mcfg.batch_size, n_data)
-        bs = -(-bs // n_data) * n_data
-        outs = []
-        for s in range(0, B, bs):
-            c = codes[s : s + bs]
-            ln = lengths[s : s + bs]
-            if c.shape[0] < bs:
-                pad = bs - c.shape[0]
-                c = np.concatenate(
-                    [c, np.full((pad, c.shape[1]), alphabet.READ_N, np.uint8)])
-                ln = np.concatenate([ln, np.zeros(pad, np.int32)])
-            out = self._fn(self.offsets, self.positions, self.ginter,
-                           jnp.asarray(c),
-                           jnp.asarray(ln.astype(np.int32)))
-            outs.append(np.asarray(out))
+        assert B <= self._bs, f"batch {B} > sharded block {self._bs}"
+        c, ln = _pad_block(codes, lengths, self._bs, self.mcfg.max_read_len)
+        pk, nm = gpk.pack_read_codes_host(c)
+        return pk, nm, ln, B
+
+    def start_batch(self, codes, lengths, *, prepacked=None):
+        pk, nm, ln, B = (prepacked if prepacked is not None
+                         else self.prepack(codes, lengths))
+        out = self._fn(self.offsets, self.positions, self.ginter,
+                       jnp.asarray(pk), jnp.asarray(nm), jnp.asarray(ln))
+        return out, B
+
+    def finish_batch(self, handle, lengths) -> MapResult:
         from urmap_tpu.map.pipeline import unpack_out
 
-        merged = unpack_out(np.concatenate(outs)[:B])
+        out, B = handle
+        merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
         return MapResult.from_device(merged, np.asarray(lengths)[:B])
+
+    def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
+        B = codes.shape[0]
+        outs = []
+        for s in range(0, B, self._bs):
+            h = self.start_batch(codes[s : s + self._bs],
+                                 lengths[s : s + self._bs])
+            outs.append(self.finish_batch(h, lengths[s : s + self._bs]))
+        if len(outs) == 1:
+            return outs[0]
+        merged = {}
+        for f in ("mapped", "pos", "strand", "score", "second", "mapq",
+                  "gapped", "ungapped"):
+            merged[f] = np.concatenate([getattr(o, f) for o in outs])
+        return MapResult(lengths=np.asarray(lengths)[:B], **merged)
+
+
+class ShardedPairedMapper:
+    """Paired-end over a ShardedMapper — the host surface mirrors
+    map.pair.PairedMapper (prepack/start_batch/finish_batch/pair_batch)
+    so cli.cmd_map's paired drain drives either interchangeably."""
+
+    def __init__(self, mapper: ShardedMapper):
+        from urmap_tpu.map.pair import PairedMapper
+
+        self.mapper = mapper
+        self.index = mapper.index
+        self.mcfg = mapper.mcfg
+        self.sc = mapper.sc
+        self.packed_upload = True
+        # pair batches are half the read batch (map/pair.PairedMapper
+        # docstring), kept mesh-even by ShardedMapper._bs
+        self.pair_batch = mapper._bs // 2
+        if mapper._pairs_fn is None:
+            mapper._pairs_fn = make_sharded_pairs_fn(
+                mapper.mesh, mapper.icfg, mapper.mcfg, mapper.sc,
+                mapper._sps, mapper._base_off, mapper._gmax,
+                route=mapper.route, csr_aligned=mapper.csr_aligned,
+                gather_tier=mapper.gather_tier)
+        self._fn = mapper._pairs_fn
+        # reuse the single-device Python formatter (duck-typed: it only
+        # touches self.index / self.sc)
+        self.format_py = functools.partial(PairedMapper.format_py, self)
+
+    def prepack(self, codes1, lengths1, codes2, lengths2):
+        from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.map.pair import _pad_block
+
+        B = codes1.shape[0]
+        bs = self.pair_batch
+        assert B <= bs, f"pair batch {B} > {bs}"
+        c1, l1 = _pad_block(codes1, lengths1, bs, self.mcfg.max_read_len)
+        c2, l2 = _pad_block(codes2, lengths2, bs, self.mcfg.max_read_len)
+        pk1, nm1 = gpk.pack_read_codes_host(c1)
+        pk2, nm2 = gpk.pack_read_codes_host(c2)
+        return (pk1, nm1, l1, pk2, nm2, l2, B)
+
+    def start_batch(self, codes1, lengths1, codes2, lengths2, *,
+                    prepacked=None):
+        m = self.mapper
+        pk1, nm1, l1, pk2, nm2, l2, B = (
+            prepacked if prepacked is not None
+            else self.prepack(codes1, lengths1, codes2, lengths2))
+        out = self._fn(m.offsets, m.positions, m.ginter,
+                       jnp.asarray(pk1), jnp.asarray(nm1), jnp.asarray(l1),
+                       jnp.asarray(pk2), jnp.asarray(nm2), jnp.asarray(l2))
+        return out, B
+
+    def finish_batch(self, handle, lengths1, lengths2):
+        from urmap_tpu.map.pair import PairResult
+        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out
+
+        out, B = handle
+        arr = np.asarray(out)[:B]
+        C = PACKED_COLS
+        return PairResult(
+            m1=MapResult.from_device(unpack_out(arr[:, 0:C]),
+                                     np.asarray(lengths1)[:B]),
+            m2=MapResult.from_device(unpack_out(arr[:, C : 2 * C]),
+                                     np.asarray(lengths2)[:B]),
+            proper=arr[:, 2 * C].astype(bool),
+        )
+
+    def map_pair_codes(self, codes1, lengths1, codes2, lengths2):
+        from urmap_tpu.map.pair import PairResult
+
+        B = codes1.shape[0]
+        bs = self.pair_batch
+        outs = []
+        for s in range(0, B, bs):
+            h = self.start_batch(codes1[s:s + bs], lengths1[s:s + bs],
+                                 codes2[s:s + bs], lengths2[s:s + bs])
+            outs.append(self.finish_batch(h, lengths1[s:s + bs],
+                                          lengths2[s:s + bs]))
+        if len(outs) == 1:
+            return outs[0]
+
+        def cat(results, lengths):
+            fields = {f: np.concatenate([getattr(r, f) for r in results])
+                      for f in ("mapped", "pos", "strand", "score", "second",
+                                "mapq", "gapped", "ungapped")}
+            return MapResult(lengths=np.asarray(lengths)[:B], **fields)
+
+        return PairResult(m1=cat([o.m1 for o in outs], lengths1),
+                          m2=cat([o.m2 for o in outs], lengths2),
+                          proper=np.concatenate(
+                              [o.proper for o in outs])[:B])

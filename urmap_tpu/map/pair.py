@@ -12,8 +12,10 @@ one fixed-shape batched stage on top of the shared candidate pipeline:
   3. Mate rescue for pairs with exactly one confidently mapped mate and
      no concordant pair: the expected mate window (rescue_window bases,
      derived from the anchor's strand and the fragment window) is scanned
-     for the best ungapped offset via a one-hot depthwise cross-
-     correlation (MXU/VPU-friendly — no per-offset scalar loop), then the
+     for the best ungapped offset by an integer sliding-window match
+     accumulation (a fori_loop of L vectorized compares — loop-safe on
+     TPU, unlike the bf16 grouped conv it replaced, which produced
+     garbage when traced inside lax.while_loop on real chips), then the
      winning offset is verified by the same banded affine DP as every
      other candidate.
 
@@ -107,10 +109,11 @@ def _pair_cross(c1, c2, l1, l2, mc: MapConfig):
 
 def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
                  other_len, *, mc: MapConfig, sc: ScoreConfig):
-    """Windowed rescue: best ungapped offset by one-hot depthwise
-    correlation, verified by banded DP. other_codes must already be
-    strand-applied to the EXPECTED mate orientation (revcomp of the
-    as-sequenced read when the anchor is forward)."""
+    """Windowed rescue: best ungapped offset by an integer sliding-window
+    match accumulation (fori_loop of vectorized compares), verified by
+    banded DP. other_codes must already be strand-applied to the EXPECTED
+    mate orientation (revcomp of the as-sequenced read when the anchor is
+    forward)."""
     from urmap_tpu import genome_pack as gpk
 
     B, L = other_codes.shape
@@ -158,14 +161,23 @@ def _rescue_scan(tables, anchor_pos, anchor_strand, anchor_len, other_codes,
 def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig,
                      csr_aligned: bool = False,
-                     gather_tier: int | None = None):
-    """Full paired-end device step → per-mate output dicts + pair flags."""
+                     gather_tier: int | None = None,
+                     gather_runner=None, dp_runner=None):
+    """Full paired-end device step → per-mate output dicts + pair flags.
+
+    ``gather_runner``/``dp_runner``: mesh-aware stage overrides for the
+    sharded path (dist/sharded.py) — pairing, concordance and mate
+    rescue all run on whatever device holds the pair (the rescue window
+    scan reads the replicated packed genome, not the CSR), so only the
+    candidate stage needs to know about the mesh."""
     B, L = r1.shape
     reads = jnp.concatenate([r1, r2], axis=0)
     lens = jnp.concatenate([l1, l2], axis=0)
     c = candidates_batch_device(tables, reads, lens, icfg=icfg, mcfg=mcfg,
                                 sc=sc, csr_aligned=csr_aligned,
-                                gather_tier=gather_tier)
+                                gather_tier=gather_tier,
+                                gather_runner=gather_runner,
+                                dp_runner=dp_runner)
     c1 = {k: v[:B] for k, v in c.items()}
     c2 = {k: v[B:] for k, v in c.items()}
 
@@ -404,6 +416,22 @@ class PairedMapper:
             proper=arr[:, 2 * C].astype(bool),
         )
 
+    def second_pass(self, codes1, lengths1, codes2, lengths2,
+                    res: "PairResult") -> "PairResult":
+        """Per-mate wide-gather recovery (pipeline.Mapper.second_pass):
+        mates still unmapped after pairing + rescue are re-mapped on the
+        host CPU pass. Conservative on flags: a recovered mate becomes
+        mapped (fixing both mates' mate-* flag bits) but the pair is NOT
+        promoted to proper — the exact-span TLEN concordance check lives
+        on the device and is not re-derived host-side."""
+        sp = getattr(self.mapper, "second_pass", None)
+        if sp is None or getattr(self.mapper, "_sp_fn", None) is None:
+            return res
+        res = PairResult(m1=sp(codes1, lengths1, res.m1),
+                         m2=sp(codes2, lengths2, res.m2),
+                         proper=res.proper)
+        return res
+
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
         B = codes1.shape[0]
         bs = self.pair_batch
@@ -411,8 +439,11 @@ class PairedMapper:
         for s in range(0, B, bs):
             h = self.start_batch(codes1[s:s + bs], lengths1[s:s + bs],
                                  codes2[s:s + bs], lengths2[s:s + bs])
-            outs.append(self.finish_batch(h, lengths1[s:s + bs],
-                                          lengths2[s:s + bs]))
+            outs.append(self.second_pass(
+                codes1[s:s + bs], lengths1[s:s + bs],
+                codes2[s:s + bs], lengths2[s:s + bs],
+                self.finish_batch(h, lengths1[s:s + bs],
+                                  lengths2[s:s + bs])))
         if len(outs) == 1:
             return outs[0]
 

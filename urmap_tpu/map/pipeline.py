@@ -516,6 +516,91 @@ class Mapper:
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
                                      gather_tier=self.gather_tier)
+        self._sp_fn = None
+        if self.mcfg.second_pass_p:
+            self._init_second_pass(index, load_prepared, prepare_tables)
+
+    def _init_second_pass(self, index, load_prepared, prepare_tables):
+        """Host-CPU wide-gather recovery pass (MapConfig.second_pass_p):
+        a second copy of the map program, jitted for the CPU backend,
+        over a table recapped at the WIDER cap — host RAM instead of
+        HBM. Reads the device pass leaves unmapped (true locus
+        subsampled out of the narrow recap) are re-mapped there
+        (second_pass()); everything else keeps the device result."""
+        import dataclasses
+
+        import jax
+
+        sp = self.mcfg.second_pass_p
+        assert sp >= self.mcfg.positions_per_seed, (
+            f"second_pass_p {sp} narrower than the first pass "
+            f"({self.mcfg.positions_per_seed})")
+        self._sp_dev = jax.devices("cpu")[0]
+        prep = load_prepared(index, sp)
+        if prep is None:
+            prep = prepare_tables(index, sp)
+        ht2, meta2 = prep
+
+        def put(x):
+            return jax.device_put(np.asarray(x), self._sp_dev)
+
+        self._sp_tables = {
+            "offsets": put(ht2["offsets"]),
+            "positions": put(ht2["positions"]),
+            "ginter": put(ht2["ginter"]),
+            "base_off": int(ht2["base_off"]),
+            "genome_max_biased": np.int32(ht2["genome_max_biased"]),
+        }
+        self._sp_batch = 512
+        spcfg = dataclasses.replace(self.mcfg, positions_per_seed=sp,
+                                    batch_size=self._sp_batch,
+                                    second_pass_p=0)
+        self._sp_fn = make_map_batch_fn(
+            self.icfg, spcfg, self.sc, packed_input=False,
+            csr_aligned=bool(meta2["csr_aligned"]),
+            gather_tier=meta2["gather_tier"])
+
+    def second_pass(self, codes: np.ndarray, lengths,
+                    result: MapResult) -> MapResult:
+        """Re-map ``result``'s unmapped rows through the CPU wide-gather
+        pass and patch the recovered calls in place (no-op when
+        second_pass_p is 0). Thread-safe — callable from the formatting
+        worker pool so the host pass overlaps the next device batch."""
+        if self._sp_fn is None:
+            return result
+        import jax
+
+        lengths = np.asarray(lengths)
+        rows = np.nonzero(~result.mapped
+                          & (lengths[: len(result.mapped)]
+                             >= self.icfg.k))[0]
+        if rows.size == 0:
+            return result
+        L, SPB = self.mcfg.max_read_len, self._sp_batch
+        for s in range(0, rows.size, SPB):
+            r = rows[s : s + SPB]
+            c = np.full((SPB, L), alphabet.READ_N, np.uint8)
+            c[: r.size, : codes.shape[1]] = codes[r]
+            ln = np.zeros(SPB, np.int32)
+            ln[: r.size] = lengths[r]
+            out = unpack_out(np.asarray(self._sp_fn(
+                self._sp_tables, jax.device_put(c, self._sp_dev),
+                jax.device_put(ln, self._sp_dev))))
+            got = out["mapped"][: r.size]
+            pr = r[got]
+            if pr.size == 0:
+                continue
+            src = np.nonzero(got)[0]
+            result.mapped[pr] = True
+            result.pos[pr] = out["pos"][src]
+            result.strand[pr] = out["strand"][src]
+            result.score[pr] = out["score"][src]
+            result.second[pr] = out["second"][src]
+            result.mapq[pr] = out["mapq"][src]
+            result.gapped[pr] = out["gapped"][src]
+            if result.ungapped is not None:
+                result.ungapped[pr] = out["ungapped"][src]
+        return result
 
     def _pad_full(self, codes: np.ndarray, lengths: np.ndarray):
         """Pad to the full [batch_size, max_read_len] block (rows with
@@ -577,7 +662,9 @@ class Mapper:
         outs = []
         for s in range(0, B, bs):
             h = self.start_batch(codes[s : s + bs], lengths[s : s + bs])
-            outs.append(self.finish_batch(h, lengths[s : s + bs]))
+            outs.append(self.second_pass(
+                codes[s : s + bs], lengths[s : s + bs],
+                self.finish_batch(h, lengths[s : s + bs])))
         if len(outs) == 1:
             return outs[0]
         merged = {}
