@@ -192,6 +192,7 @@ def emit(metric, total_reads, elapsed_list, warm, stamps_all, extra, args,
         "warmup_rps": round(warm_reads / warm_s, 1) if warm_s > 0 else None,
         "map_s": round(med, 2),
         "sam_formatting": not args.no_sam,
+        "read_seed": getattr(args, "read_seed", None),
     }
     med_i = int(np.argsort(elapsed_list)[len(elapsed_list) // 2])
     pct = batch_percentiles(stamps_all[med_i])
@@ -204,7 +205,13 @@ def emit(metric, total_reads, elapsed_list, warm, stamps_all, extra, args,
 
 
 def run_single(args, db, mapper, rng, t_index, dev):
-    """SE bench → JSON record."""
+    """SE bench → JSON record.
+
+    Every pass maps a DIFFERENT permutation of the read set from its own
+    FASTQ file: the axon relay deduplicates identical (program, input)
+    re-executions, so re-timing the same batches would read fake-fast
+    (.claude/skills/verify gotchas). The permutations keep the work
+    identical while making every batch's bytes unique."""
     from urmap_tpu.io import sam as samio
     from urmap_tpu.io import sam_native
     from urmap_tpu.io.fastq import FastqReader, PrefetchIterator
@@ -219,10 +226,19 @@ def run_single(args, db, mapper, rng, t_index, dev):
     mapper.map_codes(codes[:wb], lengths[:wb])
 
     use_native = sam_native.available()
-    # materialize a real FASTQ (untimed) — the timed loop drives the
-    # actual product path: native parser → device map → native SAM
-    fq_path = "/tmp/urmap_bench.fq"
-    write_fastq(fq_path, codes, args.read_len)
+    # materialize real FASTQs (untimed) — the timed loop drives the
+    # actual product path: native parser → device map → native SAM.
+    # File 0 feeds the warm pass; files 1..passes feed the timed passes
+    # (each a distinct permutation — see docstring).
+    n_files = args.passes + 1
+    fq_paths, truths = [], []
+    for i in range(n_files):
+        perm = rng.permutation(args.reads)
+        path = f"/tmp/urmap_bench_se{i}.fq"
+        write_fastq(path, codes[perm], args.read_len)
+        fq_paths.append(path)
+        truths.append(truth_pos[perm])
+    cur = {"truth": truths[0]}
 
     sink = io.BytesIO()
     stats = {"mapped": 0, "correct": 0}
@@ -238,7 +254,7 @@ def run_single(args, db, mapper, rng, t_index, dev):
     def fmt(item, res):
         s, batch, _pk = item
         st = (int(res.mapped.sum()),
-              int(((res.pos == truth_pos[s : s + len(batch)])
+              int(((res.pos == cur["truth"][s : s + len(batch)])
                    & res.mapped).sum()))
         if args.no_sam:
             return None, st
@@ -263,11 +279,16 @@ def run_single(args, db, mapper, rng, t_index, dev):
         if data is not None:
             sink.write(data)
 
+    pass_no = {"i": 0}
+
     def items():
+        i = pass_no["i"]
+        pass_no["i"] = min(i + 1, n_files - 1)
+        cur["truth"] = truths[i]
         s = 0
         # upload prep (pad + pack) rides the prefetch thread, off the
         # dispatch critical path (tools/bench_e2e_phases.py)
-        reader = FastqReader(fq_path, batch_size=args.batch,
+        reader = FastqReader(fq_paths[i], batch_size=args.batch,
                              max_read_len=args.read_len)
         pf = PrefetchIterator(
             reader, transform=lambda b: (b, mapper.prepack(b.codes,
@@ -296,9 +317,18 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
 
     n_pairs = args.reads // 2
     r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len)
-    paths = ("/tmp/urmap_bench_r1.fq", "/tmp/urmap_bench_r2.fq")
-    write_fastq(paths[0], r1, args.read_len, b"p")
-    write_fastq(paths[1], r2, args.read_len, b"p")
+    # one permutation of the pair set per pass — the relay dedups
+    # identical re-executions (see run_single docstring)
+    n_files = args.passes + 1
+    paths, truths = [], []
+    for i in range(n_files):
+        perm = rng.permutation(n_pairs)
+        pa = (f"/tmp/urmap_bench_r1_{i}.fq", f"/tmp/urmap_bench_r2_{i}.fq")
+        write_fastq(pa[0], r1[perm], args.read_len, b"p")
+        write_fastq(pa[1], r2[perm], args.read_len, b"p")
+        paths.append(pa)
+        truths.append((t1[perm], t2[perm]))
+    cur = {"t": truths[0]}
 
     pm = PairedMapper(mapper)
     # warmup / compile (pair batches are half the read batch)
@@ -321,11 +351,12 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
     def fmt(item, res):
         s, b1, b2, _pk = item
         n = len(b1)
+        ct1, ct2 = cur["t"]
         st = (
             int(res.m1.mapped.sum()) + int(res.m2.mapped.sum()),
             int(res.proper.sum()),
-            int(((res.m1.pos == t1[s:s + n]) & res.m1.mapped).sum())
-            + int(((res.m2.pos == t2[s:s + n]) & res.m2.mapped).sum()))
+            int(((res.m1.pos == ct1[s:s + n]) & res.m1.mapped).sum())
+            + int(((res.m2.pos == ct2[s:s + n]) & res.m2.mapped).sum()))
         if args.no_sam:
             return None, st
         b1b, o1, e1, sp1 = cigars_nm_blob(db.codes, b1.codes, res.m1, pm.sc)
@@ -343,9 +374,14 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
         if data is not None:
             sink.write(data)
 
+    pass_no = {"i": 0}
+
     def items():
+        i = pass_no["i"]
+        pass_no["i"] = min(i + 1, n_files - 1)
+        cur["t"] = truths[i]
         s = 0
-        reader = FastqReader(paths[0], paths[1],
+        reader = FastqReader(paths[i][0], paths[i][1],
                              batch_size=max(args.batch // 2, 1),
                              max_read_len=args.read_len)
         pf = PrefetchIterator(
@@ -448,6 +484,14 @@ def main(argv=None):
     ap.add_argument("--passes", type=int, default=3,
                     help="timed full passes per mode; the MEDIAN is "
                          "reported (relay noise is ±2x on bad days)")
+    ap.add_argument("--seed", type=int, default=-1,
+                    help="read-sampling seed; -1 (default) salts from "
+                         "the clock so repeated bench runs never re-send "
+                         "identical batches (the axon relay DEDUPLICATES "
+                         "identical executions — a fixed seed would read "
+                         "fake-fast on the second run). The genome/index "
+                         "stay seed-0 (compile/prepared caches keyed on "
+                         "them).")
     ap.add_argument("--mode", choices=("both", "se", "pe"), default="both",
                     help="both (default) prints SE then PE (the driver "
                          "parses the LAST line; BASELINE.json's metric "
@@ -512,7 +556,11 @@ def main(argv=None):
     from urmap_tpu.map.pipeline import Mapper
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(0)           # genome/index: stable
+    read_seed = (args.seed if args.seed >= 0
+                 else time.time_ns() % (1 << 62))
+    args.read_seed = read_seed   # recorded in the JSON for repro
+    read_rng = np.random.default_rng(read_seed)
     glen = int(args.genome_mbp * 1e6)
 
     t0 = time.monotonic()
@@ -533,9 +581,9 @@ def main(argv=None):
 
     se_rec = None
     if args.mode in ("both", "se"):
-        se_rec = run_single(args, db, mapper, rng, t_index, dev)
+        se_rec = run_single(args, db, mapper, read_rng, t_index, dev)
     if args.mode in ("both", "pe"):
-        run_paired(args, db, mapper, rng, t_index, dev, se_rec)
+        run_paired(args, db, mapper, read_rng, t_index, dev, se_rec)
     return 0
 
 

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--index-cache", default="",
                     help="directory to save/load the built index (the "
                          "3.1 Gbp host build is ~1 h — pay it once)")
+    ap.add_argument("--second-pass", type=int, default=0,
+                    help="MapConfig.second_pass_p: host-CPU wide-gather "
+                         "recovery of device-unmapped reads (recall "
+                         "ladder fix for HBM-fit configs)")
     ap.add_argument("--paired", action="store_true",
                     help="also map --reads/2 planted FR pairs through "
                          "the paired-end step (rescue included) and "
@@ -114,17 +118,22 @@ def main():
     mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
     if args.positions_per_seed:
         mkw["positions_per_seed"] = args.positions_per_seed
+    if args.second_pass:
+        mkw["second_pass_p"] = args.second_pass
     mcfg = MapConfig(**mkw)
     if cache:
         from urmap_tpu.index.store import load_prepared, save_prepared
 
         pp = mkw.get("positions_per_seed", MapConfig.positions_per_seed)
-        if load_prepared(index, pp) is None:
-            print("# map phase: caching prepared tables", flush=True)
-            t0 = time.monotonic()
-            save_prepared(index, cache, pp)
-            print(f"# prepared tables cached in "
-                  f"{time.monotonic() - t0:.0f}s", flush=True)
+        want_p = [pp] + ([args.second_pass] if args.second_pass else [])
+        for p_ in want_p:
+            if load_prepared(index, p_) is None:
+                print(f"# map phase: caching prepared tables p={p_}",
+                      flush=True)
+                t0 = time.monotonic()
+                save_prepared(index, cache, p_)
+                print(f"# prepared p={p_} cached in "
+                      f"{time.monotonic() - t0:.0f}s", flush=True)
     t0 = time.monotonic()
     mapper = Mapper(index, mcfg)
     print(f"# map phase: tables ready in {time.monotonic() - t0:.0f}s "
