@@ -63,6 +63,32 @@ def test_second_pass_recovers_recap_loss(rng):
     np.testing.assert_array_equal(r2.pos[kept], r1.pos[kept])
 
 
+def test_second_pass_composes_with_sharded(rng):
+    """-mesh + -secondpass: the sharded device pass recovers through the
+    same host wide pass, equal to the single-device combination."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    from urmap_tpu.dist.sharded import ShardedMapper, make_mesh
+
+    db = make_seqdb(rng, [1_500_000])
+    index = build_index(db, IndexConfig(slot_bits=17), backend="host")
+    codes, lengths, truth = _reads(rng, db, n=96)
+    cfg = MapConfig(max_read_len=120, batch_size=32,
+                    positions_per_seed=2, second_pass_p=16)
+    single = Mapper(index, cfg).map_codes(codes, lengths)
+    mesh = make_mesh(4, data=1, index=4)
+    shard = ShardedMapper(index, mesh, cfg).map_codes(codes, lengths)
+    for f in ("mapped", "pos", "strand", "score", "mapq"):
+        np.testing.assert_array_equal(getattr(single, f),
+                                      getattr(shard, f), err_msg=f)
+    assert float(((shard.pos == truth) & shard.mapped).mean()) >= 0.99
+
+
 def test_second_pass_paired_mates(rng):
     """PE: unmapped mates recover; proper flags stay conservative (never
     invented host-side) and pass-1 proper pairs are untouched."""

@@ -524,6 +524,16 @@ class ShardedMapper:
             self._gmax, route=route, csr_aligned=self.csr_aligned,
             gather_tier=self.gather_tier)
         self._pairs_fn = None   # built on first paired use
+        from urmap_tpu.map.pipeline import WideSecondPass
+
+        self.second = (WideSecondPass(index, self.mcfg, self.sc)
+                       if self.mcfg.second_pass_p else None)
+
+    def second_pass(self, codes, lengths, result) -> MapResult:
+        """Host-CPU wide-gather recovery (pipeline.Mapper.second_pass)."""
+        if self.second is None:
+            return result
+        return self.second(codes, lengths, result)
 
     # ---- Mapper-compatible async surface (cli run_stream drives this) ----
 
@@ -559,7 +569,9 @@ class ShardedMapper:
         for s in range(0, B, self._bs):
             h = self.start_batch(codes[s : s + self._bs],
                                  lengths[s : s + self._bs])
-            outs.append(self.finish_batch(h, lengths[s : s + self._bs]))
+            outs.append(self.second_pass(
+                codes[s : s + self._bs], lengths[s : s + self._bs],
+                self.finish_batch(h, lengths[s : s + self._bs])))
         if len(outs) == 1:
             return outs[0]
         merged = {}
@@ -592,9 +604,11 @@ class ShardedPairedMapper:
                 route=mapper.route, csr_aligned=mapper.csr_aligned,
                 gather_tier=mapper.gather_tier)
         self._fn = mapper._pairs_fn
-        # reuse the single-device Python formatter (duck-typed: it only
-        # touches self.index / self.sc)
+        # reuse the single-device Python formatter and per-mate second
+        # pass (duck-typed: they touch self.index / self.sc / the
+        # mapper's .second)
         self.format_py = functools.partial(PairedMapper.format_py, self)
+        self.second_pass = functools.partial(PairedMapper.second_pass, self)
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         from urmap_tpu import genome_pack as gpk

@@ -424,9 +424,9 @@ class PairedMapper:
         mapped (fixing both mates' mate-* flag bits) but the pair is NOT
         promoted to proper — the exact-span TLEN concordance check lives
         on the device and is not re-derived host-side."""
-        sp = getattr(self.mapper, "second_pass", None)
-        if sp is None or getattr(self.mapper, "_sp_fn", None) is None:
+        if getattr(self.mapper, "second", None) is None:
             return res
+        sp = self.mapper.second_pass
         res = PairResult(m1=sp(codes1, lengths1, res.m1),
                          m2=sp(codes2, lengths2, res.m2),
                          proper=res.proper)

@@ -472,6 +472,89 @@ def revcomp_strand_codes(codes: np.ndarray, result: MapResult) -> np.ndarray:
     return out
 
 
+class WideSecondPass:
+    """Host-CPU wide-gather recovery pass (MapConfig.second_pass_p): a
+    second copy of the map program, jitted for the CPU backend, over a
+    table recapped at the WIDER cap — host RAM instead of HBM. Reads the
+    device pass leaves unmapped (true locus subsampled out of the narrow
+    recap) are re-mapped there; everything else keeps the device result.
+    Shared by the single-device Mapper and the sharded mapper."""
+
+    def __init__(self, index, mcfg: MapConfig, sc: ScoreConfig):
+        import dataclasses
+
+        import jax
+
+        from urmap_tpu.index.store import load_prepared, prepare_tables
+
+        sp = mcfg.second_pass_p
+        assert sp >= mcfg.positions_per_seed, (
+            f"second_pass_p {sp} narrower than the first pass "
+            f"({mcfg.positions_per_seed})")
+        self.icfg = index.config
+        self.mcfg = mcfg
+        self._dev = jax.devices("cpu")[0]
+        prep = load_prepared(index, sp)
+        if prep is None:
+            prep = prepare_tables(index, sp)
+        ht2, meta2 = prep
+
+        def put(x):
+            return jax.device_put(np.asarray(x), self._dev)
+
+        self._tables = {
+            "offsets": put(ht2["offsets"]),
+            "positions": put(ht2["positions"]),
+            "ginter": put(ht2["ginter"]),
+            "base_off": int(ht2["base_off"]),
+            "genome_max_biased": np.int32(ht2["genome_max_biased"]),
+        }
+        self._batch = 512
+        spcfg = dataclasses.replace(mcfg, positions_per_seed=sp,
+                                    batch_size=self._batch,
+                                    second_pass_p=0)
+        self._fn = make_map_batch_fn(
+            self.icfg, spcfg, sc, packed_input=False,
+            csr_aligned=bool(meta2["csr_aligned"]),
+            gather_tier=meta2["gather_tier"])
+
+    def __call__(self, codes: np.ndarray, lengths,
+                 result: MapResult) -> MapResult:
+        import jax
+
+        lengths = np.asarray(lengths)
+        rows = np.nonzero(~result.mapped
+                          & (lengths[: len(result.mapped)]
+                             >= self.icfg.k))[0]
+        if rows.size == 0:
+            return result
+        L, SPB = self.mcfg.max_read_len, self._batch
+        for s in range(0, rows.size, SPB):
+            r = rows[s : s + SPB]
+            c = np.full((SPB, L), alphabet.READ_N, np.uint8)
+            c[: r.size, : codes.shape[1]] = codes[r]
+            ln = np.zeros(SPB, np.int32)
+            ln[: r.size] = lengths[r]
+            out = unpack_out(np.asarray(self._fn(
+                self._tables, jax.device_put(c, self._dev),
+                jax.device_put(ln, self._dev))))
+            got = out["mapped"][: r.size]
+            pr = r[got]
+            if pr.size == 0:
+                continue
+            src = np.nonzero(got)[0]
+            result.mapped[pr] = True
+            result.pos[pr] = out["pos"][src]
+            result.strand[pr] = out["strand"][src]
+            result.score[pr] = out["score"][src]
+            result.second[pr] = out["second"][src]
+            result.mapq[pr] = out["mapq"][src]
+            result.gapped[pr] = out["gapped"][src]
+            if result.ungapped is not None:
+                result.ungapped[pr] = out["ungapped"][src]
+        return result
+
+
 class Mapper:
     """Convenience host wrapper: holds device tables + jitted step, maps
     host batches. (The CLI and tests drive this; dist/ wraps the sharded
@@ -516,49 +599,8 @@ class Mapper:
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
                                      gather_tier=self.gather_tier)
-        self._sp_fn = None
-        if self.mcfg.second_pass_p:
-            self._init_second_pass(index, load_prepared, prepare_tables)
-
-    def _init_second_pass(self, index, load_prepared, prepare_tables):
-        """Host-CPU wide-gather recovery pass (MapConfig.second_pass_p):
-        a second copy of the map program, jitted for the CPU backend,
-        over a table recapped at the WIDER cap — host RAM instead of
-        HBM. Reads the device pass leaves unmapped (true locus
-        subsampled out of the narrow recap) are re-mapped there
-        (second_pass()); everything else keeps the device result."""
-        import dataclasses
-
-        import jax
-
-        sp = self.mcfg.second_pass_p
-        assert sp >= self.mcfg.positions_per_seed, (
-            f"second_pass_p {sp} narrower than the first pass "
-            f"({self.mcfg.positions_per_seed})")
-        self._sp_dev = jax.devices("cpu")[0]
-        prep = load_prepared(index, sp)
-        if prep is None:
-            prep = prepare_tables(index, sp)
-        ht2, meta2 = prep
-
-        def put(x):
-            return jax.device_put(np.asarray(x), self._sp_dev)
-
-        self._sp_tables = {
-            "offsets": put(ht2["offsets"]),
-            "positions": put(ht2["positions"]),
-            "ginter": put(ht2["ginter"]),
-            "base_off": int(ht2["base_off"]),
-            "genome_max_biased": np.int32(ht2["genome_max_biased"]),
-        }
-        self._sp_batch = 512
-        spcfg = dataclasses.replace(self.mcfg, positions_per_seed=sp,
-                                    batch_size=self._sp_batch,
-                                    second_pass_p=0)
-        self._sp_fn = make_map_batch_fn(
-            self.icfg, spcfg, self.sc, packed_input=False,
-            csr_aligned=bool(meta2["csr_aligned"]),
-            gather_tier=meta2["gather_tier"])
+        self.second = (WideSecondPass(index, self.mcfg, self.sc)
+                       if self.mcfg.second_pass_p else None)
 
     def second_pass(self, codes: np.ndarray, lengths,
                     result: MapResult) -> MapResult:
@@ -566,41 +608,9 @@ class Mapper:
         pass and patch the recovered calls in place (no-op when
         second_pass_p is 0). Thread-safe — callable from the formatting
         worker pool so the host pass overlaps the next device batch."""
-        if self._sp_fn is None:
+        if self.second is None:
             return result
-        import jax
-
-        lengths = np.asarray(lengths)
-        rows = np.nonzero(~result.mapped
-                          & (lengths[: len(result.mapped)]
-                             >= self.icfg.k))[0]
-        if rows.size == 0:
-            return result
-        L, SPB = self.mcfg.max_read_len, self._sp_batch
-        for s in range(0, rows.size, SPB):
-            r = rows[s : s + SPB]
-            c = np.full((SPB, L), alphabet.READ_N, np.uint8)
-            c[: r.size, : codes.shape[1]] = codes[r]
-            ln = np.zeros(SPB, np.int32)
-            ln[: r.size] = lengths[r]
-            out = unpack_out(np.asarray(self._sp_fn(
-                self._sp_tables, jax.device_put(c, self._sp_dev),
-                jax.device_put(ln, self._sp_dev))))
-            got = out["mapped"][: r.size]
-            pr = r[got]
-            if pr.size == 0:
-                continue
-            src = np.nonzero(got)[0]
-            result.mapped[pr] = True
-            result.pos[pr] = out["pos"][src]
-            result.strand[pr] = out["strand"][src]
-            result.score[pr] = out["score"][src]
-            result.second[pr] = out["second"][src]
-            result.mapq[pr] = out["mapq"][src]
-            result.gapped[pr] = out["gapped"][src]
-            if result.ungapped is not None:
-                result.ungapped[pr] = out["ungapped"][src]
-        return result
+        return self.second(codes, lengths, result)
 
     def _pad_full(self, codes: np.ndarray, lengths: np.ndarray):
         """Pad to the full [batch_size, max_read_len] block (rows with
