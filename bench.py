@@ -260,7 +260,8 @@ def run_single(args, db, mapper, rng, t_index, dev):
             return None, st
         if use_native:
             blob, off, nm, _sp = cigars_nm_blob(db.codes, batch.codes,
-                                                res, mapper.sc)
+                                                res, mapper.sc,
+                                                clip_rows=res.clipped)
             return sam_native.format_single_end(batch, res, (blob, off),
                                                 nm, db), st
         strand_codes = revcomp_strand_codes(batch.codes, res)
@@ -359,8 +360,10 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
             + int(((res.m2.pos == ct2[s:s + n]) & res.m2.mapped).sum()))
         if args.no_sam:
             return None, st
-        b1b, o1, e1, sp1 = cigars_nm_blob(db.codes, b1.codes, res.m1, pm.sc)
-        b2b, o2, e2, sp2 = cigars_nm_blob(db.codes, b2.codes, res.m2, pm.sc)
+        b1b, o1, e1, sp1 = cigars_nm_blob(db.codes, b1.codes, res.m1,
+                                          pm.sc, clip_rows=res.m1.clipped)
+        b2b, o2, e2, sp2 = cigars_nm_blob(db.codes, b2.codes, res.m2,
+                                          pm.sc, clip_rows=res.m2.clipped)
         return sam_native.format_paired(
             b1, b2, res, (b1b, o1), e1, sp1, (b2b, o2), e2, sp2, db), st
 

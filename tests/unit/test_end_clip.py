@@ -125,8 +125,12 @@ def test_pipeline_end_clip_maps_adapter_tails(rng):
         truth[i] = r.gpos
     lengths = np.full(n, L, np.int32)
 
+    # clip_rescue=False isolates the -endclip semantics this test is
+    # about (the default clip-rescue lane ALSO maps adapter tails —
+    # tests/integration/test_clip_rescue.py covers that)
     plain = Mapper(index, MapConfig(max_read_len=L, batch_size=n,
-                                    min_score_frac=0.4))
+                                    min_score_frac=0.4,
+                                    clip_rescue=False))
     res0 = plain.map_codes(codes, lengths)
     clip = Mapper(index, MapConfig(max_read_len=L, batch_size=n,
                                    min_score_frac=0.4, end_clip=True))

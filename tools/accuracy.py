@@ -78,6 +78,9 @@ def main(argv=None):
     ap.add_argument("--veryfast", action="store_true",
                     help="build a -veryfast index (+2 slot_bits) and "
                          "apply config.VERYFAST_MAP_OVERRIDES")
+    ap.add_argument("--endclip", action="store_true",
+                    help="MapConfig.end_clip (X-drop-analog soft "
+                         "clipping) — compare ROC vs the default")
     ap.add_argument("--repeat-frac", type=float, default=0.0,
                     help="fraction of the genome made of duplicated "
                          "segments — reads there are ambiguous; a good "
@@ -124,6 +127,8 @@ def main(argv=None):
         mkw["positions_per_seed"] = args.positions_per_seed
     if args.min_votes:
         mkw["min_votes"] = args.min_votes
+    if args.endclip:
+        mkw["end_clip"] = True
     mapper = Mapper(index, MapConfig(**mkw))
 
     codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,

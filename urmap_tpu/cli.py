@@ -434,10 +434,12 @@ def cmd_map(opts: dict) -> int:
             if native:
                 c1, e1, sp1 = _cig3(cigars_nm_blob(
                     genome, fwd.codes, res.m1, mapper.sc,
-                    raw_lengths=fwd.seq_len, clip_open=clip_open))
+                    raw_lengths=fwd.seq_len, clip_open=clip_open,
+                    clip_rows=res.m1.clipped))
                 c2, e2, sp2 = _cig3(cigars_nm_blob(
                     genome, rev.codes, res.m2, mapper.sc,
-                    raw_lengths=rev.seq_len, clip_open=clip_open))
+                    raw_lengths=rev.seq_len, clip_open=clip_open,
+                    clip_rows=res.m2.clipped))
                 data = sam_native.format_paired(
                     fwd, rev, res, c1, e1, sp1, c2, e2, sp2, index.seqdb)
             else:
@@ -456,7 +458,8 @@ def cmd_map(opts: dict) -> int:
         if native:
             cig, nm, _span = _cig3(cigars_nm_blob(
                 genome, batch.codes, res, mapper.sc,
-                raw_lengths=batch.seq_len, clip_open=clip_open))
+                raw_lengths=batch.seq_len, clip_open=clip_open,
+                clip_rows=res.clipped))
             data = sam_native.format_single_end(batch, res, cig, nm,
                                                 index.seqdb)
         else:
@@ -464,7 +467,7 @@ def cmd_map(opts: dict) -> int:
             cigars, nms = cigars_for_result(
                 genome, strand_codes, res, mapper.sc,
                 raw_lengths=[len(sq) for sq in batch.seqs],
-                clip_open=clip_open)
+                clip_open=clip_open, clip_rows=res.clipped)
             recs = samio.records_single_end(batch, res, cigars, nms,
                                             index.seqdb)
             data = ("\n".join(recs) + "\n").encode("ascii")

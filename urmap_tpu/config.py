@@ -149,6 +149,16 @@ class MapConfig:
     # at min_score_frac. Off by default (exact round-1 semantics);
     # CLI -endclip. PARITY-TODO: reference's default behavior.
     end_clip: bool = False
+    # Clip RESCUE lane (default on): reads that would otherwise be
+    # UNMAPPED (best candidate score below min_score_frac — e.g.
+    # adapter/chimeric tails) get one extra bucketed DP round in
+    # end-clip mode, so they map soft-clipped instead of dying. Unlike
+    # -endclip this cannot change any read that maps normally (the lane
+    # only runs for sub-threshold reads), so default semantics stay
+    # bit-identical for them. while_loop ⇒ zero cost on clean batches.
+    clip_rescue: bool = True
+    # Clip-rescue lane budget per bucket round (batch_size // frac).
+    clip_rescue_capacity_frac: int = 32
     # Gapped-DP trigger: a read enters the banded DP only when its best
     # ungapped candidate has more than this many mismatches (the
     # reference verifies ungapped first and extends gapped only when

@@ -144,9 +144,11 @@ def shard_prepared_tables(ht: dict, meta: dict,
     num_slots = offsets.shape[0] - 1
     S = num_shards
     sps = -(-num_slots // S)
-    aligned = bool(meta["csr_aligned"])
-    rw = align_row_words(int(meta["p"]))
-    fill = SENTINEL if aligned else 0
+    layout = meta.get(
+        "layout", "aligned" if meta.get("csr_aligned") else "classic")
+    aligned = layout == "aligned"
+    rw = 128 if layout == "row128" else align_row_words(int(meta["p"]))
+    fill = SENTINEL if layout in ("aligned", "row128") else 0
 
     off_l, rng_l = [], []
     plen = 1
@@ -214,7 +216,8 @@ def load_sharded_tables(path: str,
 
 
 def _psum_gather_runner(offsets, positions, *, sps: int, p: int,
-                        csr_aligned: bool, tier: int | None):
+                        csr_aligned: bool, tier: int | None,
+                        row128: bool = False):
     """Owner-answers + psum combine (reads replicated over "index")."""
     my_base = (jax.lax.axis_index("index").astype(jnp.int32)
                * jnp.int32(sps))
@@ -225,7 +228,7 @@ def _psum_gather_runner(offsets, positions, *, sps: int, p: int,
         rel = jnp.clip(rel, 0, sps - 1)
         cand = gather_candidates(offsets, positions, rel.astype(jnp.uint32),
                                  offs, owned, p=p, csr_aligned=csr_aligned,
-                                 tier=tier)
+                                 tier=tier, row128=row128)
         # exactly one shard owns each (read, seed): psum masked partials
         hit = cand != SENTINEL
         summed = jax.lax.psum(jnp.where(hit, cand, 0), "index")
@@ -273,7 +276,8 @@ def _psum_dp_runner(ginter, base_off, *, mcfg: MapConfig, sc: ScoreConfig,
 
 def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
                        p: int, csr_aligned: bool = False,
-                       tier: int | None = None, slack: float = 2.0):
+                       tier: int | None = None, row128: bool = False,
+                       slack: float = 2.0):
     """Fixed-capacity all_to_all seed routing (SURVEY.md §2.8 [NS]).
 
     Each device owns a hash-slot range AND a distinct read block (reads
@@ -333,7 +337,8 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
             resp = gather_candidates(
                 offsets, positions, relc.astype(jnp.uint32),
                 jnp.zeros_like(relc), owned.reshape(-1, 1), p=p,
-                csr_aligned=csr_aligned, tier=tier)         # [S*K, P]
+                csr_aligned=csr_aligned, tier=tier,
+                row128=row128)                              # [S*K, P]
             back = jax.lax.all_to_all(resp.reshape(S, K, p), "index",
                                       split_axis=0, concat_axis=0)
             got = back[so, jnp.minimum(rank, K - 1)]            # [M, P]
@@ -357,7 +362,7 @@ def _a2a_gather_runner(offsets, positions, *, sps: int, n_index: int,
 def _make_runners(offsets, positions, ginter, *, route: str, sps: int,
                   n_index: int, icfg: IndexConfig, mcfg: MapConfig,
                   sc: ScoreConfig, base_off: int, csr_aligned: bool,
-                  tier: int | None):
+                  tier: int | None, row128: bool = False):
     """(gather_runner, dp_runner) for one shard_map body. offsets and
     positions arrive as the local [1, ...] blocks."""
     offsets = offsets[0]
@@ -366,10 +371,12 @@ def _make_runners(offsets, positions, ginter, *, route: str, sps: int,
     if route == "a2a":
         gr = _a2a_gather_runner(offsets, positions, sps=sps,
                                 n_index=n_index, p=p,
-                                csr_aligned=csr_aligned, tier=tier)
+                                csr_aligned=csr_aligned, tier=tier,
+                                row128=row128)
         return gr, None   # reads sharded over both axes: DP is local
     gr = _psum_gather_runner(offsets, positions, sps=sps, p=p,
-                             csr_aligned=csr_aligned, tier=tier)
+                             csr_aligned=csr_aligned, tier=tier,
+                             row128=row128)
     dr = _psum_dp_runner(ginter, base_off, mcfg=mcfg, sc=sc,
                          n_index=n_index)
     return gr, dr
@@ -379,7 +386,8 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                         sc: ScoreConfig, sps: int, base_off: int,
                         genome_max_biased: int, route: str = "a2a",
                         csr_aligned: bool = False,
-                        gather_tier: int | None = None):
+                        gather_tier: int | None = None,
+                        row128: bool = False):
     """Jitted SE step fn(offsets, positions, ginter, pk, nm, lengths) →
     packed int32[B, PACKED_COLS], sharded per the mesh. Genome is
     replicated; CSR tables live on the "index" axis; reads (packed
@@ -395,16 +403,19 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
         gr, dr = _make_runners(offsets, positions, ginter, route=route,
                                sps=sps, n_index=n_index, icfg=icfg,
                                mcfg=mcfg, sc=sc, base_off=base_off,
-                               csr_aligned=csr_aligned, tier=gather_tier)
+                               csr_aligned=csr_aligned, tier=gather_tier,
+                               row128=row128)
         out = map_batch_device(tables, None, lengths, icfg=icfg, mcfg=mcfg,
                                sc=sc, dp_runner=dr, gather_runner=gr,
                                packed_reads=(pk, nm))
         return pack_out(out)
 
     batch_axes = ("data", "index") if route == "a2a" else "data"
+    # row128: positions ride as [S, R, 128] (dense tile rows)
+    pos_spec = (P("index", None, None) if row128 else P("index", None))
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("index", None), P("index", None), P(),
+        in_specs=(P("index", None), pos_spec, P(),
                   P(batch_axes, None), P(batch_axes, None), P(batch_axes)),
         out_specs=P(batch_axes, None),
         check_vma=False,
@@ -416,7 +427,8 @@ def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                           sc: ScoreConfig, sps: int, base_off: int,
                           genome_max_biased: int, route: str = "a2a",
                           csr_aligned: bool = False,
-                          gather_tier: int | None = None):
+                          gather_tier: int | None = None,
+                          row128: bool = False):
     """Jitted PE step fn(offsets, positions, ginter, pk1, nm1, l1, pk2,
     nm2, l2) → packed int32[Bp, 2*PACKED_COLS+1] (map/pair.py layout:
     mate1 cols, mate2 cols, proper). Pairs stay together on their device
@@ -435,7 +447,8 @@ def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
         gr, dr = _make_runners(offsets, positions, ginter, route=route,
                                sps=sps, n_index=n_index, icfg=icfg,
                                mcfg=mcfg, sc=sc, base_off=base_off,
-                               csr_aligned=csr_aligned, tier=gather_tier)
+                               csr_aligned=csr_aligned, tier=gather_tier,
+                               row128=row128)
         r1 = gpk.unpack_read_codes_device(pk1, nm1, L)
         r2 = gpk.unpack_read_codes_device(pk2, nm2, L)
         out = map_pairs_device(tables, r1, l1, r2, l2, icfg=icfg,
@@ -447,9 +460,10 @@ def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
 
     batch_axes = ("data", "index") if route == "a2a" else "data"
     bspec = P(batch_axes, None)
+    pos_spec = (P("index", None, None) if row128 else P("index", None))
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P("index", None), P("index", None), P(),
+        in_specs=(P("index", None), pos_spec, P(),
                   bspec, bspec, P(batch_axes),
                   bspec, bspec, P(batch_axes)),
         out_specs=bspec,
@@ -498,6 +512,7 @@ class ShardedMapper:
         ht, meta = prep
         self.csr_aligned = bool(meta["csr_aligned"])
         self.gather_tier = meta["gather_tier"]
+        self.row128 = meta.get("layout") == "row128"
         st = shard_prepared_tables(ht, meta, n_index)
         self._sps = st.slots_per_shard
 
@@ -515,14 +530,19 @@ class ShardedMapper:
                 x, jax.sharding.NamedSharding(mesh, spec))
 
         self.offsets = put(st.offsets, P("index", None))
-        self.positions = put(st.positions, P("index", None))
+        if self.row128:
+            S_ = st.positions.shape[0]
+            self.positions = put(st.positions.reshape(S_, -1, 128),
+                                 P("index", None, None))
+        else:
+            self.positions = put(st.positions, P("index", None))
         self.ginter = put(np.asarray(ht["ginter"]), P())
         self._base_off = int(ht["base_off"])
         self._gmax = int(ht["genome_max_biased"])
         self._fn = make_sharded_map_fn(
             mesh, self.icfg, self.mcfg, self.sc, self._sps, self._base_off,
             self._gmax, route=route, csr_aligned=self.csr_aligned,
-            gather_tier=self.gather_tier)
+            gather_tier=self.gather_tier, row128=self.row128)
         self._pairs_fn = None   # built on first paired use
         from urmap_tpu.map.pipeline import WideSecondPass
 
@@ -576,7 +596,7 @@ class ShardedMapper:
             return outs[0]
         merged = {}
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
-                  "gapped", "ungapped"):
+                  "gapped", "ungapped", "clipped"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
         return MapResult(lengths=np.asarray(lengths)[:B], **merged)
 
@@ -602,7 +622,7 @@ class ShardedPairedMapper:
                 mapper.mesh, mapper.icfg, mapper.mcfg, mapper.sc,
                 mapper._sps, mapper._base_off, mapper._gmax,
                 route=mapper.route, csr_aligned=mapper.csr_aligned,
-                gather_tier=mapper.gather_tier)
+                gather_tier=mapper.gather_tier, row128=mapper.row128)
         self._fn = mapper._pairs_fn
         # reuse the single-device Python formatter and per-mate second
         # pass (duck-typed: they touch self.index / self.sc / the
@@ -666,7 +686,7 @@ class ShardedPairedMapper:
         def cat(results, lengths):
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
-                                "mapq", "gapped", "ungapped")}
+                                "mapq", "gapped", "ungapped", "clipped")}
             return MapResult(lengths=np.asarray(lengths)[:B], **fields)
 
         return PairResult(m1=cat([o.m1 for o in outs], lengths1),

@@ -93,13 +93,24 @@ def row_gather_window(table, starts, width: int, *,
     M = table.shape[0]
     nrows = M // row_words
     t2 = table[: nrows * row_words].reshape(nrows, row_words)
-    s = jnp.clip(starts, 0, M - 1)
-    r0 = s // row_words
+    if M - 1 > np.iinfo(np.int32).max:
+        # >2^31-entry tables (GRCh38-scale CSR positions): the clip
+        # bound must stay in uint32 — as a weak int it overflows the
+        # int32 jit-argument parse. Row indexes (M/row_words < 2^31)
+        # drop back to int32 for the takes.
+        s = jnp.minimum(starts.astype(jnp.uint32), jnp.uint32(M - 1))
+        r0 = (s // jnp.uint32(row_words)).astype(jnp.int32)
+        off32 = (s - r0.astype(jnp.uint32)
+                 * jnp.uint32(row_words)).astype(jnp.int32)
+    else:
+        s = jnp.clip(starts, 0, M - 1)
+        r0 = s // row_words
+        off32 = (s - r0 * row_words).astype(jnp.int32)
     span = -(-width // row_words) + 1
     rows = [jnp.take(t2, jnp.clip(r0 + i, 0, nrows - 1), axis=0)
             for i in range(span)]
     cur = jnp.concatenate(rows, axis=1)              # [N, row_words*span]
-    off = (s - r0 * row_words).astype(jnp.int32)
+    off = off32
     bit = row_words.bit_length() - 2                 # log2(row_words) - 1
     while bit >= 0:
         sh = 1 << bit

@@ -86,6 +86,48 @@ def counts_i64(offsets: np.ndarray) -> np.ndarray:
     return counts
 
 
+def align_runs_fixed(counts: np.ndarray, g: int) -> tuple[np.ndarray, int]:
+    """Greedy placement with a FIXED no-crossing granularity: each run
+    (≤ g entries) is placed so it never crosses a g-word boundary — no
+    pow2 nesting, so pad is only ~(mean_run−1)/g (a few % at g=128).
+    This is the "row128" huge-table layout: the TPU map step views the
+    positions table as dense [R, g] rows (g=128 ⇒ the native 8×128 tile
+    lane width, ZERO layout padding) and fetches ONE row per seed. The
+    pow2-nested align_runs layout would instead be materialized by XLA
+    with 128/rw-fold tile padding — 8× HBM at rw=16, ~95 GB for a
+    GRCh38-scale table (the round-3 single-chip blocker)."""
+    from urmap_tpu.utils.bigmem import big_empty
+
+    counts = np.ascontiguousarray(counts, np.int64)
+    n = counts.shape[0]
+    starts = big_empty(n, np.int64)
+    if n == 0:
+        return starts, 0
+    assert g & (g - 1) == 0, "g must be a power of two"
+    assert int(counts.max()) <= g, "runs must be capped to <= g"
+    from urmap_tpu.io import native as _native
+
+    nlib = _native.lib()
+    if nlib is not None:
+        import ctypes
+
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        total = nlib.urmap_align_runs_fixed(
+            counts.ctypes.data_as(p64), n, g, starts.ctypes.data_as(p64))
+        return starts, int(total)
+    cur = 0
+    for i, c in enumerate(counts.tolist()):
+        rem = g - (cur & (g - 1))
+        if c > rem:
+            cur += rem
+        starts[i] = cur
+        cur += c
+    return starts, cur
+
+
+ROW128 = 128  # dense-row layout width == the TPU tile lane count
+
+
 def align_runs(counts: np.ndarray, rw: int) -> tuple[np.ndarray, int]:
     """Greedy no-straddle placement of CSR runs: each run of ``c``
     entries (≤ rw) is placed so it never crosses a g-word boundary,
@@ -195,10 +237,14 @@ class UfiIndex:
                         positions=self.positions[keep], seqdb=self.seqdb)
 
     def host_tables(self, cap: int | None = None,
-                    row_align: int | None = None) -> dict:
+                    row_align: int | None = None,
+                    row_fixed: int | None = None) -> dict:
         """Numpy twin of device_tables (same keys; arrays stay host-side
-        so they can be persisted/mmapped — see prepare_tables)."""
-        return self._tables_np(cap=cap, row_align=row_align)
+        so they can be persisted/mmapped — see prepare_tables).
+        ``row_fixed``: the fixed-granularity "row128" layout instead
+        (align_runs_fixed — huge tables)."""
+        return self._tables_np(cap=cap, row_align=row_align,
+                               row_fixed=row_fixed)
 
     def device_tables(self, cap: int | None = None,
                       row_align: int | None = None):
@@ -227,12 +273,14 @@ class UfiIndex:
         return tables_to_device(ht)
 
     def _tables_np(self, cap: int | None = None,
-                   row_align: int | None = None) -> dict:
+                   row_align: int | None = None,
+                   row_fixed: int | None = None) -> dict:
         from urmap_tpu import genome_pack as gpk
         from urmap_tpu.map.seed import POS_BIAS, SENTINEL
 
         if cap is not None:
-            return self.recapped(cap)._tables_np(row_align=row_align)
+            return self.recapped(cap)._tables_np(row_align=row_align,
+                                                 row_fixed=row_fixed)
         glen = self.seqdb.total_len
         if glen >= SENTINEL + POS_BIAS - (1 << 16):
             raise ValueError(
@@ -243,7 +291,12 @@ class UfiIndex:
         ginter, base_off = gpk.pack_genome(self.seqdb.codes)
         offsets = self.offsets
         npos = self.positions.shape[0]
-        if row_align is None:
+        layout = "classic"
+        if row_fixed is not None:
+            layout = "row128"
+        elif row_align is not None:
+            layout = "aligned"
+        if row_align is None and row_fixed is None:
             pad = 2 * gpk.ROW_WORDS + ((-npos) % gpk.ROW_WORDS)
             positions = big_empty(npos + pad, np.int32)
             # uint32 wraparound == two's-complement int32 bias (biased
@@ -255,13 +308,20 @@ class UfiIndex:
                         out=positions[:npos].view(np.uint32))
             positions[npos:] = 0
         else:
-            rw = int(row_align)
             counts = counts_i64(offsets)
-            starts, total = align_runs(counts, rw)
-            if total + 4 * gpk.ROW_WORDS >= 1 << 32:
+            if row_fixed is not None:
+                rw = int(row_fixed)
+                starts, total = align_runs_fixed(counts, rw)
+                # pad to whole rows + one guard row (the row fetch
+                # clips row indexes; entries are SENTINEL)
+                pad = rw + ((-total) % rw)
+            else:
+                rw = int(row_align)
+                starts, total = align_runs(counts, rw)
+                pad = 2 * gpk.ROW_WORDS + ((-total) % gpk.ROW_WORDS)
+            if total + pad >= 1 << 32:
                 raise ValueError("row-aligned positions table exceeds "
                                  "uint32 offsets; raise the cap filter")
-            pad = 2 * gpk.ROW_WORDS + ((-total) % gpk.ROW_WORDS)
             positions = big_empty(total + pad, np.int32)
             from urmap_tpu.io import native as _native
 
@@ -320,6 +380,10 @@ class UfiIndex:
             "offsets": np.asarray(offsets, np.uint32),  # no-copy when u32
             "positions": positions,
             "ginter": ginter,
+            # "classic" (dense CSR, straddle-row gather), "aligned"
+            # (pow2-nested no-straddle + tier), or "row128" (fixed
+            # 128-word rows, dense [R,128] device view — huge tables)
+            "layout": layout,
             # static word offset: genome guard pad + the coordinate bias
             "base_off": base_off + POS_BIAS // gpk.BASES_PER_WORD,
             # last valid biased coordinate (= glen - 1 - POS_BIAS):
@@ -388,12 +452,21 @@ class UfiIndex:
 
 
 def tables_to_device(ht: dict):
-    """Host numpy tables (host_tables / load_prepared) → jnp arrays."""
+    """Host numpy tables (host_tables / load_prepared) → jnp arrays.
+
+    row128 layout: the positions table is uploaded ALREADY SHAPED
+    [R, 128] — a dense (pad-free) TPU tile layout. Reshaping a 1-D
+    parameter inside the program instead materializes an XLA copy with
+    tile padding: 128/minor-dim-fold HBM bloat (8× at rw=16 — ~95 GB
+    for a GRCh38-scale table)."""
     import jax.numpy as jnp
 
+    pos = ht["positions"]
+    if ht.get("layout") == "row128":
+        pos = np.asarray(pos).reshape(-1, ROW128)
     return {
         "offsets": jnp.asarray(ht["offsets"], jnp.uint32),
-        "positions": jnp.asarray(ht["positions"]),
+        "positions": jnp.asarray(pos),
         "ginter": jnp.asarray(ht["ginter"]),
         "base_off": int(ht["base_off"]),
         "genome_max_biased": np.int32(ht["genome_max_biased"]),
@@ -406,6 +479,8 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
     scale this is ~tens of minutes of host work — pay it once at
     -make_ufi time (save_prepared) and mmap it at -map startup, the way
     the reference's .ufi is load-and-go."""
+    import os
+
     from urmap_tpu.map.pipeline import pick_gather_tier
     from urmap_tpu.map.seed import align_row_words
 
@@ -414,12 +489,27 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
     counts = counts_i64(capped.offsets)
     starts, total = align_runs(counts, rw)
     csr_aligned = bool(total <= 1.15 * max(capped.num_positions, 1))
+    # Huge tables must take the row128 layout: the classic/aligned
+    # gathers view the table as rw-wide rows, which XLA materializes
+    # with (128/rw)-fold tile padding — an 8× HBM copy at rw=16 that
+    # cannot fit for GRCh38-scale tables. Threshold = padded-view bytes
+    # (default 2 GiB; URMAP_ROW128_BYTES overrides).
+    budget = int(os.environ.get("URMAP_ROW128_BYTES", str(2 << 30)))
+    view_bytes = (total if csr_aligned
+                  else capped.num_positions) * 4 * (128 // min(rw, 128))
+    row128 = p <= ROW128 and view_bytes > budget
     tier = None
-    if csr_aligned:
-        tier = pick_gather_tier(np.diff(np.concatenate([starts, [total]])))
-    ht = capped.host_tables(row_align=rw if csr_aligned else None)
+    if row128:
+        csr_aligned = False
+        ht = capped.host_tables(row_fixed=ROW128)
+    else:
+        if csr_aligned:
+            tier = pick_gather_tier(
+                np.diff(np.concatenate([starts, [total]])))
+        ht = capped.host_tables(row_align=rw if csr_aligned else None)
     meta = {
         "p": p,
+        "layout": ht["layout"],
         "csr_aligned": csr_aligned,
         "gather_tier": tier,
         "k": index.config.k,
@@ -471,4 +561,20 @@ def load_prepared(index: UfiIndex, p: int) -> tuple[dict, dict] | None:
           for key in ("offsets", "positions", "ginter")}
     ht["base_off"] = meta["base_off"]
     ht["genome_max_biased"] = meta["genome_max_biased"]
+    # pre-row128 caches lack "layout" — derive it (they were written as
+    # aligned or classic, never row128)
+    ht["layout"] = meta.get(
+        "layout", "aligned" if meta.get("csr_aligned") else "classic")
+    meta.setdefault("layout", ht["layout"])
+    if ht["layout"] != "row128":
+        # stale-cache guard: a classic/aligned cache whose rw-wide
+        # device view would exceed the row128 budget (XLA materializes
+        # it with 128/rw-fold tile padding) must be re-prepared
+        from urmap_tpu.map.seed import align_row_words
+
+        budget = int(os.environ.get("URMAP_ROW128_BYTES", str(2 << 30)))
+        rw_ = align_row_words(p)
+        if (p <= ROW128 and ht["positions"].shape[0] * 4
+                * (128 // min(rw_, 128)) > budget):
+            return None
     return ht, meta

@@ -80,6 +80,8 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.urmap_pack_reads.argtypes = [p_u8, c_i64, c_i64, p_u8, p_u8]
     lib.urmap_align_runs.restype = c_i64
     lib.urmap_align_runs.argtypes = [p_i64, c_i64, c_i64, p_i64]
+    lib.urmap_align_runs_fixed.restype = c_i64
+    lib.urmap_align_runs_fixed.argtypes = [p_i64, c_i64, c_i64, p_i64]
     p_u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.urmap_extract_partition.restype = c_i64
     lib.urmap_extract_partition.argtypes = [

@@ -524,6 +524,24 @@ int64_t urmap_align_runs(const int64_t* counts, int64_t n, int64_t rw,
   return cur;
 }
 
+// Fixed-granularity variant: runs must only avoid crossing a FIXED
+// g-word boundary (the "row128" huge-table layout, index/store.py —
+// the TPU fetches one dense g-lane row per seed, so pow2 nesting is
+// unnecessary and its pad cost unaffordable at >2^31 entries). Pad is
+// ~(mean_run-1)/g, a few % for capped runs vs g=128.
+int64_t urmap_align_runs_fixed(const int64_t* counts, int64_t n,
+                               int64_t g, int64_t* starts) {
+  int64_t cur = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t c = counts[i];
+    const int64_t rem = g - (cur & (g - 1));
+    if (c > rem) cur += rem;
+    starts[i] = cur;
+    cur += c;
+  }
+  return cur;
+}
+
 }  // extern "C"
 
 // -------------------- UFI index-build kernels --------------------

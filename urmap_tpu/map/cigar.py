@@ -120,14 +120,37 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
     return "".join(out), score, nm
 
 
+def _clip_groups(n, result, sc: ScoreConfig, clip_open: int | None,
+                 clip_rows) -> list[tuple[np.ndarray, int | None]]:
+    """Gapped rows split into (rows, per-group clip_open) traceback
+    groups. ``clip_open`` set = every row clips (-endclip mode);
+    ``clip_rows`` = per-row clip-rescue flags (MapResult.clipped) —
+    those rows traceback in clip mode with sc.clip_open."""
+    rows = np.nonzero(result.mapped.astype(bool)
+                      & result.gapped.astype(bool))[0]
+    if clip_open is not None:
+        return [(rows, clip_open)]
+    if clip_rows is None:
+        return [(rows, None)]
+    cm = np.asarray(clip_rows, bool)[rows]
+    out = []
+    if (~cm).any():
+        out.append((rows[~cm], None))
+    if cm.any():
+        out.append((rows[cm], sc.clip_open))
+    return out
+
+
 def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
                    sc: ScoreConfig, raw_lengths=None,
-                   clip_open: int | None = None):
+                   clip_open: int | None = None, clip_rows=None):
     """Vectorized CIGAR/NM for a MapResult (native-writer fast path).
 
     M-only winners (the vast majority) get "{L}M" and an NM derived from
     the device ungapped score — mm = (L·match − ung)/(match − mismatch) —
     with no genome gather; only gapped winners run the Python traceback.
+    ``clip_rows``: per-row clip-rescue flags (those rows traceback in
+    end-clip mode; see _clip_groups).
 
     Returns (cigars object-array[n], nm int32[n], ref_span int32[n]);
     unmapped entries hold ("", -1, 0).
@@ -143,15 +166,16 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
     nm = np.where(m_only, (L * sc.match - ung) // denom, -1).astype(np.int32)
     span = np.where(m_only, L, 0).astype(np.int32)
     cig = np.where(m_only, np.char.add(L.astype("U6"), "M"), "").astype(object)
-    if gapped.any():
-        rows = np.nonzero(mapped & gapped)[0]
+    for rows, co in _clip_groups(n, result, sc, clip_open, clip_rows):
+        if rows.size == 0:
+            continue
         nat = traceback_batch_native(
             genome, result.pos[rows], strand_codes[rows],
-            result.lengths[rows], sc, clip_open=clip_open)
+            result.lengths[rows], sc, clip_open=co)
         if nat is not None:
             cigs, nms_, scores_, spans_ = nat
             dev_s = np.asarray(result.score)[rows]
-            bad = np.nonzero((scores_ < dev_s) if clip_open is not None
+            bad = np.nonzero((scores_ < dev_s) if co is not None
                              else (scores_ != dev_s))[0]
             if bad.size:  # pragma: no cover - consistency
                 raise AssertionError(
@@ -166,9 +190,9 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
                 li = int(L[i])
                 c, score, e = traceback(genome, strand_codes[i][:li],
                                         int(result.pos[i]), sc,
-                                        clip_open=clip_open)
+                                        clip_open=co)
                 dev_i = int(result.score[i])
-                if (score < dev_i if clip_open is not None
+                if (score < dev_i if co is not None
                         else score != dev_i):  # pragma: no cover
                     raise AssertionError(
                         f"traceback score {score} != device "
@@ -246,7 +270,7 @@ def strand_codes_subset(raw_codes: np.ndarray, strand, lengths) -> np.ndarray:
 
 def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
                    sc: ScoreConfig, raw_lengths=None,
-                   clip_open: int | None = None):
+                   clip_open: int | None = None, clip_rows=None):
     """Fully native CIGAR/NM for a MapResult: no per-read Python objects.
 
     Returns (cig_blob bytes, cig_off int64[n+1], nm int32[n],
@@ -278,25 +302,50 @@ def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
     tcig_off = np.zeros(1, np.int64)
     rows = np.nonzero(gapped)[0]
     if rows.size:
-        lens = np.asarray(result.lengths)[rows]
-        sub = strand_codes_subset(raw_codes[rows],
-                                  np.asarray(result.strand)[rows], lens)
-        nat = traceback_batch_native(genome, np.asarray(result.pos)[rows],
-                                     sub, lens, sc, raw=True,
-                                     clip_open=clip_open)
-        if nat is None:
-            return None
-        tcig_blob, tcig_off, nms_, scores_, spans_ = nat
-        dev = np.asarray(result.score)[rows]
-        # clipped mode: the host DP at POS is a superset of the banded
-        # device paths (start rows outside the band), so >= is legal
-        bad = np.nonzero((scores_ < dev) if clip_open is not None
-                         else (scores_ != dev))[0]
-        if bad.size:  # pragma: no cover - consistency
-            raise AssertionError(
-                f"native traceback score mismatch at rows {rows[bad[:5]]}")
-        nm[rows] = nms_
-        span[rows] = spans_
+        groups = _clip_groups(n, result, sc, clip_open, clip_rows)
+        parts = []           # (sel-within-rows, blob, offs) per group
+        for grows, co in groups:
+            if grows.size == 0:
+                continue
+            lens = np.asarray(result.lengths)[grows]
+            sub = strand_codes_subset(raw_codes[grows],
+                                      np.asarray(result.strand)[grows],
+                                      lens)
+            nat = traceback_batch_native(
+                genome, np.asarray(result.pos)[grows], sub, lens, sc,
+                raw=True, clip_open=co)
+            if nat is None:
+                return None
+            gblob, goff, nms_, scores_, spans_ = nat
+            dev = np.asarray(result.score)[grows]
+            # clipped mode: the host DP at POS is a superset of the
+            # banded device paths (start rows outside the band), so >=
+            bad = np.nonzero((scores_ < dev) if co is not None
+                             else (scores_ != dev))[0]
+            if bad.size:  # pragma: no cover - consistency
+                raise AssertionError(
+                    f"native traceback score mismatch at rows "
+                    f"{grows[bad[:5]]}")
+            nm[grows] = nms_
+            span[grows] = spans_
+            sel = np.searchsorted(rows, grows)
+            parts.append((sel, gblob, goff))
+        if len(parts) == 1 and parts[0][0].size == rows.size:
+            _, tcig_blob, tcig_off = parts[0]
+        else:
+            # interleave the groups' blobs back into gapped-row order
+            # (clip-rescued rows are rare; tiny per-row byte copies)
+            rowlen = np.zeros(rows.size, np.int64)
+            for sel, gblob, goff in parts:
+                rowlen[sel] = np.diff(goff)
+            tcig_off = np.zeros(rows.size + 1, np.int64)
+            np.cumsum(rowlen, out=tcig_off[1:])
+            buf = bytearray(int(tcig_off[-1]))
+            for sel, gblob, goff in parts:
+                for j, r_ in enumerate(sel):
+                    buf[tcig_off[r_] : tcig_off[r_ + 1]] = \
+                        gblob[goff[j] : goff[j + 1]]
+            tcig_blob = bytes(buf)
 
     mg = np.zeros(n, np.uint8)
     mg[m_only] = 1
@@ -340,7 +389,8 @@ def add_truncation_clips(cig, result, raw_lengths) -> None:
 
 def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
                       result, sc: ScoreConfig, raw_lengths=None,
-                      clip_open: int | None = None) -> tuple[list[str], list[int]]:
+                      clip_open: int | None = None,
+                      clip_rows=None) -> tuple[list[str], list[int]]:
     """CIGAR + NM per read for a MapResult. ``reads_codes`` must be
     strand-applied (rc already taken for strand==1 reads)."""
     cigars: list[str] = []
@@ -356,11 +406,14 @@ def cigars_for_result(genome: np.ndarray, reads_codes: np.ndarray,
             seg = genome[int(result.pos[i]) : int(result.pos[i]) + L]
             nms.append(int(np.sum(seg != reads_codes[i][:L])))
             continue
+        co = clip_open
+        if co is None and clip_rows is not None and clip_rows[i]:
+            co = sc.clip_open   # clip-rescued row (MapResult.clipped)
         cigar, score, nm = traceback(
             genome, reads_codes[i][:L], int(result.pos[i]), sc,
-            clip_open=clip_open)
+            clip_open=co)
         dev_i = int(result.score[i])
-        if (score < dev_i if clip_open is not None
+        if (score < dev_i if co is not None
                 else score != dev_i):  # pragma: no cover - consistency
             raise AssertionError(
                 f"traceback score {score} != device score {result.score[i]}")

@@ -162,6 +162,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig,
                      csr_aligned: bool = False,
                      gather_tier: int | None = None,
+                     row128: bool = False,
                      gather_runner=None, dp_runner=None):
     """Full paired-end device step → per-mate output dicts + pair flags.
 
@@ -175,7 +176,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
     lens = jnp.concatenate([l1, l2], axis=0)
     c = candidates_batch_device(tables, reads, lens, icfg=icfg, mcfg=mcfg,
                                 sc=sc, csr_aligned=csr_aligned,
-                                gather_tier=gather_tier,
+                                gather_tier=gather_tier, row128=row128,
                                 gather_runner=gather_runner,
                                 dp_runner=dp_runner)
     c1 = {k: v[:B] for k, v in c.items()}
@@ -285,6 +286,9 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
         mapq = jnp.where(proper, jnp.maximum(se["mapq"], pair_mapq),
                          jnp.where(rescued, resc_mapq, se["mapq"]))
         mapq = jnp.where(mapped, mapq, 0)
+        # clip-rescue flag (candidates_batch_device): proper/single
+        # winners of a clip-rescued read carry clip-mode scores (host
+        # traceback must clip); window-rescued mates use the plain DP
         return {
             "mapped": mapped,
             "pos": pos,
@@ -294,6 +298,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
             "mapq": mapq,
             "gapped": mapped & gapped,
             "ungapped": ung,
+            "clipped": mapped & cm["clipped"] & ~rescued,
         }
 
     out1 = mate_out(se1, c1, pair["i1"], is_first=True)
@@ -306,7 +311,8 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *,
                       packed_input: bool = False,
                       csr_aligned: bool = False,
-                      gather_tier: int | None = None):
+                      gather_tier: int | None = None,
+                      row128: bool = False):
     """Jitted paired step → ONE packed int32[B, 2*PACKED_COLS+1]
     (mate1 cols, mate2 cols — pipeline.pack_out layout — then proper):
     a single D2H fetch per batch (see pipeline.PACKED_COLS note).
@@ -316,7 +322,8 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
 
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc,
-                          csr_aligned=csr_aligned, gather_tier=gather_tier)
+                          csr_aligned=csr_aligned, gather_tier=gather_tier,
+                          row128=row128)
 
     def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
@@ -365,7 +372,8 @@ class PairedMapper:
             mapper.icfg, mapper.mcfg, mapper.sc,
             packed_input=self.packed_upload,
             csr_aligned=getattr(mapper, "csr_aligned", False),
-            gather_tier=getattr(mapper, "gather_tier", None))
+            gather_tier=getattr(mapper, "gather_tier", None),
+            row128=getattr(mapper, "row128", False))
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         """Host-side upload prep for start_batch's ``prepacked`` — run
@@ -450,7 +458,7 @@ class PairedMapper:
         def cat_result(results, lengths):
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
-                                "mapq", "gapped", "ungapped")}
+                                "mapq", "gapped", "ungapped", "clipped")}
             return MapResult(lengths=np.asarray(lengths)[:B], **fields)
 
         return PairResult(
@@ -470,10 +478,12 @@ class PairedMapper:
         sc2 = revcomp_strand_codes(rev_batch.codes, res.m2)
         cig1, nm1 = cigars_for_result(
             genome, sc1, res.m1, self.sc,
-            raw_lengths=[len(sq) for sq in fwd_batch.seqs])
+            raw_lengths=[len(sq) for sq in fwd_batch.seqs],
+            clip_rows=res.m1.clipped)
         cig2, nm2 = cigars_for_result(
             genome, sc2, res.m2, self.sc,
-            raw_lengths=[len(sq) for sq in rev_batch.seqs])
+            raw_lengths=[len(sq) for sq in rev_batch.seqs],
+            clip_rows=res.m2.clipped)
         return samio.records_paired(fwd_batch, rev_batch, res,
                                     cig1, nm1, cig2, nm2, self.index.seqdb)
 

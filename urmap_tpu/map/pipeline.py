@@ -68,6 +68,8 @@ class MapResult:
     gapped: np.ndarray   # bool: CIGAR needs traceback (else all-M)
     lengths: np.ndarray  # int32
     ungapped: np.ndarray | None = None  # int32 M-only rescore at pos
+    clipped: np.ndarray | None = None   # bool: clip-rescued row — host
+    #                                     traceback must use clip mode
 
     @classmethod
     def from_device(cls, out: dict, lengths) -> "MapResult":
@@ -82,6 +84,8 @@ class MapResult:
             lengths=np.asarray(lengths),
             ungapped=(np.asarray(out["ungapped"])
                       if "ungapped" in out else None),
+            clipped=(np.asarray(out["clipped"])
+                     if "clipped" in out else None),
         )
 
 
@@ -120,6 +124,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             dp_runner=None, gather_runner=None,
                             csr_aligned: bool = False,
                             gather_tier: int | None = None,
+                            row128: bool = False,
                             packed_reads=None):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
@@ -171,7 +176,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     if gather_runner is None:
         cand = gather_candidates(
             tables["offsets"], tables["positions"], slots, offs, valid,
-            p=p, csr_aligned=csr_aligned, tier=gather_tier)
+            p=p, csr_aligned=csr_aligned, tier=gather_tier,
+            row128=row128)
     else:
         cand = gather_runner(slots, offs, valid)
     top_cand, votes = vote_top_candidates_dispatch(cand, v=v)  # [2B, V]
@@ -329,6 +335,80 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         round_cond, round_body,
         (ung_masked, cand_f, ung_masked, spans0, jnp.zeros((B,), jnp.bool_)))
 
+    # ---- clip RESCUE lane (config.MapConfig.clip_rescue) ----
+    # Reads whose best candidate is still below the mapping threshold
+    # (adapter/chimeric tails: the full-read semi-global DP charges the
+    # bad tail) get one more bucketed DP round in END-CLIP mode. The
+    # lane can only touch reads that would otherwise be UNMAPPED, so
+    # normally-mapping reads stay bit-identical to the no-clip
+    # semantics; zero while_loop rounds when no read needs it. Clip
+    # spans are meaningless (dp.banded_from_windows d1) — rescued
+    # candidates keep the read-length span proxy. Always the LOCAL DP
+    # (tables["ginter"] is replicated on every mesh shard; the lane is
+    # too rare to be worth compute-sharding).
+    clipped_read = jnp.zeros((B,), jnp.bool_)
+    if mcfg.clip_rescue and not mcfg.end_clip:
+        min_sc = jnp.ceil(mcfg.min_score_frac
+                          * lengths.astype(jnp.float32)).astype(jnp.int32)
+        best_now = jnp.max(jnp.where(valid_c, scores_f, neg), axis=-1)
+        need_clip = (jnp.any(valid_c, axis=-1) & (best_now < min_sc)
+                     & (lengths >= icfg.k))
+        Dc = max(B // mcfg.clip_rescue_capacity_frac, 1)
+
+        def clip_dp(c, r, ln, rp, rn):
+            return banded_packed(
+                tables["ginter"], tables["base_off"], c, r, ln, rp, rn,
+                hw=mcfg.band_halfwidth, sc=sc, clip_open=sc.clip_open)
+
+        def cunfold(x):
+            x = x.reshape(2, Dc, v)
+            return jnp.concatenate([x[0], x[1]], axis=1)
+
+        def clip_cond(state):
+            return jnp.any(need_clip & ~state[4])
+
+        def clip_body(state):
+            c_scores, c_pos, c_ung, c_read, cserved = state
+            rem = need_clip & ~cserved
+            idx, = jnp.nonzero(rem, size=Dc, fill_value=0)
+            do = rem[idx]
+            sub_cand = cand_f[idx]
+            sub_rp = jnp.concatenate([rpacked2[idx], rpacked2[B + idx]],
+                                     axis=0)
+            sub_rn = jnp.concatenate([rnplane2[idx], rnplane2[B + idx]],
+                                     axis=0)
+            sub_reads2 = gpk.unpack_words_to_codes(sub_rp, sub_rn, L)
+            sub_lens2 = jnp.concatenate([lengths[idx], lengths[idx]],
+                                        axis=0)
+            sub_cand2 = jnp.concatenate(
+                [sub_cand[:, :v], sub_cand[:, v:]], axis=0)
+            dfc = sub_cand2.reshape(-1)
+            dp_s, dp_d0, dp_ung, _sp = clip_dp(
+                jnp.where(dfc == SENTINEL, 0, dfc),
+                jnp.repeat(sub_reads2, v, axis=0),
+                jnp.repeat(sub_lens2, v, axis=0),
+                jnp.repeat(sub_rp, v, axis=0),
+                jnp.repeat(sub_rn, v, axis=0))
+            dp_s, dp_d0, dp_ung = (cunfold(x) for x in (dp_s, dp_d0,
+                                                        dp_ung))
+            upd = do[:, None] & (sub_cand != SENTINEL)
+            c_scores = c_scores.at[idx].set(
+                jnp.where(upd, dp_s, c_scores[idx]))
+            c_pos = c_pos.at[idx].set(
+                jnp.where(upd, sub_cand + dp_d0, c_pos[idx]))
+            c_ung = c_ung.at[idx].set(jnp.where(upd, dp_ung, c_ung[idx]))
+            c_read = c_read.at[idx].set(c_read[idx] | do)
+            cserved = cserved.at[idx].set(cserved[idx] | do)
+            return c_scores, c_pos, c_ung, c_read, cserved
+
+        scores_f, pos_f, ungapped_f, clipped_read, _cs = \
+            jax.lax.while_loop(
+                clip_cond, clip_body,
+                (scores_f, pos_f, ungapped_f, clipped_read,
+                 jnp.zeros((B,), jnp.bool_)))
+        # rescued candidates: spans fall back to the length proxy
+        spans_f = jnp.where(clipped_read[:, None], spans0, spans_f)
+
     return {
         "pos": pos_f,
         "score": scores_f,
@@ -337,23 +417,26 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         "ungapped": ungapped_f,
         "span": spans_f,
         "dp_ran": served,
+        "clipped": clipped_read,
     }
 
 
 def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
                      gather_runner=None, csr_aligned: bool = False,
-                     gather_tier: int | None = None, packed_reads=None):
+                     gather_tier: int | None = None, row128: bool = False,
+                     packed_reads=None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
                                 gather_runner=gather_runner,
                                 csr_aligned=csr_aligned,
-                                gather_tier=gather_tier,
+                                gather_tier=gather_tier, row128=row128,
                                 packed_reads=packed_reads)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
+    out["clipped"] = c["clipped"] & out["mapped"]
     return out
 
 
@@ -364,7 +447,9 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 #   0 = pos (biased int32)
 #   1 = (score int16 << 16) | (second int16 & 0xFFFF)
 #   2 = (ungapped int16 << 16) | (mapq uint8 << 8)
-#       | flag bits (1 mapped, 2 gapped, 4 dp_ran, 8 strand)
+#       | flag bits (1 mapped, 2 gapped, 4 dp_ran, 8 strand,
+#         16 clipped — winning alignment is end-clip-rescued: host
+#         traceback must run in clip mode for this row)
 # Scores/second/ungapped are saturated at I16_FLOOR on device; the floor
 # round-trips back to dp.NEG on unpack. Exact for every real value: true
 # alignment scores lie in [-2*max_read_len, max_read_len], and the only
@@ -382,10 +467,14 @@ def pack_out(out) -> "jnp.ndarray":
     dp_ran = out.get("dp_ran")  # per-mate pair dicts don't carry it
     if dp_ran is None:
         dp_ran = jnp.zeros_like(out["mapped"])
+    clipped = out.get("clipped")
+    if clipped is None:
+        clipped = jnp.zeros_like(out["mapped"])
     flags = (out["mapped"].astype(jnp.int32)
              | (out["gapped"].astype(jnp.int32) << 1)
              | (dp_ran.astype(jnp.int32) << 2)
-             | (out["strand"].astype(jnp.int32) << 3))
+             | (out["strand"].astype(jnp.int32) << 3)
+             | (clipped.astype(jnp.int32) << 4))
     col1 = (_sat16(out["score"]) << 16) | (_sat16(out["second"]) & 0xFFFF)
     col2 = ((_sat16(out["ungapped"]) << 16)
             | (out["mapq"].astype(jnp.int32) << 8) | flags)
@@ -406,6 +495,7 @@ def unpack_out(arr: np.ndarray) -> dict:
         "gapped": ((flags >> 1) & 1).astype(bool),
         "dp_ran": ((flags >> 2) & 1).astype(bool),
         "strand": ((flags >> 3) & 1).astype(np.int32),
+        "clipped": ((flags >> 4) & 1).astype(bool),
         # device positions are biased int32 → real int64 coordinates
         "pos": arr[:, 0].astype(np.int64) + POS_BIAS,
         "score": _unsat16(col1 >> 16),
@@ -419,7 +509,8 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       sc: ScoreConfig | None = None, *, packed: bool = True,
                       packed_input: bool = False,
                       csr_aligned: bool = False,
-                      gather_tier: int | None = None):
+                      gather_tier: int | None = None,
+                      row128: bool = False):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
     (or the raw output dict with packed=False).
 
@@ -431,7 +522,8 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     pipeline bubble. Bit-identical to the unpacked path."""
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
-                          csr_aligned=csr_aligned, gather_tier=gather_tier)
+                          csr_aligned=csr_aligned, gather_tier=gather_tier,
+                          row128=row128)
     if not packed:
         return jax.jit(fn)
 
@@ -502,9 +594,12 @@ class WideSecondPass:
         def put(x):
             return jax.device_put(np.asarray(x), self._dev)
 
+        pos2 = ht2["positions"]
+        if meta2.get("layout") == "row128":
+            pos2 = np.asarray(pos2).reshape(-1, 128)
         self._tables = {
             "offsets": put(ht2["offsets"]),
-            "positions": put(ht2["positions"]),
+            "positions": put(pos2),
             "ginter": put(ht2["ginter"]),
             "base_off": int(ht2["base_off"]),
             "genome_max_biased": np.int32(ht2["genome_max_biased"]),
@@ -516,7 +611,8 @@ class WideSecondPass:
         self._fn = make_map_batch_fn(
             self.icfg, spcfg, sc, packed_input=False,
             csr_aligned=bool(meta2["csr_aligned"]),
-            gather_tier=meta2["gather_tier"])
+            gather_tier=meta2["gather_tier"],
+            row128=meta2.get("layout") == "row128")
 
     def __call__(self, codes: np.ndarray, lengths,
                  result: MapResult) -> MapResult:
@@ -594,11 +690,13 @@ class Mapper:
         ht, meta = prep
         self.csr_aligned = meta["csr_aligned"]
         self.gather_tier = meta["gather_tier"]
+        self.row128 = meta.get("layout") == "row128"
         self.tables = tables_to_device(ht)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
-                                     gather_tier=self.gather_tier)
+                                     gather_tier=self.gather_tier,
+                                     row128=self.row128)
         self.second = (WideSecondPass(index, self.mcfg, self.sc)
                        if self.mcfg.second_pass_p else None)
 
@@ -680,6 +778,6 @@ class Mapper:
         merged = {}
         first = outs[0]
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
-                  "gapped", "ungapped"):
+                  "gapped", "ungapped", "clipped"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
         return MapResult(lengths=np.asarray(lengths)[:B], **merged)

@@ -240,10 +240,33 @@ def _aligned_rows_fetch(positions, flat_starts, width: int, rw: int):
     return cur[:, :width]
 
 
+def _row128_fetch(positions2d, flat_starts, width: int):
+    """Dense-row fetch for the "row128" layout (store.align_runs_fixed):
+    positions2d is the table ALREADY SHAPED [R, 128] (pad-free native
+    tile layout — see store.tables_to_device), every run lives inside
+    one 128-word row, so ONE row gather + a 7-bit lane funnel yields
+    the first ``width`` entries at each CSR offset. uint32-safe for
+    >2^31-entry tables (GRCh38 scale). SENTINEL fill."""
+    R = positions2d.shape[0]
+    s = flat_starts.astype(jnp.uint32)
+    r0 = (s // jnp.uint32(128)).astype(jnp.int32)
+    cur = jnp.take(positions2d, jnp.clip(r0, 0, R - 1), axis=0)
+    off = (s & jnp.uint32(127)).astype(jnp.int32)
+    bit = 6
+    while bit >= 0:
+        sh = 1 << bit
+        shifted = jnp.concatenate(
+            [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)], axis=1)
+        cur = jnp.where((((off >> bit) & 1) == 1)[:, None], shifted, cur)
+        bit -= 1
+    return cur[:, :width]
+
+
 def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
                       p: int, csr_aligned: bool = False,
                       tier: int | None = None,
-                      tier_overflow_frac: int = 16):
+                      tier_overflow_frac: int = 16,
+                      row128: bool = False):
     """CSR gather: per (read, seed), up to P genome positions → candidate
     alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid).
 
@@ -278,6 +301,16 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
     # per-slot counts are small (≤ the gather cap [+ row pad]) → int32
     cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
+    if row128:
+        # huge-table layout: positions is [R, 128]; one dense row per
+        # seed (runs never cross a row — store.align_runs_fixed), pads
+        # between runs are SENTINEL
+        pos = _row128_fetch(positions, start.reshape(-1), p) \
+            .reshape(n, q, p)
+        ok = ((j[None, None, :] < cnt[:, :, None])
+              & (pos != SENTINEL) & valid[:, :, None])
+        cand = pos.astype(jnp.int32) - seed_offs[:, :, None]
+        return jnp.where(ok, cand, SENTINEL).reshape(n, q * p)
     if csr_aligned and tier is not None and tier < p:
         assert tier & (tier - 1) == 0, "tier must be a power of two"
         flat = start.reshape(-1)                               # [n*q]
