@@ -125,7 +125,7 @@ def kernel_diag():
 
 
 def timed_passes(make_items, start, sync, fmt, write, *, passes, inflight,
-                 workers, warm_batches=4):
+                 workers, warm_batches=8):
     """Warm pass (untimed rate recorded) + N timed passes.
 
     Returns (per-pass elapsed list, warmup stats, batch completion
@@ -177,7 +177,7 @@ def emit(metric, total_reads, elapsed_list, warm, stamps_all, extra, args,
     med = float(np.median(elapsed_list))
     rps = total_reads / med
     warm_s, n_warm = warm
-    warm_reads = min(4 * args.batch, total_reads)
+    warm_reads = min(8 * args.batch, total_reads)
     rec = {
         "metric": metric + ("_CPU_FALLBACK" if CPU_FALLBACK else ""),
         "value": round(rps, 1),

@@ -74,6 +74,36 @@ def test_row128_matches_default(problem, monkeypatch):
     assert ok >= len(reads) - 3
 
 
+def test_row128_paired_with_rescue(problem, monkeypatch):
+    """PE under row128: pairing + the 1200-base mate-rescue window scan
+    (the widest genome fetch) must be bit-identical to the default
+    layout."""
+    from tests.utils import plant_pair
+    from urmap_tpu.map.pair import PairedMapper
+
+    index, _, _, _ = problem
+    rng = np.random.default_rng(5)
+    pairs = [plant_pair(rng, index.seqdb, length=120, frag=400,
+                        snp_every=(15 if i % 4 == 0 else None))
+             for i in range(48)]
+    r1 = np.stack([p[0].codes for p in pairs])
+    r2 = np.stack([p[1].codes for p in pairs])
+    ln = np.full(48, 120, np.int32)
+    mcfg = MapConfig(max_read_len=120, batch_size=64)
+    base = PairedMapper(Mapper(index, mcfg)).map_pair_codes(r1, ln, r2, ln)
+    monkeypatch.setenv("URMAP_ROW128_BYTES", "1")
+    m = Mapper(index, mcfg)
+    assert m.row128
+    got = PairedMapper(m).map_pair_codes(r1, ln, r2, ln)
+    np.testing.assert_array_equal(base.proper, got.proper)
+    for mate in ("m1", "m2"):
+        for f in ("mapped", "pos", "strand", "score", "mapq"):
+            np.testing.assert_array_equal(
+                getattr(getattr(base, mate), f),
+                getattr(getattr(got, mate), f), err_msg=f"{mate}.{f}")
+    assert int(got.proper.sum()) >= 44
+
+
 def test_row128_sharded_matches(problem, monkeypatch):
     import jax
 

@@ -531,12 +531,15 @@ class ShardedMapper:
 
         self.offsets = put(st.offsets, P("index", None))
         if self.row128:
+            from urmap_tpu.index.store import ginter_rows
+
             S_ = st.positions.shape[0]
             self.positions = put(st.positions.reshape(S_, -1, 128),
                                  P("index", None, None))
+            self.ginter = put(ginter_rows(ht["ginter"]), P())
         else:
             self.positions = put(st.positions, P("index", None))
-        self.ginter = put(np.asarray(ht["ginter"]), P())
+            self.ginter = put(np.asarray(ht["ginter"]), P())
         self._base_off = int(ht["base_off"])
         self._gmax = int(ht["genome_max_biased"])
         self._fn = make_sharded_map_fn(

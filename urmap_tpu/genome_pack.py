@@ -121,6 +121,35 @@ def row_gather_window(table, starts, width: int, *,
     return cur[:, :width]
 
 
+def row128_window_fetch(table2d, starts, width: int):
+    """Window fetch from a DENSE [R, 128] table view (the row128 huge-
+    table layout): two consecutive 128-lane row gathers + a 7-bit lane
+    funnel yield table.flat[starts[i] : +width] for width ≤ 129.
+
+    Why: any rw-wide (rw < 128) row view of a multi-GB table is
+    materialized by XLA with (128/rw)-fold tile padding — 11.6 GB for
+    the 1.45 GB GRCh38 interleaved genome at rw=16 (this round's OOM).
+    A [R, 128] PARAMETER is pad-free, so the fetch costs ceil(width/128)
+    + 1 dense row gathers and zero extra HBM. starts int32 ≥ 0 (genome
+    word offsets stay < 2^31 for ≤4.29 Gbp genomes)."""
+    R = table2d.shape[0]
+    M = R * 128
+    s = jnp.clip(starts, 0, M - width)
+    r0 = s // 128
+    span = -(-width // 128) + 1
+    rows = [jnp.take(table2d, jnp.clip(r0 + i, 0, R - 1), axis=0)
+            for i in range(span)]
+    cur = jnp.concatenate(rows, axis=1)              # [N, span*128]
+    off = (s - r0 * 128).astype(jnp.int32)
+    bit = 6
+    while bit >= 0:
+        sh = 1 << bit
+        cur = jnp.where((((off >> bit) & 1) == 1)[:, None],
+                        cur[:, sh:], cur[:, :-sh])
+        bit -= 1
+    return cur[:, :width]
+
+
 def pack_genome(codes: np.ndarray):
     """uint8[G] codes → (packed uint32[W], nplane uint32[W], base_offset).
 
@@ -148,7 +177,10 @@ def pack_genome(codes: np.ndarray):
 
         back = 6 * ROW_WORDS
         total = WORD_PAD + W + back
-        back += (-total) % ROW_WORDS
+        # pad to 64 words so the INTERLEAVED table (2 words/genome word)
+        # is a multiple of 128 — the row128 [R, 128] genome view then
+        # reshapes pad-free (ROW_WORDS still divides 64)
+        back += (-total) % 64
         total = WORD_PAD + W + back
         inter = big_empty(2 * total, np.uint32)
         inter[: 2 * WORD_PAD : 2] = 0
@@ -190,7 +222,7 @@ def pack_genome(codes: np.ndarray):
     # padded to a multiple of ROW_WORDS
     back = 6 * ROW_WORDS
     total = WORD_PAD + W + back
-    back += (-total) % ROW_WORDS
+    back += (-total) % 64   # interleaved length % 128 == 0 (see above)
     packed = np.concatenate([np.zeros(WORD_PAD, np.uint32), packed,
                              np.zeros(back, np.uint32)])
     nplane = np.concatenate([np.full(WORD_PAD, 0x5555_5555, np.uint32),
@@ -424,8 +456,12 @@ def _gather_aligned(ginter, starts, n_words: int, base_off: int):
     the all-N guard words)."""
     w0 = jnp.floor_divide(starts, BASES_PER_WORD) + base_off
     r = (starts - (w0 - base_off) * BASES_PER_WORD).astype(jnp.uint32)  # 0..15
-    both = gather_window(ginter, 2 * w0, 2 * (n_words + 1),
-                         row_words=GATHER_ROW_WORDS)
+    if ginter.ndim == 2:
+        # row128 layout (huge genomes): dense [R, 128] view, 2-row fetch
+        both = row128_window_fetch(ginter, 2 * w0, 2 * (n_words + 1))
+    else:
+        both = gather_window(ginter, 2 * w0, 2 * (n_words + 1),
+                             row_words=GATHER_ROW_WORDS)
     both = both.reshape(both.shape[0], n_words + 1, 2)
 
     def funnel(words):

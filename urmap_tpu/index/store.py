@@ -451,6 +451,21 @@ class UfiIndex:
                    seqdb=seqdb, path=path)
 
 
+def ginter_rows(ginter) -> np.ndarray:
+    """Interleaved genome planes → dense [R, 128] rows for the row128
+    layout (genome_pack.row128_window_fetch). Pads stale caches whose
+    length predates the %128 pack_genome guarantee with all-N guard
+    pairs (code 0, nplane 0x5555_5555)."""
+    g = np.asarray(ginter)
+    rem = int((-g.shape[0]) % 128)
+    if rem:
+        pad = np.empty(rem, np.uint32)
+        pad[0::2] = 0
+        pad[1::2] = 0x5555_5555
+        g = np.concatenate([g, pad])
+    return g.reshape(-1, 128)
+
+
 def tables_to_device(ht: dict):
     """Host numpy tables (host_tables / load_prepared) → jnp arrays.
 
@@ -462,12 +477,14 @@ def tables_to_device(ht: dict):
     import jax.numpy as jnp
 
     pos = ht["positions"]
+    gin = ht["ginter"]
     if ht.get("layout") == "row128":
         pos = np.asarray(pos).reshape(-1, ROW128)
+        gin = ginter_rows(gin)   # the genome view pads 8x too (same fix)
     return {
         "offsets": jnp.asarray(ht["offsets"], jnp.uint32),
         "positions": jnp.asarray(pos),
-        "ginter": jnp.asarray(ht["ginter"]),
+        "ginter": jnp.asarray(gin),
         "base_off": int(ht["base_off"]),
         "genome_max_biased": np.int32(ht["genome_max_biased"]),
     }

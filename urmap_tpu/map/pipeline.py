@@ -595,12 +595,16 @@ class WideSecondPass:
             return jax.device_put(np.asarray(x), self._dev)
 
         pos2 = ht2["positions"]
+        gin2 = ht2["ginter"]
         if meta2.get("layout") == "row128":
+            from urmap_tpu.index.store import ginter_rows
+
             pos2 = np.asarray(pos2).reshape(-1, 128)
+            gin2 = ginter_rows(gin2)
         self._tables = {
             "offsets": put(ht2["offsets"]),
             "positions": put(pos2),
-            "ginter": put(ht2["ginter"]),
+            "ginter": put(gin2),
             "base_off": int(ht2["base_off"]),
             "genome_max_biased": np.int32(ht2["genome_max_biased"]),
         }
