@@ -136,8 +136,10 @@ def main():
                       f"{time.monotonic() - t0:.0f}s", flush=True)
     t0 = time.monotonic()
     mapper = Mapper(index, mcfg)
+    layout = ("row128" if getattr(mapper, "row128", False)
+              else "aligned" if mapper.csr_aligned else "classic")
     print(f"# map phase: tables ready in {time.monotonic() - t0:.0f}s "
-          f"(aligned={mapper.csr_aligned})", flush=True)
+          f"(layout={layout})", flush=True)
     print("# map phase: tables ready, mapping", flush=True)
     codes, truth, strand = synth_reads(rng, db, args.reads, args.read_len)
     hi = truth > (1 << 31)
@@ -165,6 +167,24 @@ def main():
         "max_pos_seen": int(res.pos[res.mapped].max()),
     }), flush=True)
 
+    # steady-state SE throughput: the first pass pays the (uncached on
+    # this platform) remote compile; re-time on a FRESH read sample (the
+    # relay dedups identical executions — bench.py docstring)
+    codes2, truth2, _ = synth_reads(rng, db, args.reads, args.read_len)
+    t0 = time.monotonic()
+    res2 = mapper.map_codes(codes2, lengths)
+    t2 = time.monotonic() - t0
+    c2 = (res2.pos == truth2) & res2.mapped
+    print(json.dumps({
+        "stage": "map_steady", "reads": args.reads,
+        "map_s": round(t2, 1),
+        "reads_per_sec": round(args.reads / max(t2, 1e-9), 1),
+        "mapped_frac": round(float(res2.mapped.mean()), 4),
+        "correct_of_mapped": round(
+            float(c2[res2.mapped].mean()) if res2.mapped.any() else 0.0,
+            4),
+    }), flush=True)
+
     if args.paired:
         from bench import synth_pairs
         from urmap_tpu.map.pair import PairedMapper
@@ -190,6 +210,17 @@ def main():
             "proper_frac": round(float(pres.proper.mean()), 4),
         }), flush=True)
         assert pe_correct / max(pe_mapped, 1e-9) > 0.99
+        # steady-state PE (fresh sample; first pass paid the compile)
+        r1b, r2b, _, _ = synth_pairs(rng, db, n_pairs, args.read_len)
+        t0 = time.monotonic()
+        p2 = pm.map_pair_codes(r1b, ln, r2b, ln)
+        t2 = time.monotonic() - t0
+        print(json.dumps({
+            "stage": "map_pe_steady", "reads": 2 * n_pairs,
+            "map_s": round(t2, 1),
+            "reads_per_sec": round(2 * n_pairs / max(t2, 1e-9), 1),
+            "proper_frac": round(float(p2.proper.mean()), 4),
+        }), flush=True)
     # what this tool PROVES is coordinate correctness (biased int32
     # device coords round-trip exactly, incl. past 2^31). Recall is a
     # config tradeoff: HBM-fit settings (--slot-bits 28
