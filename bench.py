@@ -483,7 +483,12 @@ def main(argv=None):
     ap.add_argument("--reads", type=int, default=1_048_576)
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--batch", type=int, default=32_768)
+    ap.add_argument("--batch", type=int, default=65_536,
+                    help="read batch per device step. 65k measured "
+                         "382.8k vs 356.6k reads/s at 32k on v5e "
+                         "(round-3: the round-2 65k e2e collapse was "
+                         "host-side and is fixed; per-batch p50 scales "
+                         "near-linearly, 155.7 vs 87.1 ms)")
     ap.add_argument("--passes", type=int, default=3,
                     help="timed full passes per mode; the MEDIAN is "
                          "reported (relay noise is ±2x on bad days)")

@@ -134,7 +134,9 @@ class MapConfig:
     # verify_capacity_frac candidate lanes verified per while_loop
     # round (rounds repeat until every non-SENTINEL lane is served —
     # full coverage, like the DP bucket). 1 = single full-width pass.
-    verify_capacity_frac: int = 4
+    # 8 measured 111.0 vs 119.4 ms/batch at 4 on-chip (round-3 sweep,
+    # /tmp/vfrac_sweep.log; output bit-identical by construction).
+    verify_capacity_frac: int = 8
     # Banded DP half-width: band covers diagonal offsets in
     # [-band_halfwidth, +band_halfwidth] (max indel size handled).
     band_halfwidth: int = 16

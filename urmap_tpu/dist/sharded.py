@@ -509,9 +509,11 @@ class ShardedMapper:
         prep = load_prepared(index, p)
         if prep is None:
             prep = prepare_tables(index, p)
+        from urmap_tpu.index.store import effective_gather_tier
+
         ht, meta = prep
         self.csr_aligned = bool(meta["csr_aligned"])
-        self.gather_tier = meta["gather_tier"]
+        self.gather_tier = effective_gather_tier(meta)
         self.row128 = meta.get("layout") == "row128"
         st = shard_prepared_tables(ht, meta, n_index)
         self._sps = st.slots_per_shard

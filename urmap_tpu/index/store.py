@@ -466,6 +466,21 @@ def ginter_rows(ginter) -> np.ndarray:
     return g.reshape(-1, 128)
 
 
+def effective_gather_tier(meta: dict):
+    """The gather tier the map step should actually use.
+
+    Round-3 on-chip measurement (tools → /tmp/tier_sweep.log, v5e,
+    16 Mbp, batch 32k): tier=4 134.9 ms/batch vs tier=None 112.1 —
+    the narrow first pass saves nothing (TPU row gathers bill per ROW
+    touched, not per nominal element) and its overflow while_loop adds
+    ~23 ms. Default: ignore the prepared tier. URMAP_TIER_GATHER=1
+    re-enables it (the mechanism stays bit-identical and tested for
+    platforms where element count does dominate)."""
+    if os.environ.get("URMAP_TIER_GATHER") == "1":
+        return meta.get("gather_tier")
+    return None
+
+
 def tables_to_device(ht: dict):
     """Host numpy tables (host_tables / load_prepared) → jnp arrays.
 

@@ -612,10 +612,12 @@ class WideSecondPass:
         spcfg = dataclasses.replace(mcfg, positions_per_seed=sp,
                                     batch_size=self._batch,
                                     second_pass_p=0)
+        from urmap_tpu.index.store import effective_gather_tier
+
         self._fn = make_map_batch_fn(
             self.icfg, spcfg, sc, packed_input=False,
             csr_aligned=bool(meta2["csr_aligned"]),
-            gather_tier=meta2["gather_tier"],
+            gather_tier=effective_gather_tier(meta2),
             row128=meta2.get("layout") == "row128")
 
     def __call__(self, codes: np.ndarray, lengths,
@@ -692,8 +694,10 @@ class Mapper:
         if prep is None:
             prep = prepare_tables(index, p)
         ht, meta = prep
+        from urmap_tpu.index.store import effective_gather_tier
+
         self.csr_aligned = meta["csr_aligned"]
-        self.gather_tier = meta["gather_tier"]
+        self.gather_tier = effective_gather_tier(meta)
         self.row128 = meta.get("layout") == "row128"
         self.tables = tables_to_device(ht)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
