@@ -111,6 +111,13 @@ def ensure_kernels() -> None:
             bool(np.asarray(x)) for x in probe(
                 jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand),
                 jnp.asarray(win)))
+        # fault injection (tests / on-chip validation): pretend kernel X
+        # produced wrong numerics — the hatch flip below must fire
+        # exactly like a real silent-wrong-lowering would
+        fake = os.environ.get("URMAP_PREFLIGHT_FAKE_BREAK", "")
+        seed_ok &= "seed" not in fake
+        vote_ok &= "vote" not in fake
+        dp_ok &= "dp" not in fake
         _RESULT = {"seed_ok": seed_ok, "vote_ok": vote_ok, "dp_ok": dp_ok,
                    "dp_clip_ok": dp_clip_ok, "error": None}
         bad = {"seed": not seed_ok, "vote": not vote_ok,
