@@ -195,6 +195,27 @@ def _make_mapper(opts: dict, index, mcfg, quiet: bool):
 
     spec = opts.get("mesh")
     if not spec:
+        # HBM headroom: at GRCh38 scale the prepared tables leave <1 GB
+        # for program temps, and temps scale with the batch (measured:
+        # batch 32768 overflows a 16 GB v5e by ~0.3 GB next to 15.3 GB
+        # of tables, 16384 fits — BASELINE.md round-3). Auto-shrink the
+        # DEFAULT batch; an explicit -batch always wins.
+        if "batch" not in opts:
+            budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16"))
+                      * 2**30)
+            tbytes = ((index.num_positions + index.config.num_slots) * 4
+                      + index.seqdb.total_len // 2)
+            bs = mcfg.batch_size
+            while bs > 8192 and tbytes + bs * 24_000 > 0.95 * budget:
+                bs //= 2
+            if bs != mcfg.batch_size:
+                import dataclasses
+
+                if not quiet:
+                    print(f"auto batch {mcfg.batch_size} → {bs}: tables "
+                          f"{tbytes / 2**30:.1f} GiB leave little HBM "
+                          f"headroom (-batch overrides)", file=sys.stderr)
+                mcfg = dataclasses.replace(mcfg, batch_size=bs)
         return Mapper(index, mcfg)
     import jax
 
