@@ -50,9 +50,11 @@ budget (URMAP_DEVICE_MEM_GB, default 16). -route picks the cross-shard
 seed-lookup collective (a2a = all_to_all query routing, default).
 
 Multi-host: launch the same -map command on every host of the slice
-(JAX_COORDINATOR_ADDRESS set); batches round-robin by rank, shards merge
-deterministically on rank 0. -resume restarts a run from the last
-durable batch watermark.
+(JAX_COORDINATOR_ADDRESS set). Without -mesh, batches round-robin by
+rank (data parallel); with -mesh, the mesh spans the GLOBAL device set
+— the index shards across all hosts' devices and each host writes the
+rows its devices own. Shards merge deterministically on rank 0.
+-resume restarts a run from the last durable batch watermark.
 
 Index inspection:
   python -m urmap_tpu -ufistats <genome.ufi>
@@ -222,11 +224,11 @@ def _make_mapper(opts: dict, index, mcfg, quiet: bool):
     from urmap_tpu.dist import multihost as mh
     from urmap_tpu.dist.sharded import ShardedMapper, make_mesh
 
-    if mh.process_count() > 1:
-        raise SystemExit("-mesh shards over one process's local devices; "
-                         "combine it with multi-host SPMD by launching "
-                         "one process per host WITHOUT -mesh (batches "
-                         "round-robin by rank), or run a single process")
+    # multi-host: the mesh spans the GLOBAL device set (every process
+    # runs this same command); each process feeds the same replicated
+    # batches and formats/writes only the rows its devices own
+    # (ShardedMapper.finish_batch_local) — the rank-ordered shard merge
+    # reassembles the complete SAM.
     spec = str(spec)
     ndev = len(jax.devices())
     mesh = None
@@ -319,6 +321,10 @@ def cmd_map(opts: dict) -> int:
               f"in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     mapper = _make_mapper(opts, index, mcfg, quiet)
+    from urmap_tpu.dist.sharded import ShardedMapper as _SM
+    # multi-host + -mesh: global mesh, replicated feeding, local-rows
+    # finish (each rank writes only the rows its devices own)
+    mesh_local_rows = isinstance(mapper, _SM) and mh.process_count() > 1
     metrics = MetricsLogger(str(opts["metrics"]) if "metrics" in opts else None)
     progress = Progress("reads") if not quiet else None
     cmdline = "urmap-tpu " + " ".join(sys.argv[1:])
@@ -372,7 +378,9 @@ def cmd_map(opts: dict) -> int:
     # (paired_fastq_byte_ranges); gzip can't seek, and an unlocatable
     # mate cut falls back to round-robin batches (every host parses all)
     byte_range = rev_byte_range = None
-    if nproc > 1 and not str(fq).endswith(".gz"):
+    if nproc > 1 and mesh_local_rows:
+        pass   # every rank feeds every batch; rows split on the mesh
+    elif nproc > 1 and not str(fq).endswith(".gz"):
         if reverse and not str(reverse).endswith(".gz"):
             pr = mh.paired_fastq_byte_ranges(fq, str(reverse), nproc)
             if pr is not None:
@@ -425,11 +433,18 @@ def cmd_map(opts: dict) -> int:
         return mapper.start_batch(item.codes, item.lengths, prepacked=pk)
 
     def sync_one(entry, handle):
-        """Block until the device results for one batch are on host."""
+        """Block until the device results for one batch are on host.
+        Multi-host mesh: only this process's addressable rows come back,
+        as (result, global row indices)."""
         item = entry[0]
         if pmapper is not None:
             fwd, rev = item
+            if mesh_local_rows:
+                return pmapper.finish_batch_local(handle, fwd.lengths,
+                                                  rev.lengths)
             return pmapper.finish_batch(handle, fwd.lengths, rev.lengths)
+        if mesh_local_rows:
+            return mapper.finish_batch_local(handle, item.lengths)
         return mapper.finish_batch(handle, item.lengths)
 
     def format_one(entry, res):
@@ -437,6 +452,13 @@ def cmd_map(opts: dict) -> int:
         (the second-pass recovery also rides here, overlapping the next
         device batch)."""
         item = entry[0]
+        if mesh_local_rows:
+            res, rows = res
+            if pmapper is not None:
+                fwd, rev = item
+                item = (fwd.take(rows), rev.take(rows))
+            else:
+                item = item.take(rows)
         if pmapper is not None:
             fwd, rev = item
             sp2 = getattr(pmapper, "second_pass", None)
@@ -516,7 +538,7 @@ def cmd_map(opts: dict) -> int:
     def my_batches():
         my_no = 0
         for batch_no, item in enumerate(batches):
-            if byte_range is None and nproc > 1 \
+            if byte_range is None and nproc > 1 and not mesh_local_rows \
                     and batch_no % nproc != rank:
                 continue   # round-robin fallback (gzip / paired input)
             my_no += 1

@@ -527,9 +527,21 @@ class ShardedMapper:
         self._bs = -(-max(self.mcfg.batch_size, 2 * n_rows) // (2 * n_rows)) \
             * (2 * n_rows)
 
+        # one process (CLI default) → device_put; multi-process (global
+        # mesh over a slice: every process runs this same code with the
+        # same host values) → make_array_from_callback, which uploads
+        # only the locally-addressable shards on each host
+        self._multihost = jax.process_count() > 1
+
         def put(x, spec):
-            return jax.device_put(
-                x, jax.sharding.NamedSharding(mesh, spec))
+            sh = jax.sharding.NamedSharding(mesh, spec)
+            if self._multihost:
+                xa = np.asarray(x)
+                return jax.make_array_from_callback(
+                    xa.shape, sh, lambda idx, _x=xa: _x[idx])
+            return jax.device_put(x, sh)
+
+        self._put_global = put
 
         self.offsets = put(st.offsets, P("index", None))
         if self.row128:
@@ -574,11 +586,24 @@ class ShardedMapper:
         pk, nm = gpk.pack_read_codes_host(c)
         return pk, nm, ln, B
 
+    def _batch_axes(self):
+        return ("data", "index") if self.route == "a2a" else "data"
+
+    def _up(self, x, spec):
+        """Per-batch input upload: plain asarray single-process; global
+        array built from the (replicated) host block under multi-host —
+        jit cannot auto-shard host values over non-addressable devices."""
+        if not self._multihost:
+            return jnp.asarray(x)
+        return self._put_global(x, spec)
+
     def start_batch(self, codes, lengths, *, prepacked=None):
         pk, nm, ln, B = (prepacked if prepacked is not None
                          else self.prepack(codes, lengths))
+        ba = self._batch_axes()
         out = self._fn(self.offsets, self.positions, self.ginter,
-                       jnp.asarray(pk), jnp.asarray(nm), jnp.asarray(ln))
+                       self._up(pk, P(ba, None)), self._up(nm, P(ba, None)),
+                       self._up(ln, P(ba)))
         return out, B
 
     def finish_batch(self, handle, lengths) -> MapResult:
@@ -587,6 +612,22 @@ class ShardedMapper:
         out, B = handle
         merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
         return MapResult.from_device(merged, np.asarray(lengths)[:B])
+
+    def finish_batch_local(self, handle, lengths):
+        """Multi-host finish: fetch only THIS process's addressable
+        output rows → (MapResult over those rows, global row indices).
+        Each host then formats/writes its own rows; the rank-ordered
+        shard merge yields the complete deterministic SAM
+        (dist/multihost.py)."""
+        from urmap_tpu.map.pipeline import unpack_out
+
+        out, B = handle
+        rows, arr = _addressable_rows(out)
+        keep = rows < B            # drop mesh-padding rows
+        rows, arr = rows[keep], arr[keep]
+        merged = unpack_out(arr)
+        return (MapResult.from_device(merged, np.asarray(lengths)[rows]),
+                rows)
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         B = codes.shape[0]
@@ -604,6 +645,22 @@ class ShardedMapper:
                   "gapped", "ungapped", "clipped"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
         return MapResult(lengths=np.asarray(lengths)[:B], **merged)
+
+
+def _addressable_rows(out):
+    """(global row indices, row data) across this process's addressable
+    shards of a row-sharded output. Deduplicates replicated shards (the
+    psum route replicates outputs over the "index" axis)."""
+    seen = {}
+    for sh in out.addressable_shards:
+        r0 = sh.index[0].start or 0
+        if r0 not in seen:
+            seen[r0] = np.asarray(sh.data)
+    starts = sorted(seen)
+    rows = np.concatenate([np.arange(r0, r0 + seen[r0].shape[0])
+                           for r0 in starts])
+    arr = np.concatenate([seen[r0] for r0 in starts])
+    return rows, arr
 
 
 class ShardedPairedMapper:
@@ -654,9 +711,13 @@ class ShardedPairedMapper:
         pk1, nm1, l1, pk2, nm2, l2, B = (
             prepacked if prepacked is not None
             else self.prepack(codes1, lengths1, codes2, lengths2))
+        ba = m._batch_axes()
+        up = m._up
         out = self._fn(m.offsets, m.positions, m.ginter,
-                       jnp.asarray(pk1), jnp.asarray(nm1), jnp.asarray(l1),
-                       jnp.asarray(pk2), jnp.asarray(nm2), jnp.asarray(l2))
+                       up(pk1, P(ba, None)), up(nm1, P(ba, None)),
+                       up(l1, P(ba)),
+                       up(pk2, P(ba, None)), up(nm2, P(ba, None)),
+                       up(l2, P(ba)))
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2):
@@ -673,6 +734,26 @@ class ShardedPairedMapper:
                                      np.asarray(lengths2)[:B]),
             proper=arr[:, 2 * C].astype(bool),
         )
+
+    def finish_batch_local(self, handle, lengths1, lengths2):
+        """Multi-host finish → (PairResult over this process's rows,
+        global pair-row indices). See ShardedMapper.finish_batch_local."""
+        from urmap_tpu.map.pair import PairResult
+        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out
+
+        out, B = handle
+        rows, arr = _addressable_rows(out)
+        keep = rows < B
+        rows, arr = rows[keep], arr[keep]
+        C = PACKED_COLS
+        res = PairResult(
+            m1=MapResult.from_device(unpack_out(arr[:, 0:C]),
+                                     np.asarray(lengths1)[rows]),
+            m2=MapResult.from_device(unpack_out(arr[:, C : 2 * C]),
+                                     np.asarray(lengths2)[rows]),
+            proper=arr[:, 2 * C].astype(bool),
+        )
+        return res, rows
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2):
         from urmap_tpu.map.pair import PairResult

@@ -37,6 +37,17 @@ class ReadBatch:
     def __len__(self) -> int:
         return len(self.names)
 
+    def take(self, rows: np.ndarray) -> "ReadBatch":
+        """Row-subset view (multi-host global-mesh mapping: each host
+        formats only the rows its devices own)."""
+        return ReadBatch(
+            codes=self.codes[rows],
+            lengths=self.lengths[rows],
+            names=[self.names[i] for i in rows],
+            seqs=[self.seqs[i] for i in rows],
+            quals=[self.quals[i] for i in rows],
+        )
+
 
 def _strip_pair_suffix(name: str) -> str:
     if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
@@ -114,6 +125,13 @@ class NativeReadBatch:
                                self.name_off[:r], self.name_len[:r],
                                self.seq_off[:r], self.seq_len[:r],
                                self.qual_off[:r])
+
+    def take(self, rows: np.ndarray) -> "NativeReadBatch":
+        """Row subset over the same buffer (see ReadBatch.take)."""
+        return NativeReadBatch(self.buf, self.codes[rows],
+                               self.lengths[rows], self.name_off[rows],
+                               self.name_len[rows], self.seq_off[rows],
+                               self.seq_len[rows], self.qual_off[rows])
 
     def name_matrix(self) -> np.ndarray:
         """uint8[n, max_name_len] QNAME bytes (0-padded) — vectorized
