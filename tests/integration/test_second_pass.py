@@ -119,3 +119,36 @@ def test_second_pass_paired_mates(rng):
     # proper only where pass 1 said so (no host-side promotion)
     assert not np.any(p2.proper & ~p1.proper)
     np.testing.assert_array_equal(p2.proper, p1.proper)
+
+
+def test_second_pass_propagates_clip_flag(rng):
+    """A read recovered by the CPU second pass VIA ITS clip-rescue lane
+    must come back with clipped=True, or the host traceback runs in
+    plain mode and aborts on the score-consistency check (round-3
+    review finding)."""
+    import dataclasses
+
+    from urmap_tpu.config import ScoreConfig
+    from urmap_tpu.map.cigar import cigars_nm_fast
+    from urmap_tpu.map.pipeline import revcomp_strand_codes
+
+    db = make_seqdb(rng, [1_500_000])
+    index = build_index(db, IndexConfig(slot_bits=17), backend="host")
+    L, tail, n = 150, 60, 64
+    codes = np.empty((n, L), np.uint8)
+    for i in range(n):
+        r = plant_read(rng, db, length=L - tail, strand=0)
+        codes[i, : L - tail] = r.codes
+        codes[i, L - tail:] = rng.integers(0, 4, size=tail)
+    lengths = np.full(n, L, np.int32)
+    cfg = MapConfig(max_read_len=L, batch_size=64, positions_per_seed=2,
+                    second_pass_p=16)
+    res = Mapper(index, cfg).map_codes(codes, lengths)
+    rec = res.mapped & res.clipped
+    assert rec.sum() >= n // 3, int(rec.sum())
+    # CIGAR generation must complete (clip-mode traceback for the
+    # recovered rows) and emit soft clips for them
+    cigs, _, _ = cigars_nm_fast(
+        db.codes, revcomp_strand_codes(codes, res), res, ScoreConfig(),
+        clip_rows=np.asarray(res.clipped))
+    assert all("S" in cigs[i] for i in np.nonzero(rec & res.gapped)[0])

@@ -111,3 +111,24 @@ def test_sharded_paired_rescue_matches_single(corpus):
     assert rec_single == rec_mesh
     # rescued mates exist in the corpus (flag 0x2 proper + high-SNP row)
     assert any("p9\t" in ln or ln.startswith("p9\t") for ln in rec_mesh)
+
+
+def test_auto_batch_shrink_feeds_reader(corpus, monkeypatch, tmp_path):
+    """The HBM auto-batch shrink must propagate to the FASTQ reader —
+    with a tiny memory budget and >8192 reads, the run must complete
+    (the round-3 review found the reader kept the unshrunk batch and
+    tripped Mapper._pad_full's assert on the first full batch)."""
+    rng = np.random.default_rng(9)
+    db = make_seqdb(rng, [120_000])
+    idx = build_index(db, IndexConfig(slot_bits=16), backend="host")
+    idx.save(str(tmp_path / "g.ufi"))
+    reads = [plant_read(rng, db, length=100) for _ in range(9000)]
+    write_fastq(str(tmp_path / "many.fq"), reads)
+    monkeypatch.setenv("URMAP_DEVICE_MEM_GB", "0.0001")
+    # default batch 32768 shrinks to 8192 < 9000 reads → two batches
+    assert main(["-map", str(tmp_path / "many.fq"),
+                 "-ufi", str(tmp_path / "g.ufi"),
+                 "-samout", str(tmp_path / "many.sam"),
+                 "-maxreadlen", "120", "-quiet"]) == 0
+    recs = _canon(tmp_path / "many.sam")
+    assert len(recs) == 9000

@@ -87,7 +87,9 @@ def main():
     starts, total = align_runs(counts, rw)
     csr_aligned = total <= 1.15 * max(capped.num_positions, 1)
     gather_tier = None
-    if csr_aligned:
+    if csr_aligned and os.environ.get("URMAP_TIER_GATHER") == "1":
+        # match production: the tier is opt-in since the round-3 sweep
+        # (store.effective_gather_tier)
         from urmap_tpu.map.pipeline import pick_gather_tier
 
         gather_tier = pick_gather_tier(

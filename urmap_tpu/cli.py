@@ -186,39 +186,54 @@ def _cig3(r):
     return (blob, off), nm, span
 
 
+def _table_bytes(index) -> int:
+    """Approximate prepared-table footprint: positions + offsets
+    (~4 B each) + the 2-bit packed genome planes."""
+    return ((index.num_positions + index.config.num_slots) * 4
+            + index.seqdb.total_len // 2)
+
+
+def _auto_batch(opts: dict, index, mcfg, quiet: bool):
+    """HBM headroom: at GRCh38 scale the prepared tables leave <1 GB
+    for program temps, and temps scale with the batch (measured: batch
+    32768 overflows a 16 GB v5e by ~0.3 GB next to 15.3 GB of tables,
+    16384 fits — BASELINE.md round-3). Auto-shrink the DEFAULT batch
+    for single-device mapping; an explicit -batch always wins. Callers
+    must use the RETURNED config (and cmd_map re-reads mapper.mcfg for
+    reader sizing)."""
+    import os
+
+    if "batch" in opts:
+        return mcfg
+    budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16")) * 2**30)
+    tbytes = _table_bytes(index)
+    bs = mcfg.batch_size
+    while bs > 8192 and tbytes + bs * 24_000 > 0.95 * budget:
+        bs //= 2
+    if bs != mcfg.batch_size:
+        import dataclasses
+
+        if not quiet:
+            print(f"auto batch {mcfg.batch_size} → {bs}: tables "
+                  f"{tbytes / 2**30:.1f} GiB leave little HBM "
+                  f"headroom (-batch overrides)", file=sys.stderr)
+        mcfg = dataclasses.replace(mcfg, batch_size=bs)
+    return mcfg
+
+
 def _make_mapper(opts: dict, index, mcfg, quiet: bool):
     """Single-device Mapper, or ShardedMapper when -mesh asks for (or
     "auto" decides on) hash-range index sharding over the local devices
     (SURVEY.md §2.13/§5.7: the model-parallel analog — indexes larger
-    than one chip's HBM span the mesh)."""
+    than one chip's HBM span the mesh). cmd_map re-reads mapper.mcfg
+    (the auto-batch shrink may have replaced it)."""
     import os
 
     from urmap_tpu.map import Mapper
 
     spec = opts.get("mesh")
     if not spec:
-        # HBM headroom: at GRCh38 scale the prepared tables leave <1 GB
-        # for program temps, and temps scale with the batch (measured:
-        # batch 32768 overflows a 16 GB v5e by ~0.3 GB next to 15.3 GB
-        # of tables, 16384 fits — BASELINE.md round-3). Auto-shrink the
-        # DEFAULT batch; an explicit -batch always wins.
-        if "batch" not in opts:
-            budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16"))
-                      * 2**30)
-            tbytes = ((index.num_positions + index.config.num_slots) * 4
-                      + index.seqdb.total_len // 2)
-            bs = mcfg.batch_size
-            while bs > 8192 and tbytes + bs * 24_000 > 0.95 * budget:
-                bs //= 2
-            if bs != mcfg.batch_size:
-                import dataclasses
-
-                if not quiet:
-                    print(f"auto batch {mcfg.batch_size} → {bs}: tables "
-                          f"{tbytes / 2**30:.1f} GiB leave little HBM "
-                          f"headroom (-batch overrides)", file=sys.stderr)
-                mcfg = dataclasses.replace(mcfg, batch_size=bs)
-        return Mapper(index, mcfg)
+        return Mapper(index, _auto_batch(opts, index, mcfg, quiet))
     import jax
 
     from urmap_tpu.dist import multihost as mh
@@ -237,8 +252,7 @@ def _make_mapper(opts: dict, index, mcfg, quiet: bool):
         # genome vs a conservative fraction of per-device memory
         budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16"))
                   * 0.6 * 2**30)
-        tbytes = ((index.num_positions + index.config.num_slots) * 4
-                  + index.seqdb.total_len // 2)
+        tbytes = _table_bytes(index)
         if ndev > 1 and tbytes > budget:
             mesh = make_mesh(ndev)
         elif not quiet:
@@ -259,7 +273,8 @@ def _make_mapper(opts: dict, index, mcfg, quiet: bool):
                              f"{ndev} visible")
         mesh = make_mesh(n)
     if mesh is None:
-        return Mapper(index, mcfg)
+        # the single-device fallback needs the same HBM batch shrink
+        return Mapper(index, _auto_batch(opts, index, mcfg, quiet))
     route = str(opts.get("route", "a2a"))
     if not quiet:
         print(f"sharded mesh: data={mesh.shape['data']} x "
@@ -321,6 +336,7 @@ def cmd_map(opts: dict) -> int:
               f"in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
     mapper = _make_mapper(opts, index, mcfg, quiet)
+    mcfg = mapper.mcfg   # the auto-batch shrink may have replaced it
     from urmap_tpu.dist.sharded import ShardedMapper as _SM
     # multi-host + -mesh: global mesh, replicated feeding, local-rows
     # finish (each rank writes only the rows its devices own)

@@ -146,7 +146,6 @@ def shard_prepared_tables(ht: dict, meta: dict,
     sps = -(-num_slots // S)
     layout = meta.get(
         "layout", "aligned" if meta.get("csr_aligned") else "classic")
-    aligned = layout == "aligned"
     rw = 128 if layout == "row128" else align_row_words(int(meta["p"]))
     fill = SENTINEL if layout in ("aligned", "row128") else 0
 
@@ -764,8 +763,11 @@ class ShardedPairedMapper:
         for s in range(0, B, bs):
             h = self.start_batch(codes1[s:s + bs], lengths1[s:s + bs],
                                  codes2[s:s + bs], lengths2[s:s + bs])
-            outs.append(self.finish_batch(h, lengths1[s:s + bs],
-                                          lengths2[s:s + bs]))
+            outs.append(self.second_pass(
+                codes1[s:s + bs], lengths1[s:s + bs],
+                codes2[s:s + bs], lengths2[s:s + bs],
+                self.finish_batch(h, lengths1[s:s + bs],
+                                  lengths2[s:s + bs])))
         if len(outs) == 1:
             return outs[0]
 

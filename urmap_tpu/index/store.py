@@ -511,8 +511,6 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
     scale this is ~tens of minutes of host work — pay it once at
     -make_ufi time (save_prepared) and mmap it at -map startup, the way
     the reference's .ufi is load-and-go."""
-    import os
-
     from urmap_tpu.map.pipeline import pick_gather_tier
     from urmap_tpu.map.seed import align_row_words
 

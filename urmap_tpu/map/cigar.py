@@ -120,7 +120,7 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
     return "".join(out), score, nm
 
 
-def _clip_groups(n, result, sc: ScoreConfig, clip_open: int | None,
+def _clip_groups(result, sc: ScoreConfig, clip_open: int | None,
                  clip_rows) -> list[tuple[np.ndarray, int | None]]:
     """Gapped rows split into (rows, per-group clip_open) traceback
     groups. ``clip_open`` set = every row clips (-endclip mode);
@@ -166,7 +166,7 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
     nm = np.where(m_only, (L * sc.match - ung) // denom, -1).astype(np.int32)
     span = np.where(m_only, L, 0).astype(np.int32)
     cig = np.where(m_only, np.char.add(L.astype("U6"), "M"), "").astype(object)
-    for rows, co in _clip_groups(n, result, sc, clip_open, clip_rows):
+    for rows, co in _clip_groups(result, sc, clip_open, clip_rows):
         if rows.size == 0:
             continue
         nat = traceback_batch_native(
@@ -302,7 +302,7 @@ def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
     tcig_off = np.zeros(1, np.int64)
     rows = np.nonzero(gapped)[0]
     if rows.size:
-        groups = _clip_groups(n, result, sc, clip_open, clip_rows)
+        groups = _clip_groups(result, sc, clip_open, clip_rows)
         parts = []           # (sel-within-rows, blob, offs) per group
         for grows, co in groups:
             if grows.size == 0:

@@ -654,6 +654,11 @@ class WideSecondPass:
             result.gapped[pr] = out["gapped"][src]
             if result.ungapped is not None:
                 result.ungapped[pr] = out["ungapped"][src]
+            # clip-rescued recoveries need clip-mode host traceback
+            # too — dropping this flag aborts cigars_nm_blob on the
+            # score-consistency check (round-3 review finding)
+            if result.clipped is not None:
+                result.clipped[pr] = out["clipped"][src]
         return result
 
 
