@@ -152,3 +152,36 @@ def test_second_pass_propagates_clip_flag(rng):
         db.codes, revcomp_strand_codes(codes, res), res, ScoreConfig(),
         clip_rows=np.asarray(res.clipped))
     assert all("S" in cigs[i] for i in np.nonzero(rec & res.gapped)[0])
+
+
+def test_second_pass_never_lowers_pallas(rng, monkeypatch):
+    """The CPU-backend second pass must pin the jnp paths even when the
+    process's DEFAULT backend is a TPU (on_tpu() True) — caught on the
+    round-3 GRCh38 capstone run: its program tried to lower the Mosaic
+    kernels on the CPU device ('Only interpret mode is supported')."""
+    from urmap_tpu.map import dp as dpmod
+    from urmap_tpu.map.pipeline import WideSecondPass
+    from urmap_tpu.config import ScoreConfig
+
+    db = make_seqdb(rng, [400_000])
+    index = build_index(db, IndexConfig(slot_bits=16), backend="host")
+    cfg = MapConfig(max_read_len=120, batch_size=64,
+                    positions_per_seed=2, second_pass_p=16)
+    sp = WideSecondPass(index, cfg, ScoreConfig())
+
+    codes, lengths, truth = _reads(rng, db, n=64)
+    from urmap_tpu.map.pipeline import MapResult
+
+    res = MapResult(
+        mapped=np.zeros(64, bool), pos=np.zeros(64, np.int64),
+        strand=np.zeros(64, np.int32), score=np.zeros(64, np.int32),
+        second=np.zeros(64, np.int32), mapq=np.zeros(64, np.int32),
+        gapped=np.zeros(64, bool), lengths=lengths,
+        ungapped=np.zeros(64, np.int32), clipped=np.zeros(64, bool))
+    # pretend the default backend is a TPU: the dispatches must still
+    # take jnp inside the second-pass program
+    monkeypatch.setattr(dpmod, "on_tpu", lambda: True)
+    monkeypatch.setattr(dpmod, "_ON_TPU", True)
+    out = sp(codes, lengths, res)
+    good = ((out.pos == truth) & out.mapped).mean()
+    assert good >= 0.99, good

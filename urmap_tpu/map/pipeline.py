@@ -125,6 +125,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             csr_aligned: bool = False,
                             gather_tier: int | None = None,
                             row128: bool = False,
+                            use_pallas: bool = True,
                             packed_reads=None):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
@@ -172,7 +173,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 
     slots, offs, valid = extract_seed_slots_words_dispatch(
         rpacked2, rnplane2, lengths2, L, k=icfg.k, q=q,
-        slot_bits=icfg.slot_bits)
+        slot_bits=icfg.slot_bits, use_pallas=use_pallas)
     if gather_runner is None:
         cand = gather_candidates(
             tables["offsets"], tables["positions"], slots, offs, valid,
@@ -180,7 +181,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             row128=row128)
     else:
         cand = gather_runner(slots, offs, valid)
-    top_cand, votes = vote_top_candidates_dispatch(cand, v=v)  # [2B, V]
+    top_cand, votes = vote_top_candidates_dispatch(
+        cand, v=v, use_pallas=use_pallas)                      # [2B, V]
     if mcfg.min_votes > 1:
         # vote floor with per-READ fallback: a candidate needs >=
         # min_votes seeds behind it unless neither strand of its read
@@ -274,7 +276,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             return banded_packed(
                 tables["ginter"], tables["base_off"],
                 c, r, ln, rp, rn, hw=mcfg.band_halfwidth, sc=sc,
-                clip_open=clip)
+                use_pallas=use_pallas, clip_open=clip)
 
     def unfold(x):                                           # [2D*V] → [D, 2V]
         x = x.reshape(2, D, v)
@@ -358,7 +360,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         def clip_dp(c, r, ln, rp, rn):
             return banded_packed(
                 tables["ginter"], tables["base_off"], c, r, ln, rp, rn,
-                hw=mcfg.band_halfwidth, sc=sc, clip_open=sc.clip_open)
+                hw=mcfg.band_halfwidth, sc=sc, use_pallas=use_pallas,
+                clip_open=sc.clip_open)
 
         def cunfold(x):
             x = x.reshape(2, Dc, v)
@@ -425,13 +428,14 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
                      gather_runner=None, csr_aligned: bool = False,
                      gather_tier: int | None = None, row128: bool = False,
-                     packed_reads=None):
+                     use_pallas: bool = True, packed_reads=None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
                                 gather_runner=gather_runner,
                                 csr_aligned=csr_aligned,
                                 gather_tier=gather_tier, row128=row128,
+                                use_pallas=use_pallas,
                                 packed_reads=packed_reads)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
@@ -510,7 +514,8 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       packed_input: bool = False,
                       csr_aligned: bool = False,
                       gather_tier: int | None = None,
-                      row128: bool = False):
+                      row128: bool = False,
+                      use_pallas: bool = True):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
     (or the raw output dict with packed=False).
 
@@ -523,7 +528,7 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
                           csr_aligned=csr_aligned, gather_tier=gather_tier,
-                          row128=row128)
+                          row128=row128, use_pallas=use_pallas)
     if not packed:
         return jax.jit(fn)
 
@@ -614,11 +619,17 @@ class WideSecondPass:
                                     second_pass_p=0)
         from urmap_tpu.index.store import effective_gather_tier
 
+        # use_pallas=False: this program runs on the CPU backend while
+        # the process's DEFAULT backend is the TPU, so the dispatches'
+        # on_tpu() check would wrongly pick Mosaic kernels (caught by
+        # the round-3 GRCh38 capstone run: 'Only interpret mode is
+        # supported on CPU backend')
         self._fn = make_map_batch_fn(
             self.icfg, spcfg, sc, packed_input=False,
             csr_aligned=bool(meta2["csr_aligned"]),
             gather_tier=effective_gather_tier(meta2),
-            row128=meta2.get("layout") == "row128")
+            row128=meta2.get("layout") == "row128",
+            use_pallas=False)
 
     def __call__(self, codes: np.ndarray, lengths,
                  result: MapResult) -> MapResult:
