@@ -310,6 +310,12 @@ def cmd_map(opts: dict) -> int:
     mkw = {}
     if "batch" in opts:
         mkw["batch_size"] = int(str(opts["batch"]))
+    else:
+        # production default: the relay charges ~30 ms FIXED per batch,
+        # so the 2048-row library default caps e2e at ~70k reads/s;
+        # 32768 amortizes it (the HBM auto-shrink in _make_mapper still
+        # halves this when huge tables leave no headroom)
+        mkw["batch_size"] = 32768
     if "maxreadlen" in opts:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))
     if opts.get("endclip"):
