@@ -105,3 +105,50 @@ def test_clip_rescue_zero_rounds_on_clean_batches(rng):
         np.testing.assert_array_equal(getattr(a, f), getattr(b, f),
                                       err_msg=f)
     assert not b.clipped.any()
+
+
+def test_endclip_disables_rescue_lane(rng):
+    """-endclip (clip-everything) and the rescue lane must not stack:
+    with end_clip=True the lane is off (every DP is already clip-mode)
+    and clipped stays False — the global clip_open drives the host
+    traceback instead."""
+    db = make_seqdb(rng, [300_000])
+    index = build_index(db, IndexConfig(slot_bits=16), backend="host")
+    L = 150
+    ad, ad_truth = _adapter_reads(rng, db, 24, L)
+    lengths = np.full(24, L, np.int32)
+    res = Mapper(index, MapConfig(max_read_len=L, batch_size=32,
+                                  end_clip=True)).map_codes(ad, lengths)
+    got = (res.pos == ad_truth) & res.mapped
+    assert int(got.sum()) >= 22
+    assert not res.clipped.any()
+
+
+def test_resume_with_mesh(rng, tmp_path):
+    """-resume composes with -mesh: rerunning after completion must
+    skip all committed batches and leave the output intact."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from tests.utils import write_fastq
+    from urmap_tpu.cli import main
+
+    db = make_seqdb(rng, [200_000])
+    index = build_index(db, IndexConfig(slot_bits=16), backend="host")
+    index.save(str(tmp_path / "g.ufi"))
+    reads = [plant_read(rng, db, length=120) for _ in range(200)]
+    write_fastq(str(tmp_path / "r.fq"), reads)
+    args = ["-map", str(tmp_path / "r.fq"), "-ufi", str(tmp_path / "g.ufi"),
+            "-samout", str(tmp_path / "out.sam"), "-batch", "64",
+            "-maxreadlen", "120", "-quiet", "-mesh", "2x4"]
+    assert main(args) == 0
+    first = sorted(l for l in open(tmp_path / "out.sam")
+                   if not l.startswith("@"))
+    assert len(first) == 200
+    # rerun with -resume: watermark says everything is committed
+    assert main(args + ["-resume"]) == 0
+    again = sorted(l for l in open(tmp_path / "out.sam")
+                   if not l.startswith("@"))
+    assert again == first
