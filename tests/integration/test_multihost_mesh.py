@@ -100,6 +100,16 @@ def test_two_host_mesh_se_and_pe(rng, tmp_path):
     assert len(a) == len(b) == 96
     assert a == b
 
+    # ---- SE, psum route: outputs are REPLICATED over the "index"
+    # axis, so every host holds every row — _addressable_rows must
+    # dedup globally (round-3 advisor: per-process dedup made both
+    # ranks emit the full batch → every QNAME appeared twice) ----
+    psum_out = str(tmp_path / "mesh2x4_psum.sam")
+    coordinated(base + ["-mesh", "2x4", "-route", "psum"], psum_out)
+    bp = _canon(psum_out)
+    assert len(bp) == 96
+    assert a == bp
+
     # ---- PE ----
     base_pe = ["-map", fq1, "-reverse", fq2, "-ufi", ufi, "-batch", "32",
                "-maxreadlen", "120", "-quiet"]

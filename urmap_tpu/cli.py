@@ -265,12 +265,24 @@ def _make_mapper(opts: dict, index, mcfg, quiet: bool):
             raise SystemExit(f"-mesh {spec} needs {d * i} devices; "
                              f"{ndev} visible (CPU runs: set XLA_FLAGS="
                              f"--xla_force_host_platform_device_count=N)")
+        if mh.process_count() > 1 and d * i != ndev:
+            # a sub-global mesh would exclude some processes' devices
+            # entirely — those ranks own zero output shards and
+            # make_array_from_callback can't cover non-local devices
+            # (round-3 advisor finding). Require a full-span mesh.
+            raise SystemExit(
+                f"-mesh {spec}: multi-host runs need the mesh to span "
+                f"all {ndev} global devices (got {d * i})")
         mesh = make_mesh(d * i, data=d, index=i)
     else:
         n = int(spec)
         if n > ndev:
             raise SystemExit(f"-mesh {spec} needs {n} devices; "
                              f"{ndev} visible")
+        if mh.process_count() > 1 and n != ndev:
+            raise SystemExit(
+                f"-mesh {spec}: multi-host runs need the mesh to span "
+                f"all {ndev} global devices (got {n})")
         mesh = make_mesh(n)
     if mesh is None:
         # the single-device fallback needs the same HBM batch shrink

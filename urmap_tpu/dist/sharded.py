@@ -648,14 +648,29 @@ class ShardedMapper:
 
 def _addressable_rows(out):
     """(global row indices, row data) across this process's addressable
-    shards of a row-sharded output. Deduplicates replicated shards (the
-    psum route replicates outputs over the "index" axis)."""
+    shards of a row-sharded output. Deduplicates replicated shards
+    GLOBALLY (the psum route replicates outputs over the "index" axis,
+    so with multiple processes every host may hold a replica of every
+    row block): each row block is owned by the lowest-device-id replica
+    across the whole mesh, and this process keeps only blocks whose
+    owner is one of its addressable devices (round-3 advisor finding —
+    per-process dedup alone made every rank emit the full batch).
+    Returns empty arrays when this rank owns no rows (a mesh smaller
+    than the global device set can exclude a process entirely)."""
+    owner = {}  # row-block start -> min device id holding a replica
+    for dev, idx in out.sharding.devices_indices_map(out.shape).items():
+        r0 = idx[0].start or 0
+        if r0 not in owner or dev.id < owner[r0]:
+            owner[r0] = dev.id
     seen = {}
     for sh in out.addressable_shards:
         r0 = sh.index[0].start or 0
-        if r0 not in seen:
+        if sh.device.id == owner.get(r0):
             seen[r0] = np.asarray(sh.data)
     starts = sorted(seen)
+    if not starts:
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros((0,) + out.shape[1:], dtype=out.dtype))
     rows = np.concatenate([np.arange(r0, r0 + seen[r0].shape[0])
                            for r0 in starts])
     arr = np.concatenate([seen[r0] for r0 in starts])

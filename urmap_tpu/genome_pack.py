@@ -98,7 +98,12 @@ def row_gather_window(table, starts, width: int, *,
         # bound must stay in uint32 — as a weak int it overflows the
         # int32 jit-argument parse. Row indexes (M/row_words < 2^31)
         # drop back to int32 for the takes.
-        s = jnp.minimum(starts.astype(jnp.uint32), jnp.uint32(M - 1))
+        # clamp negatives BEFORE the uint32 cast: a negative start would
+        # wrap to ~4e9 and clip to the table TAIL, whereas the int32
+        # branch clips to the HEAD — both branches must agree (round-3
+        # advisor finding).
+        s = jnp.minimum(jnp.maximum(starts, 0).astype(jnp.uint32),
+                        jnp.uint32(M - 1))
         r0 = (s // jnp.uint32(row_words)).astype(jnp.int32)
         off32 = (s - r0.astype(jnp.uint32)
                  * jnp.uint32(row_words)).astype(jnp.int32)
