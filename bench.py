@@ -55,7 +55,36 @@ BASELINE_READS_PER_SEC = 1.0e6
 CPU_FALLBACK = False
 
 
-def synth_reads(rng, db, n, length, snp_rate=0.01):
+def plant_indels(rng, codes, pos, db, length, frac, max_sz=8):
+    """Replace ~``frac`` of rows IN PLACE with reads carrying one 1 to
+    ``max_sz`` bp insertion or deletion (tools/accuracy.py's profile),
+    so the bench exercises the DP bucket + gapped-CIGAR path under load
+    (round-3 verdict weak item 5: SNP-only reads never left the
+    ungapped lane). The truth coordinate — the LEFTMOST aligned genome
+    base — is unchanged by construction: reads keep genome bases
+    [pos, pos+m) before the event, then either skip ``s`` genome bases
+    (deletion) or carry ``s`` random inserted bases."""
+    n, start = codes.shape[0], int(db.starts[0])
+    ref_end = start + int(db.lengths[0])
+    ok = pos <= ref_end - length - max_sz - 1   # deletion tail in range
+    sel = np.nonzero((rng.random(n) < frac) & ok)[0]
+    if sel.size == 0:
+        return
+    k = sel.size
+    m = rng.integers(24, length - 24 - max_sz, size=k)[:, None]
+    s = rng.integers(1, max_sz + 1, size=k)[:, None]
+    isdel = rng.random(k)[:, None] < 0.5
+    j = np.arange(length)[None, :]
+    p = pos[sel, None]
+    didx = p + j + np.where(j >= m, s, 0)          # skip s genome bases
+    iidx = p + j - np.clip(j - m, 0, s)            # repeat frame after m
+    new = db.codes[np.where(isdel, didx, iidx)]
+    insmask = ~isdel & (j >= m) & (j < m + s)
+    rnd = rng.integers(0, 4, size=new.shape).astype(new.dtype)
+    codes[sel] = np.where(insmask, rnd, new)
+
+
+def synth_reads(rng, db, n, length, snp_rate=0.01, indel_frac=0.0):
     """Vectorized planted reads: codes uint8[n, length], truth positions."""
     from urmap_tpu import alphabet
 
@@ -64,6 +93,8 @@ def synth_reads(rng, db, n, length, snp_rate=0.01):
     pos = rng.integers(0, ref_len - length, size=n).astype(np.int64) + start
     idx = pos[:, None] + np.arange(length)[None, :]
     codes = db.codes[idx].copy()
+    if indel_frac > 0:
+        plant_indels(rng, codes, pos, db, length, indel_frac)
     # SNPs
     mask = rng.random(codes.shape) < snp_rate
     codes[mask] = (codes[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
@@ -75,7 +106,7 @@ def synth_reads(rng, db, n, length, snp_rate=0.01):
 
 
 def synth_pairs(rng, db, n_pairs, length, snp_rate=0.01,
-                frag_lo=200, frag_hi=800):
+                frag_lo=200, frag_hi=800, indel_frac=0.0):
     """Vectorized FR pairs: (r1 codes, r2 codes, truth pos per mate)."""
     from urmap_tpu import alphabet
 
@@ -88,6 +119,9 @@ def synth_pairs(rng, db, n_pairs, length, snp_rate=0.01,
     ri = (p + frag - length)[:, None] + np.arange(length)[None, :]
     left = db.codes[li].copy()
     right = db.codes[ri].copy()
+    if indel_frac > 0:
+        plant_indels(rng, left, p, db, length, indel_frac)
+        plant_indels(rng, right, p + frag - length, db, length, indel_frac)
     for c in (left, right):
         mask = rng.random(c.shape) < snp_rate
         c[mask] = (c[mask] + rng.integers(1, 4, size=int(mask.sum()))) % 4
@@ -218,7 +252,8 @@ def run_single(args, db, mapper, rng, t_index, dev):
     from urmap_tpu.map.cigar import cigars_for_result, cigars_nm_blob
     from urmap_tpu.map.pipeline import revcomp_strand_codes
 
-    codes, truth_pos, _ = synth_reads(rng, db, args.reads, args.read_len)
+    codes, truth_pos, _ = synth_reads(rng, db, args.reads, args.read_len,
+                                      indel_frac=args.indel_frac)
     lengths = np.full(args.reads, args.read_len, np.int32)
 
     # warmup / compile
@@ -317,7 +352,8 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
     from urmap_tpu.map.pair import PairedMapper
 
     n_pairs = args.reads // 2
-    r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len)
+    r1, r2, t1, t2 = synth_pairs(rng, db, n_pairs, args.read_len,
+                                 indel_frac=args.indel_frac)
     # one permutation of the pair set per pass — the relay dedups
     # identical re-executions (see run_single docstring)
     n_files = args.passes + 1
@@ -504,6 +540,13 @@ def main(argv=None):
                     help="both (default) prints SE then PE (the driver "
                          "parses the LAST line; BASELINE.json's metric "
                          "is PE)")
+    ap.add_argument("--indel-frac", type=float, default=0.08,
+                    help="fraction of reads carrying one 1-8 bp "
+                         "insertion or deletion (accuracy.py's profile) "
+                         "so the headline number exercises the DP "
+                         "bucket + gapped-CIGAR path and correct_frac "
+                         "verifies positions under gaps (round-3 "
+                         "verdict weak item 5)")
     ap.add_argument("--no-sam", action="store_true",
                     help="skip host CIGAR/SAM formatting (device-only rate)")
     ap.add_argument("--paired", action="store_true",

@@ -90,8 +90,10 @@ def test_second_pass_composes_with_sharded(rng):
 
 
 def test_second_pass_paired_mates(rng):
-    """PE: unmapped mates recover; proper flags stay conservative (never
-    invented host-side) and pass-1 proper pairs are untouched."""
+    """PE: unmapped mates recover AND pairs a recovery made concordant
+    are PROMOTED to proper (round-3 verdict item 3); pass-1 proper
+    pairs are never demoted and promotions are genuinely FR-concordant
+    within the fragment window."""
     import dataclasses
 
     from urmap_tpu.map.pair import PairedMapper
@@ -116,9 +118,29 @@ def test_second_pass_paired_mates(rng):
     base = float(((p1.m1.pos == t1) & p1.m1.mapped).mean())
     assert rec1 >= 0.99 and rec2 >= 0.99, (base, rec1, rec2)
     assert rec1 > base  # the pass actually did something
-    # proper only where pass 1 said so (no host-side promotion)
-    assert not np.any(p2.proper & ~p1.proper)
-    np.testing.assert_array_equal(p2.proper, p1.proper)
+    # no demotion: every pass-1 proper pair stays proper
+    assert not np.any(p1.proper & ~p2.proper)
+    # promotion: pairs the recovery made concordant become proper
+    promoted = p2.proper & ~p1.proper
+    assert promoted.any()
+    # ...and only where a mate actually changed
+    changed = (p2.m1.mapped & ~p1.m1.mapped) | (p2.m2.mapped
+                                                & ~p1.m2.mapped)
+    assert not np.any(promoted & ~changed)
+    # promoted pairs really are FR-concordant inside the window
+    mc = both
+    for i in np.nonzero(promoted)[0]:
+        assert p2.m1.mapped[i] and p2.m2.mapped[i]
+        assert p2.m1.strand[i] != p2.m2.strand[i]
+        pf, pr = ((p2.m1.pos[i], p2.m2.pos[i])
+                  if p2.m1.strand[i] == 0
+                  else (p2.m2.pos[i], p2.m1.pos[i]))
+        assert pf <= pr
+        tlen = (pr - pf) + 120    # all-M 120 bp mates: span = length
+        assert mc.min_fragment_len <= tlen <= mc.max_fragment_len
+    # planted truth: promoted pairs sit at their planted loci
+    ok = ((p2.m1.pos == t1) & (p2.m2.pos == t2))[promoted]
+    assert ok.mean() >= 0.9
 
 
 def test_second_pass_propagates_clip_flag(rng):

@@ -187,9 +187,17 @@ def _cig3(r):
 
 
 def _table_bytes(index) -> int:
-    """Approximate prepared-table footprint: positions + offsets
-    (~4 B each) + the 2-bit packed genome planes."""
-    return ((index.num_positions + index.config.num_slots) * 4
+    """Approximate prepared-table footprint: positions (4 B) + offsets
+    + the 2-bit packed genome planes. Huge tables take the row128
+    layout whose offsets ride PACKED (2 B/slot —
+    store.pack_offsets_row128), so the offsets term halves there."""
+    import os
+
+    budget = int(os.environ.get("URMAP_ROW128_BYTES", str(2 << 30)))
+    row128 = (index.num_positions * 4 > budget
+              and os.environ.get("URMAP_NO_PACKED_OFFSETS") != "1")
+    return (index.num_positions * 4
+            + index.config.num_slots * (2 if row128 else 4)
             + index.seqdb.total_len // 2)
 
 

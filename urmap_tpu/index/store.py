@@ -466,6 +466,62 @@ def ginter_rows(ginter) -> np.ndarray:
     return g.reshape(-1, 128)
 
 
+def packed_offsets_bits(p: int) -> tuple[int, int]:
+    """(cnt_bits, block_bits) for the packed row128 offsets encoding.
+
+    In the row128 layout every slot's padded run length (diff of
+    offsets) is ≤ 2p−1: the run itself is capped at p entries and the
+    pad inserted before the NEXT run (align_runs_fixed only pads when a
+    run would cross a 128-word boundary) is ≤ that run's length − 1
+    ≤ p−1. So a single uint16 per slot can carry
+        (start − block_base) << cnt_bits | padded_count
+    with cnt_bits = bit_length(2p−1) and the block size chosen so the
+    worst-case within-block span, block·(2p−1), fits the remaining
+    16−cnt_bits bits. This halves the offsets table (2.15 GB → 1.08 GB
+    at slot_bits 29) AND halves the gather bytes per seed — the HBM
+    freed is what lets GRCh38-scale bits29 tables run batch 32768+
+    (round-3 verdict item 1 lever b)."""
+    cnt_bits = int(2 * p - 1).bit_length()
+    delta_bits = 16 - cnt_bits
+    span = 2 * p - 1
+    block_bits = 0
+    while (1 << (block_bits + 1)) * span <= (1 << delta_bits):
+        block_bits += 1
+    return cnt_bits, block_bits
+
+
+def pack_offsets_row128(offsets: np.ndarray, p: int):
+    """row128-layout CSR offsets uint32[S+1] → packed device encoding:
+    dict(opacked uint32[ceil(S/2)] — two uint16 slot entries per word,
+    obase uint32[ceil(S/2^block_bits)], cnt_bits, block_bits), or None
+    when the encoding's invariants don't hold (caller falls back to the
+    plain uint32 table). Host-side numpy only — a few passes over the
+    table (~seconds at GRCh38 scale)."""
+    from urmap_tpu.utils.bigmem import big_empty
+
+    cnt_bits, block_bits = packed_offsets_bits(p)
+    S = offsets.shape[0] - 1
+    if S <= 0:
+        return None
+    off = np.asarray(offsets[:-1], np.uint32)
+    diff = np.asarray(offsets[1:], np.uint32) - off
+    if int(diff.max(initial=0)) >= (1 << cnt_bits):
+        return None                       # not a row128-shaped table
+    nb = -(-S // (1 << block_bits))
+    base = np.ascontiguousarray(off[:: 1 << block_bits], np.uint32)
+    assert base.shape[0] == nb
+    delta = off - np.repeat(base, 1 << block_bits)[:S]
+    if int(delta.max(initial=0)) >= (1 << (16 - cnt_bits)):
+        return None
+    u16 = big_empty(S + (S & 1), np.uint16)
+    u16[:S] = (delta.astype(np.uint16) << np.uint16(cnt_bits)) \
+        | diff.astype(np.uint16)
+    if S & 1:
+        u16[S] = 0
+    return {"opacked": u16.view(np.uint32), "obase": base,
+            "cnt_bits": cnt_bits, "block_bits": block_bits}
+
+
 def effective_gather_tier(meta: dict):
     """The gather tier the map step should actually use.
 
@@ -481,14 +537,18 @@ def effective_gather_tier(meta: dict):
     return None
 
 
-def tables_to_device(ht: dict):
+def tables_to_device(ht: dict, *, use_packed_offsets: bool = False):
     """Host numpy tables (host_tables / load_prepared) → jnp arrays.
 
     row128 layout: the positions table is uploaded ALREADY SHAPED
     [R, 128] — a dense (pad-free) TPU tile layout. Reshaping a 1-D
     parameter inside the program instead materializes an XLA copy with
     tile padding: 128/minor-dim-fold HBM bloat (8× at rw=16 — ~95 GB
-    for a GRCh38-scale table)."""
+    for a GRCh38-scale table).
+
+    ``use_packed_offsets``: upload ht["opacked"]/["obase"] (pack_
+    offsets_row128) AS the offsets tables — half the offsets HBM; the
+    map fn must then be built with the matching meta["off_bits"]."""
     import jax.numpy as jnp
 
     pos = ht["positions"]
@@ -496,13 +556,19 @@ def tables_to_device(ht: dict):
     if ht.get("layout") == "row128":
         pos = np.asarray(pos).reshape(-1, ROW128)
         gin = ginter_rows(gin)   # the genome view pads 8x too (same fix)
-    return {
-        "offsets": jnp.asarray(ht["offsets"], jnp.uint32),
+    out = {
         "positions": jnp.asarray(pos),
         "ginter": jnp.asarray(gin),
         "base_off": int(ht["base_off"]),
         "genome_max_biased": np.int32(ht["genome_max_biased"]),
     }
+    if use_packed_offsets:
+        assert ht.get("opacked") is not None
+        out["offsets"] = jnp.asarray(ht["opacked"], jnp.uint32)
+        out["obase"] = jnp.asarray(ht["obase"], jnp.uint32)
+    else:
+        out["offsets"] = jnp.asarray(ht["offsets"], jnp.uint32)
+    return out
 
 
 def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
@@ -532,6 +598,9 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
     if row128:
         csr_aligned = False
         ht = capped.host_tables(row_fixed=ROW128)
+        pk = pack_offsets_row128(ht["offsets"], p)
+        if pk is not None:
+            ht["opacked"], ht["obase"] = pk["opacked"], pk["obase"]
     else:
         if csr_aligned:
             tier = pick_gather_tier(
@@ -542,6 +611,8 @@ def prepare_tables(index: UfiIndex, p: int) -> tuple[dict, dict]:
         "layout": ht["layout"],
         "csr_aligned": csr_aligned,
         "gather_tier": tier,
+        "off_bits": (list(packed_offsets_bits(p))
+                     if ht.get("opacked") is not None else None),
         "k": index.config.k,
         "slot_bits": index.config.slot_bits,
         "veryfast": index.config.veryfast,
@@ -562,7 +633,10 @@ def save_prepared(index: UfiIndex, path: str, p: int) -> str:
     ht, meta = prepare_tables(index, p)
     d = _prepared_dir(path, p)
     os.makedirs(d, exist_ok=True)
-    for key in ("offsets", "positions", "ginter"):
+    keys = ["offsets", "positions", "ginter"]
+    if ht.get("opacked") is not None:
+        keys += ["opacked", "obase"]
+    for key in keys:
         np.save(os.path.join(d, f"{key}.npy"), ht[key])
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -607,4 +681,33 @@ def load_prepared(index: UfiIndex, p: int) -> tuple[dict, dict] | None:
         if (p <= ROW128 and ht["positions"].shape[0] * 4
                 * (128 // min(rw_, 128)) > budget):
             return None
+    else:
+        opf = os.path.join(d, "opacked.npy")
+        if os.path.exists(opf):
+            ht["opacked"] = np.load(opf, mmap_mode="r")
+            ht["obase"] = np.load(os.path.join(d, "obase.npy"),
+                                  mmap_mode="r")
+            meta.setdefault("off_bits", list(packed_offsets_bits(p)))
+        elif meta.get("off_bits") is None:
+            # pre-round-4 row128 cache: derive the packed encoding once
+            # (host numpy, ~tens of seconds at GRCh38 scale) and save it
+            # back so later loads mmap it
+            pk = pack_offsets_row128(np.asarray(ht["offsets"]), p)
+            if pk is not None:
+                ht["opacked"], ht["obase"] = pk["opacked"], pk["obase"]
+                meta["off_bits"] = [pk["cnt_bits"], pk["block_bits"]]
+                try:
+                    for key in ("opacked", "obase"):
+                        tmp = os.path.join(d, f".{key}.{os.getpid()}.npy")
+                        np.save(tmp, ht[key])
+                        os.replace(tmp, os.path.join(d, f"{key}.npy"))
+                    with open(mf) as f:
+                        m2 = json.load(f)
+                    m2["off_bits"] = meta["off_bits"]
+                    tmpm = mf + f".{os.getpid()}.tmp"
+                    with open(tmpm, "w") as f:
+                        json.dump(m2, f, indent=2)
+                    os.replace(tmpm, mf)
+                except OSError:
+                    pass   # read-only cache dir: packed stays in-memory
     return ht, meta

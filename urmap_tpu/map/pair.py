@@ -163,7 +163,8 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                      csr_aligned: bool = False,
                      gather_tier: int | None = None,
                      row128: bool = False,
-                     gather_runner=None, dp_runner=None):
+                     gather_runner=None, dp_runner=None,
+                     off_bits: tuple[int, int] | None = None):
     """Full paired-end device step → per-mate output dicts + pair flags.
 
     ``gather_runner``/``dp_runner``: mesh-aware stage overrides for the
@@ -178,7 +179,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                                 sc=sc, csr_aligned=csr_aligned,
                                 gather_tier=gather_tier, row128=row128,
                                 gather_runner=gather_runner,
-                                dp_runner=dp_runner)
+                                dp_runner=dp_runner, off_bits=off_bits)
     c1 = {k: v[:B] for k, v in c.items()}
     c2 = {k: v[B:] for k, v in c.items()}
 
@@ -312,7 +313,8 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       packed_input: bool = False,
                       csr_aligned: bool = False,
                       gather_tier: int | None = None,
-                      row128: bool = False):
+                      row128: bool = False,
+                      off_bits: tuple[int, int] | None = None):
     """Jitted paired step → ONE packed int32[B, 2*PACKED_COLS+1]
     (mate1 cols, mate2 cols — pipeline.pack_out layout — then proper):
     a single D2H fetch per batch (see pipeline.PACKED_COLS note).
@@ -323,7 +325,7 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc,
                           csr_aligned=csr_aligned, gather_tier=gather_tier,
-                          row128=row128)
+                          row128=row128, off_bits=off_bits)
 
     def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
@@ -373,7 +375,8 @@ class PairedMapper:
             packed_input=self.packed_upload,
             csr_aligned=getattr(mapper, "csr_aligned", False),
             gather_tier=getattr(mapper, "gather_tier", None),
-            row128=getattr(mapper, "row128", False))
+            row128=getattr(mapper, "row128", False),
+            off_bits=getattr(mapper, "off_bits", None))
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         """Host-side upload prep for start_batch's ``prepacked`` — run
@@ -428,17 +431,60 @@ class PairedMapper:
                     res: "PairResult") -> "PairResult":
         """Per-mate wide-gather recovery (pipeline.Mapper.second_pass):
         mates still unmapped after pairing + rescue are re-mapped on the
-        host CPU pass. Conservative on flags: a recovered mate becomes
-        mapped (fixing both mates' mate-* flag bits) but the pair is NOT
-        promoted to proper — the exact-span TLEN concordance check lives
-        on the device and is not re-derived host-side."""
+        host CPU pass, then pairs a recovery touched are re-checked for
+        concordance (_promote_pairs) so a recovered mate that lands in
+        FR orientation within the fragment window gets proper-pair
+        flags/TLEN like any device-paired read (round-3 verdict item 3:
+        recoveries used to stay discordant forever — ~3% of pairs at
+        bits28+secondpass GRCh38 configs)."""
         if getattr(self.mapper, "second", None) is None:
             return res
         sp = self.mapper.second_pass
+        was1 = res.m1.mapped.copy()
+        was2 = res.m2.mapped.copy()
         res = PairResult(m1=sp(codes1, lengths1, res.m1),
                          m2=sp(codes2, lengths2, res.m2),
                          proper=res.proper)
+        touched = (res.m1.mapped & ~was1) | (res.m2.mapped & ~was2)
+        if touched.any():
+            self._promote_pairs(codes1, codes2, res, touched)
         return res
+
+    def _promote_pairs(self, codes1, codes2, res: "PairResult",
+                       touched: np.ndarray) -> None:
+        """Host-side concordance re-check for pairs the second pass
+        patched: mirrors the device rule (_pair_cross) — opposite
+        strands, fwd mate leftmost, TLEN = (pr − pf) + ref_span of the
+        rightmost mate inside [min_fragment_len, max_fragment_len].
+        Spans use the same machinery as the emitted SAM (cigars_nm_fast
+        ref spans; read-length proxy under end_clip, matching the
+        device's proxy). Promoted pairs keep their per-mate MAPQs (the
+        device's pair-gap MAPQ needs the candidate cross-product, gone
+        by now) — conservative, never inflating confidence."""
+        rows = np.nonzero(touched & ~res.proper
+                          & res.m1.mapped & res.m2.mapped
+                          & (res.m1.strand != res.m2.strand))[0]
+        if rows.size == 0:
+            return
+        mc = self.mcfg
+        p1 = res.m1.pos[rows].astype(np.int64)
+        p2 = res.m2.pos[rows].astype(np.int64)
+        fwd1 = res.m1.strand[rows] == 0
+        pf = np.where(fwd1, p1, p2)
+        pr = np.where(fwd1, p2, p1)
+        if mc.end_clip:
+            lr = np.where(fwd1, res.m2.lengths[rows],
+                          res.m1.lengths[rows]).astype(np.int64)
+        else:
+            s1 = _ref_spans(self.index.seqdb.codes, codes1, res.m1,
+                            rows, self.sc)
+            s2 = _ref_spans(self.index.seqdb.codes, codes2, res.m2,
+                            rows, self.sc)
+            lr = np.where(fwd1, s2, s1).astype(np.int64)
+        tlen = (pr - pf) + lr
+        ok = ((pf <= pr) & (tlen >= mc.min_fragment_len)
+              & (tlen <= mc.max_fragment_len))
+        res.proper[rows[ok]] = True
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
         B = codes1.shape[0]
@@ -498,6 +544,39 @@ class PairedMapper:
             "proper_pairs": int(res.proper.sum()),
         }
         return recs, stats
+
+
+def _ref_spans(genome, codes, res: MapResult, rows: np.ndarray,
+               sc: ScoreConfig) -> np.ndarray:
+    """Reference spans of ``rows`` of a MapResult, matching the emitted
+    SAM: read length for M-only winners, CIGAR ref span (traceback) for
+    gapped/clip-rescued ones. Used by the post-second-pass proper-pair
+    promotion; volumes are tiny (a few % of pairs), so the per-row
+    traceback cost is negligible."""
+    from urmap_tpu.map.cigar import cigars_nm_fast, strand_codes_subset
+
+    lengths = np.asarray(res.lengths)[rows].astype(np.int32)
+    span = lengths.copy()
+    need = np.asarray(res.gapped)[rows].astype(bool)
+    if res.clipped is not None:
+        need |= np.asarray(res.clipped)[rows].astype(bool)
+    g = rows[need]
+    if g.size == 0:
+        return span
+    sub = MapResult(
+        lengths=np.asarray(res.lengths)[g],
+        mapped=np.asarray(res.mapped)[g], pos=np.asarray(res.pos)[g],
+        strand=np.asarray(res.strand)[g], score=np.asarray(res.score)[g],
+        second=np.asarray(res.second)[g], mapq=np.asarray(res.mapq)[g],
+        gapped=np.asarray(res.gapped)[g],
+        ungapped=np.asarray(res.ungapped)[g],
+        clipped=(np.asarray(res.clipped)[g]
+                 if res.clipped is not None else None))
+    sc_codes = strand_codes_subset(codes[g], sub.strand, sub.lengths)
+    _, _, sp = cigars_nm_fast(genome, sc_codes, sub, sc,
+                              clip_rows=sub.clipped)
+    span[need] = sp
+    return span
 
 
 def _pad_block(codes, lengths, bs, max_len=None):

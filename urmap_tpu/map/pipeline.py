@@ -126,7 +126,8 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             gather_tier: int | None = None,
                             row128: bool = False,
                             use_pallas: bool = True,
-                            packed_reads=None):
+                            packed_reads=None,
+                            off_bits: tuple[int, int] | None = None):
     """Seed → vote → ungapped verify → (bucketed) banded DP; both strands.
 
     The reference verifies candidates ungapped first and only runs the
@@ -174,11 +175,18 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     slots, offs, valid = extract_seed_slots_words_dispatch(
         rpacked2, rnplane2, lengths2, L, k=icfg.k, q=q,
         slot_bits=icfg.slot_bits, use_pallas=use_pallas)
+    # packed-offsets coherence: the tables dict and the traced decode
+    # MUST agree, or every candidate is garbage and everything reads
+    # unmapped (caught loudly here instead — round-4 PE regression)
+    assert (tables.get("obase") is not None) == (off_bits is not None), \
+        "tables carry packed offsets but off_bits not threaded (or vice versa)"
     if gather_runner is None:
         cand = gather_candidates(
             tables["offsets"], tables["positions"], slots, offs, valid,
             p=p, csr_aligned=csr_aligned, tier=gather_tier,
-            row128=row128)
+            row128=row128, obase=tables.get("obase"),
+            off_cnt_bits=off_bits[0] if off_bits else 0,
+            off_block_bits=off_bits[1] if off_bits else 0)
     else:
         cand = gather_runner(slots, offs, valid)
     top_cand, votes = vote_top_candidates_dispatch(
@@ -428,7 +436,8 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      mcfg: MapConfig, sc: ScoreConfig, dp_runner=None,
                      gather_runner=None, csr_aligned: bool = False,
                      gather_tier: int | None = None, row128: bool = False,
-                     use_pallas: bool = True, packed_reads=None):
+                     use_pallas: bool = True, packed_reads=None,
+                     off_bits: tuple[int, int] | None = None):
     """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
@@ -436,7 +445,8 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                                 csr_aligned=csr_aligned,
                                 gather_tier=gather_tier, row128=row128,
                                 use_pallas=use_pallas,
-                                packed_reads=packed_reads)
+                                packed_reads=packed_reads,
+                                off_bits=off_bits)
     out = select_hits(c["pos"], c["score"], c["strand"], c["valid"],
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
@@ -515,7 +525,8 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       csr_aligned: bool = False,
                       gather_tier: int | None = None,
                       row128: bool = False,
-                      use_pallas: bool = True):
+                      use_pallas: bool = True,
+                      off_bits: tuple[int, int] | None = None):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
     (or the raw output dict with packed=False).
 
@@ -524,11 +535,15 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     pack_read_codes_host) and unpacks on device — the H2D batch upload
     is the e2e bottleneck on the axon relay (tools/bench_upload.py:
     407k vs 176k reads/s), and 3.2× fewer uploaded bytes hide it in the
-    pipeline bubble. Bit-identical to the unpacked path."""
+    pipeline bubble. Bit-identical to the unpacked path.
+
+    ``off_bits``: (cnt_bits, block_bits) when tables carry packed row128
+    offsets (store.pack_offsets_row128; tables["obase"] present)."""
     sc = sc or ScoreConfig()
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
                           csr_aligned=csr_aligned, gather_tier=gather_tier,
-                          row128=row128, use_pallas=use_pallas)
+                          row128=row128, use_pallas=use_pallas,
+                          off_bits=off_bits)
     if not packed:
         return jax.jit(fn)
 
@@ -715,12 +730,23 @@ class Mapper:
         self.csr_aligned = meta["csr_aligned"]
         self.gather_tier = effective_gather_tier(meta)
         self.row128 = meta.get("layout") == "row128"
-        self.tables = tables_to_device(ht)
+        # packed row128 offsets: half the offsets HBM + gather bytes
+        # (store.pack_offsets_row128). URMAP_NO_PACKED_OFFSETS=1 is the
+        # escape hatch back to the plain uint32 table.
+        import os as _os
+
+        self.off_bits = None
+        if (self.row128 and ht.get("opacked") is not None
+                and _os.environ.get("URMAP_NO_PACKED_OFFSETS") != "1"):
+            self.off_bits = tuple(meta["off_bits"])
+        self.tables = tables_to_device(
+            ht, use_packed_offsets=self.off_bits is not None)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
                                      gather_tier=self.gather_tier,
-                                     row128=self.row128)
+                                     row128=self.row128,
+                                     off_bits=self.off_bits)
         self.second = (WideSecondPass(index, self.mcfg, self.sc)
                        if self.mcfg.second_pass_p else None)
 

@@ -266,7 +266,9 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
                       p: int, csr_aligned: bool = False,
                       tier: int | None = None,
                       tier_overflow_frac: int = 16,
-                      row128: bool = False):
+                      row128: bool = False,
+                      obase=None, off_cnt_bits: int = 0,
+                      off_block_bits: int = 0):
     """CSR gather: per (read, seed), up to P genome positions → candidate
     alignment starts. Returns cand int32[N, Q*P] (SENTINEL where invalid).
 
@@ -296,10 +298,25 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
 
     n, q = slots.shape
     slots_i = slots.astype(jnp.int32)
-    start = jnp.take(offsets, slots_i, axis=0)
-    # offsets may be uint32 (>2^31 positions on GRCh38-scale indexes);
-    # per-slot counts are small (≤ the gather cap [+ row pad]) → int32
-    cnt = (jnp.take(offsets, slots_i + 1, axis=0) - start).astype(jnp.int32)
+    if obase is not None:
+        # packed row128 offsets (store.pack_offsets_row128): one uint32
+        # word carries TWO uint16 slot entries, each
+        # (start − block_base) << cnt_bits | padded_count — half the
+        # offsets HBM and half the gather bytes of the plain table.
+        # Little-endian u16 pairing: even slot = low half.
+        w = jnp.take(offsets, slots_i >> 1, axis=0)
+        u = jnp.where((slots_i & 1) == 1, w >> jnp.uint32(16), w) \
+            & jnp.uint32(0xFFFF)
+        b = jnp.take(obase, slots_i >> off_block_bits, axis=0)
+        start = b + (u >> jnp.uint32(off_cnt_bits))
+        cnt = (u & jnp.uint32((1 << off_cnt_bits) - 1)).astype(jnp.int32)
+    else:
+        start = jnp.take(offsets, slots_i, axis=0)
+        # offsets may be uint32 (>2^31 positions on GRCh38-scale
+        # indexes); per-slot counts are small (≤ the gather cap
+        # [+ row pad]) → int32
+        cnt = (jnp.take(offsets, slots_i + 1, axis=0)
+               - start).astype(jnp.int32)
     j = jnp.arange(p, dtype=jnp.int32)
     if row128:
         # huge-table layout: positions is [R, 128]; one dense row per
