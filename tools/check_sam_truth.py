@@ -19,7 +19,11 @@ import numpy as np
 
 
 def score(sam_path: str, truth_path: str, pe: bool = False,
-          slop: int = 0) -> dict:
+          slop: int = 0, ref_start: int = 0) -> dict:
+    """``ref_start``: global coordinate of the SAM reference's first
+    base — the synthetic-corpus truth arrays hold GLOBAL SeqDB
+    coordinates (which include the 64-base guard pad before chr1),
+    while SAM POS is 1-based within the reference."""
     truth = np.load(truth_path)
     if pe:
         t1, t2 = truth[0], truth[1]
@@ -41,7 +45,7 @@ def score(sam_path: str, truth_path: str, pe: bool = False,
             if flag & 0x4:
                 continue
             mate = 1 if (pe and (flag & 0x80)) else 0
-            pos[mate, idx] = int(f[3]) - 1
+            pos[mate, idx] = int(f[3]) - 1 + ref_start
             if pe and (flag & 0x2):
                 proper[idx] = True
     out = {"records": n_records, "reads": n * (2 if pe else 1)}
@@ -65,11 +69,14 @@ def main():
     ap.add_argument("truth")
     ap.add_argument("--pe", action="store_true")
     ap.add_argument("--slop", type=int, default=0)
+    ap.add_argument("--ref-start", type=int, default=64,
+                    help="global coord of the reference's first base "
+                         "(the synthetic SeqDB guard pad; default 64)")
     args = ap.parse_args()
     import json
 
     print(json.dumps(score(args.sam, args.truth, pe=args.pe,
-                           slop=args.slop)))
+                           slop=args.slop, ref_start=args.ref_start)))
 
 
 if __name__ == "__main__":

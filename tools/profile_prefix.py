@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--index-cache", default="",
+                    help="profile against an EXISTING index directory "
+                         "(e.g. the 3.1 Gbp bits29 cache) with its "
+                         "prepared row128 + packed-offsets tables — the "
+                         "honest GRCh38-scale stage decomposition")
+    ap.add_argument("--stages", default="",
+                    help="comma list to run (default all); each stage "
+                         "is its own remote compile (~minutes at GRCh38 "
+                         "scale), so cherry-pick when chip time matters")
     args = ap.parse_args()
 
     import jax
@@ -62,40 +71,68 @@ def main():
     from urmap_tpu.map.pipeline import make_map_batch_fn
 
     rng = np.random.default_rng(0)
-    glen = int(args.genome_mbp * 1e6)
-    db = SeqDB.from_seqs(["chr1"],
-                         [rng.integers(0, 4, size=glen).astype(np.uint8)])
-    icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
-    t0 = time.monotonic()
-    index = build_index(db, icfg, backend="host")
-    print(f"index build (host): {time.monotonic() - t0:.1f}s")
     mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
     sc = ScoreConfig()
+    p = mcfg.positions_per_seed
+    row128 = False
+    off_bits = None
+    if args.index_cache:
+        from urmap_tpu.index import UfiIndex
+        from urmap_tpu.index.store import (load_prepared,
+                                           tables_to_device)
 
+        index = UfiIndex.load(args.index_cache)
+        db = index.seqdb
+        icfg = index.config
+        prep = load_prepared(index, p)
+        assert prep is not None, "no prepared_p{p} cache in the index dir"
+        ht, meta = prep
+        csr_aligned = bool(meta["csr_aligned"])
+        from urmap_tpu.index.store import effective_gather_tier
+
+        gather_tier = effective_gather_tier(meta)
+        row128 = meta.get("layout") == "row128"
+        off_bits = (tuple(meta["off_bits"])
+                    if row128 and ht.get("opacked") is not None
+                    and os.environ.get("URMAP_NO_PACKED_OFFSETS") != "1"
+                    else None)
+        t0 = time.monotonic()
+        tables = tables_to_device(ht, use_packed_offsets=off_bits
+                                  is not None)
+        print(f"tables uploaded in {time.monotonic() - t0:.0f}s "
+              f"(layout={meta.get('layout')}, off_bits={off_bits})")
+    else:
+        glen = int(args.genome_mbp * 1e6)
+        db = SeqDB.from_seqs(["chr1"],
+                             [rng.integers(0, 4, size=glen).astype(np.uint8)])
+        icfg = IndexConfig(slot_bits=IndexConfig.auto_slot_bits(db.total_len))
+        t0 = time.monotonic()
+        index = build_index(db, icfg, backend="host")
+        print(f"index build (host): {time.monotonic() - t0:.1f}s")
+        # tables exactly as pipeline.Mapper builds them (recapped + row-
+        # aligned CSR when the pad is affordable) — the classic layout here
+        # used to mis-model the production gather
+        from urmap_tpu.index.store import align_runs
+        from urmap_tpu.map.seed import align_row_words
+
+        capped = index.recapped(p)
+        rw = align_row_words(p)
+        counts = np.diff(capped.offsets.astype(np.int64))
+        starts, total = align_runs(counts, rw)
+        csr_aligned = total <= 1.15 * max(capped.num_positions, 1)
+        gather_tier = None
+        if csr_aligned and os.environ.get("URMAP_TIER_GATHER") == "1":
+            # match production: the tier is opt-in since the round-3 sweep
+            # (store.effective_gather_tier)
+            from urmap_tpu.map.pipeline import pick_gather_tier
+
+            gather_tier = pick_gather_tier(
+                np.diff(np.concatenate([starts, [total]])))
+        tables = capped.device_tables(row_align=rw if csr_aligned else None)
     codes, _, _ = synth_reads(rng, db, args.batch * 6, args.read_len)
     lengths = np.full(args.batch, args.read_len, np.int32)
-    # tables exactly as pipeline.Mapper builds them (recapped + row-
-    # aligned CSR when the pad is affordable) — the classic layout here
-    # used to mis-model the production gather
-    from urmap_tpu.index.store import align_runs
-    from urmap_tpu.map.seed import align_row_words
-
-    p = mcfg.positions_per_seed
-    capped = index.recapped(p)
-    rw = align_row_words(p)
-    counts = np.diff(capped.offsets.astype(np.int64))
-    starts, total = align_runs(counts, rw)
-    csr_aligned = total <= 1.15 * max(capped.num_positions, 1)
-    gather_tier = None
-    if csr_aligned and os.environ.get("URMAP_TIER_GATHER") == "1":
-        # match production: the tier is opt-in since the round-3 sweep
-        # (store.effective_gather_tier)
-        from urmap_tpu.map.pipeline import pick_gather_tier
-
-        gather_tier = pick_gather_tier(
-            np.diff(np.concatenate([starts, [total]])))
-    tables = capped.device_tables(row_align=rw if csr_aligned else None)
-    print(f"csr_aligned={csr_aligned} gather_tier={gather_tier}")
+    print(f"csr_aligned={csr_aligned} gather_tier={gather_tier} "
+          f"row128={row128}")
     reads = [jnp.asarray(codes[i * args.batch:(i + 1) * args.batch])
              for i in range(6)]
     lens = jnp.asarray(lengths)
@@ -126,7 +163,10 @@ def main():
                 return jnp.sum(slots.astype(jnp.int32))
             cand = seedmod.gather_candidates(
                 tables["offsets"], tables["positions"], slots, offs,
-                valid, p=p, csr_aligned=csr_aligned, tier=gather_tier)
+                valid, p=p, csr_aligned=csr_aligned, tier=gather_tier,
+                row128=row128, obase=tables.get("obase"),
+                off_cnt_bits=off_bits[0] if off_bits else 0,
+                off_block_bits=off_bits[1] if off_bits else 0)
             if stage == "gather":
                 return jnp.sum(cand)
             top_cand, votes = seedmod.vote_top_candidates_dispatch(cand, v=v)
@@ -140,7 +180,8 @@ def main():
         c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                     mcfg=mcfg, sc=sc,
                                     csr_aligned=csr_aligned,
-                                    gather_tier=gather_tier)
+                                    gather_tier=gather_tier,
+                                    row128=row128, off_bits=off_bits)
         return (jnp.sum(c["score"]) + jnp.sum(c["pos"])
                 + jnp.sum(c["ungapped"]))
 
@@ -149,25 +190,33 @@ def main():
         # stack + the [B, 6] D2H fetch
         out = map_batch_device(tables, reads, lengths, icfg=icfg,
                                mcfg=mcfg, sc=sc, csr_aligned=csr_aligned,
-                               gather_tier=gather_tier)
+                               gather_tier=gather_tier,
+                               row128=row128, off_bits=off_bits)
         return (jnp.sum(out["pos"]) + jnp.sum(out["score"])
                 + jnp.sum(out["mapq"]) + jnp.sum(out["second"]))
 
+    wanted = set(args.stages.split(",")) if args.stages else None
     results = []
     for stage in ("null", "words", "seed", "gather", "vote"):
+        if wanted and stage not in wanted:
+            continue
         dt = timeit(upto(stage), tables, reads, lens)
         results.append((stage, dt))
         print(f"  upto {stage:10s} {dt * 1e3:8.2f} ms", flush=True)
     for name, f in (("cands", upto_cands), ("select", upto_select)):
+        if wanted and name not in wanted:
+            continue
         dt = timeit(jax.jit(f), tables, reads, lens)
         results.append((name, dt))
         print(f"  upto {name:10s} {dt * 1e3:8.2f} ms", flush=True)
 
-    full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned,
-                             gather_tier=gather_tier)
-    dt = timeit(full, tables, reads, lens)
-    results.append(("FULL", dt))
-    print(f"  FULL (packed)   {dt * 1e3:8.2f} ms")
+    if not wanted or "FULL" in wanted:
+        full = make_map_batch_fn(icfg, mcfg, sc, csr_aligned=csr_aligned,
+                                 gather_tier=gather_tier,
+                                 row128=row128, off_bits=off_bits)
+        dt = timeit(full, tables, reads, lens)
+        results.append(("FULL", dt))
+        print(f"  FULL (packed)   {dt * 1e3:8.2f} ms")
     prev = 0.0
     print("deltas:")
     for stage, dt in results:
