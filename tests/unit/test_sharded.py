@@ -121,3 +121,81 @@ def test_sharded_tables_roundtrip(rng, tmp_path):
     sub = load_sharded_tables(str(tmp_path / "sh"), shards=[1, 3])
     np.testing.assert_array_equal(sub.offsets[0], want.offsets[1])
     np.testing.assert_array_equal(sub.offsets[1], want.offsets[3])
+
+
+def test_a2a_slack_sizing(monkeypatch):
+    """Adaptive lane slack from per-shard position mass (round-3 verdict
+    item: K was a blind 2.0x). Uniform mass keeps the 2.0 floor; a hot
+    shard scales K to ~1.25x its mass share; env overrides; capped at S
+    (K = M always finishes in one round)."""
+    from urmap_tpu.dist.sharded import a2a_slack_from_index
+
+    monkeypatch.delenv("URMAP_A2A_SLACK", raising=False)
+    # 8 shards x 1 slot each, 100 positions per slot: uniform
+    off = np.arange(0, 801, 100).astype(np.uint32)
+    assert a2a_slack_from_index(off, 8, 1) == 2.0
+    # shard 0 owns half the mass -> 1.25 * 8 * 0.5 = 5
+    counts = np.array([350] + [50] * 7, np.int64)
+    off2 = np.concatenate([[0], np.cumsum(counts)]).astype(np.uint32)
+    assert a2a_slack_from_index(off2, 8, 1) == pytest.approx(5.0)
+    # everything on one shard -> capped at S
+    off3 = np.array([0, 700, 700, 700, 700, 700, 700, 700, 700],
+                    np.uint32)
+    assert a2a_slack_from_index(off3, 8, 1) == 8.0
+    # env override wins
+    monkeypatch.setenv("URMAP_A2A_SLACK", "3.5")
+    assert a2a_slack_from_index(off2, 8, 1) == 3.5
+
+
+def test_a2a_skewed_repeat_genome(rng):
+    """Hot-shard routing under a LOW-DIVERSITY high-copy repeat (a
+    tandem family has only ~period distinct k-mers, so every copy's
+    query lands on the same few slots = one shard): the adaptive slack
+    must engage (> 2 when a shard's mass share warrants it is not
+    guaranteed at build-cap, so just assert the property it protects)
+    and the sharded result must equal the single-device mapper with
+    reads hammering the hot shard."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("need 4 devices")
+    from urmap_tpu.dist.sharded import ShardedMapper, make_mesh
+
+    # 120 kbp genome whose middle third is a period-7 tandem repeat
+    glen = 120_000
+    seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+    unit = rng.integers(0, 4, size=7).astype(np.uint8)
+    third = glen // 3
+    seq[third : 2 * third] = np.tile(unit, third // 7 + 1)[:third]
+    from urmap_tpu import alphabet
+    from urmap_tpu.io.fasta import SeqDB
+
+    db = SeqDB.from_seqs(["chr1"], [alphabet.decode(seq)])
+    index = build_index(db, IndexConfig(slot_bits=16), backend="host")
+
+    # half the reads from unique sequence, half pinned inside the repeat
+    # (every repeat read's seeds query the same few slots = max skew)
+    n, L = 48, 100
+    g0 = int(db.starts[0])
+    codes = np.empty((n, L), np.uint8)
+    for i in range(n):
+        if i % 2:
+            p = int(rng.integers(third + 50, 2 * third - L - 50))
+        else:
+            p = int(rng.integers(0, third - L))
+        codes[i] = db.codes[g0 + p : g0 + p + L]
+    lengths = np.full(n, L, np.int32)
+    mcfg = MapConfig(max_read_len=L, batch_size=16)
+
+    single = Mapper(index, mcfg).map_codes(codes, lengths)
+    sh = ShardedMapper(index, make_mesh(4, data=1, index=4), mcfg,
+                       route="a2a")
+    assert sh.a2a_slack >= 2.0
+    got = sh.map_codes(codes, lengths)
+    for f in ("mapped", "pos", "strand", "score", "mapq"):
+        np.testing.assert_array_equal(getattr(single, f),
+                                      getattr(got, f), err_msg=f)
+    # unique-region reads must be confidently correct; repeat reads must
+    # be contained (never confidently wrong): MAPQ 0 or a correct locus
+    for i in range(0, n, 2):
+        assert got.mapped[i]

@@ -61,6 +61,61 @@ def simulate(rng, db, n, length, snp_rate, indel_rate):
     return codes, truth_pos, truth_strand
 
 
+def plant_repeat_families(rng, seq: np.ndarray, frac: float) -> None:
+    """Overwrite ~``frac`` of the genome with realistic repeat content
+    (round-3 verdict item 2: the old model was pairwise 5 kb segment
+    copies — no HIGH-COPY families, which are what actually hammer the
+    vote/candidate/MAPQ machinery and the a2a slot skew on real GRCh38).
+    Budget split, mirroring the human repeat landscape in spirit:
+
+      55%  SINE-like: one 300 bp consensus copied thousands of times,
+           each copy independently diverged ~8% (Alu-like: near-identical
+           short elements everywhere),
+      25%  LINE-like: one 6 kb consensus at ~4% divergence (long
+           elements — a read fits INSIDE one, making copies ambiguous),
+      10%  exact segmental duplications (5 kb head→tail copies, zero
+           divergence: the hardest MAPQ case),
+      10%  low-complexity tandem (period 5-9): a handful of distinct
+           k-mers carrying huge position mass — the a2a hot-shard case.
+
+    In-place on ``seq`` (uint8 codes)."""
+    glen = seq.shape[0]
+    budget = int(glen * frac)
+
+    def diverged(cons, rate):
+        c = cons.copy()
+        m = rng.random(c.shape[0]) < rate
+        c[m] = (c[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+        return c
+
+    # SINE-like family
+    sine = rng.integers(0, 4, size=300).astype(np.uint8)
+    n_sine = int(budget * 0.55) // 300
+    for _ in range(n_sine):
+        d = int(rng.integers(0, glen - 300))
+        seq[d : d + 300] = diverged(sine, 0.08)
+    # LINE-like family
+    line = rng.integers(0, 4, size=6000).astype(np.uint8)
+    for _ in range(int(budget * 0.25) // 6000):
+        d = int(rng.integers(0, glen - 6000))
+        seq[d : d + 6000] = diverged(line, 0.04)
+    # exact segmental duplications
+    for _ in range(int(budget * 0.10) // 5000):
+        srcp = int(rng.integers(0, glen // 2 - 5000))
+        d = int(rng.integers(glen // 2, glen - 5000))
+        seq[d : d + 5000] = seq[srcp : srcp + 5000]
+    # low-complexity tandem runs
+    placed = 0
+    target = int(budget * 0.10)
+    while placed < target:
+        period = int(rng.integers(5, 10))
+        run = int(rng.integers(2000, 8000))
+        unit = rng.integers(0, 4, size=period).astype(np.uint8)
+        d = int(rng.integers(0, glen - run))
+        seq[d : d + run] = np.tile(unit, run // period + 1)[:run]
+        placed += run
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--reads", type=int, default=20_000)
@@ -81,6 +136,10 @@ def main(argv=None):
     ap.add_argument("--endclip", action="store_true",
                     help="MapConfig.end_clip (X-drop-analog soft "
                          "clipping) — compare ROC vs the default")
+    ap.add_argument("--second-pass", type=int, default=0,
+                    help="MapConfig.second_pass_p: host wide-gather "
+                         "recovery — measures recovery under repeat "
+                         "load at scale")
     ap.add_argument("--repeat-frac", type=float, default=0.0,
                     help="fraction of the genome made of duplicated "
                          "segments — reads there are ambiguous; a good "
@@ -102,15 +161,7 @@ def main(argv=None):
     glen = int(args.genome_mbp * 1e6)
     seq = rng.integers(0, 4, size=glen).astype(np.uint8)
     if args.repeat_frac > 0:
-        # overwrite the tail with copies of segments from the head
-        seg = 5000
-        n_rep = int(glen * args.repeat_frac) // seg
-        for i in range(n_rep):
-            src = int(rng.integers(0, glen // 2 - seg))
-            dst = glen // 2 + i * seg
-            if dst + seg > glen:
-                break
-            seq[dst : dst + seg] = seq[src : src + seg]
+        plant_repeat_families(rng, seq, args.repeat_frac)
     db = SeqDB.from_seqs(["chr1"], [seq])
     sbits = IndexConfig.auto_slot_bits(db.total_len)
     if args.veryfast:
@@ -129,6 +180,8 @@ def main(argv=None):
         mkw["min_votes"] = args.min_votes
     if args.endclip:
         mkw["end_clip"] = True
+    if args.second_pass:
+        mkw["second_pass_p"] = args.second_pass
     mapper = Mapper(index, MapConfig(**mkw))
 
     codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,

@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--genome-mbp", type=float, default=16.0)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--positions-per-seed", type=int, default=0,
+                    help="override MapConfig.positions_per_seed (must "
+                         "match the prepared_p<p> cache with "
+                         "--index-cache; the GRCh38 caches are p=8)")
     ap.add_argument("--index-cache", default="",
                     help="profile against an EXISTING index directory "
                          "(e.g. the 3.1 Gbp bits29 cache) with its "
@@ -71,7 +75,10 @@ def main():
     from urmap_tpu.map.pipeline import make_map_batch_fn
 
     rng = np.random.default_rng(0)
-    mcfg = MapConfig(max_read_len=args.read_len, batch_size=args.batch)
+    mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
+    if args.positions_per_seed:
+        mkw["positions_per_seed"] = args.positions_per_seed
+    mcfg = MapConfig(**mkw)
     sc = ScoreConfig()
     p = mcfg.positions_per_seed
     row128 = False

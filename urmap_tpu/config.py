@@ -175,6 +175,17 @@ class MapConfig:
     # MAPQ ceiling. PARITY-TODO: reference's exact MAPQ formula & cap
     # (SURVEY.md §0.1 item 3).
     max_mapq: int = 42
+    # MAPQ ceiling for weak-fallback reads: no candidate on either
+    # strand reached min_votes, so the winner rests on ONE
+    # uncorroborated seed from a saturated (recap-subsampled) slot —
+    # tandem/satellite reads whose equal-scoring siblings the top-V
+    # vote subset cannot see (the MAPQ gap formula then reports false
+    # confidence: 1.5% of calls on a 25%-repeat genome were
+    # confidently wrong before the cap, all from tandem runs). 0 is
+    # the calibrated value: measured ~94% of capped calls sit at a
+    # wrong within-run offset, i.e. the BWA "multimapping = MAPQ 0"
+    # convention. PARITY-TODO: the reference's repeat-confidence rule.
+    weak_mapq_cap: int = 0
     # MAPQ slope: mapq = min(max_mapq, mapq_scale * (best - second)).
     # PARITY-TODO.
     mapq_scale: float = 6.0

@@ -269,6 +269,8 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
         p_strand = _take(cm["strand"], idx)
         p_score = _take(cm["score"], idx)
         p_ung = _take(cm["ungapped"], idx)
+        my_weak = c1["weak"] if is_first else c2["weak"]
+        other_weak = c2["weak"] if is_first else c1["weak"]
         rescued = resc_ok & (a1 if not is_first else a2)
         mapped = proper | se["mapped"] | rescued
         pos = jnp.where(proper, p_pos,
@@ -286,6 +288,16 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                                   se["ungapped"]))
         mapq = jnp.where(proper, jnp.maximum(se["mapq"], pair_mapq),
                          jnp.where(rescued, resc_mapq, se["mapq"]))
+        # weak-fallback mate (no candidate reached the vote floor —
+        # pipeline "weak" note): its own placement is subsample luck in
+        # saturated-slot (tandem/satellite) territory. Concordant with
+        # a CORROBORATED anchor the fragment constraint restores
+        # rescue-grade confidence (RESCUE_MAPQ_CAP); otherwise cap hard
+        # — the pair-gap formula cannot see the equal-scoring siblings.
+        wcap = jnp.where(proper & ~other_weak,
+                         jnp.int32(RESCUE_MAPQ_CAP),
+                         jnp.int32(mcfg.weak_mapq_cap))
+        mapq = jnp.where(my_weak, jnp.minimum(mapq, wcap), mapq)
         mapq = jnp.where(mapped, mapq, 0)
         # clip-rescue flag (candidates_batch_device): proper/single
         # winners of a clip-rescued read carry clip-mode scores (host

@@ -197,9 +197,32 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         # produced one that strong (config.MapConfig.min_votes)
         mv = jnp.int32(mcfg.min_votes)
         pair_max = jnp.max(votes.reshape(2, B, v), axis=(0, 2))   # [B]
-        weak_read = jnp.tile(pair_max < mv, 2)[:, None]           # [2B, 1]
+        no_floor = pair_max < mv                                  # [B]
+        weak_read = jnp.tile(no_floor, 2)[:, None]                # [2B, 1]
         top_cand = jnp.where((votes >= mv) | weak_read, top_cand,
                              SENTINEL)
+        # "weak" = fallback fired AND ANY seed is SATURATED (all p
+        # gather lanes valid ⇒ that slot was recap-subsampled ⇒ unseen
+        # equal-scoring siblings likely): tandem/satellite reads —
+        # including run-BOUNDARY reads whose unique flank keeps most
+        # seeds unsaturated but whose true diagonal was subsampled away
+        # — get their MAPQ capped downstream. Mutation-riddled unique
+        # reads stay uncapped: at auto slot_bits (~0.5 positions/slot)
+        # a saturated slot essentially cannot occur on non-repetitive
+        # sequence, so this costs no clean-genome recall (the plain
+        # no_floor cap cost 0.2% recall@MAPQ>=1 for nothing).
+        sat = jnp.all(cand.reshape(2 * B, q, p) != SENTINEL, axis=2)
+        nsat = sat.sum(axis=1).reshape(2, B).sum(axis=0)
+        nval = valid.sum(axis=1).reshape(2, B).sum(axis=0)
+        # the second term catches tandem-INTERIOR reads that defeat the
+        # vote floor by periodic coincidence (positions spaced exactly
+        # two seed-offsets apart give one candidate 2 votes): when most
+        # seeds are saturated, the candidate set is a subsample however
+        # the votes fell.
+        weak = (no_floor & (nsat > 0)) \
+            | ((2 * nsat >= nval) & (nval > 0))
+    else:
+        weak = jnp.zeros((B,), jnp.bool_)
     # genome range in biased device coordinates (seed.POS_BIAS)
     top_cand = jnp.where(
         top_cand == SENTINEL, SENTINEL,
@@ -429,6 +452,16 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         "span": spans_f,
         "dp_ran": served,
         "clipped": clipped_read,
+        # no candidate on either strand reached the vote floor: the
+        # winner exists only through the weak-read fallback, i.e. its
+        # placement rests on ONE uncorroborated seed from a saturated
+        # (subsampled) slot — tandem/satellite territory. MAPQ is
+        # capped for these reads (select/map_batch_device): on a 25%-
+        # repeat genome the uncapped pipeline reported 1.5% of calls
+        # confidently WRONG, all from tandem runs, because the top-V
+        # vote subset missed the equal-scoring siblings and the MAPQ
+        # gap formula saw no second.
+        "weak": weak,
     }
 
 
@@ -451,6 +484,13 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                       lengths, c["ungapped"], mc=mcfg, k=icfg.k)
     out["dp_ran"] = c["dp_ran"]
     out["clipped"] = c["clipped"] & out["mapped"]
+    # weak-fallback winners (candidates_batch_device "weak" note): the
+    # placement is subsample luck in saturated-slot territory — cap
+    # MAPQ so tandem/satellite reads are contained, never confident
+    out["mapq"] = jnp.where(c["weak"] & out["mapped"],
+                            jnp.minimum(out["mapq"],
+                                        jnp.int32(mcfg.weak_mapq_cap)),
+                            out["mapq"])
     return out
 
 
