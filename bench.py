@@ -196,6 +196,21 @@ def timed_passes(make_items, start, sync, fmt, write, *, passes, inflight,
     return elapsed, (warm_s, n_warm), stamps_all
 
 
+def stall_diag(diag):
+    """Per-batch sync-wait vs feed-gap percentiles across ALL passes —
+    attributes a mid-pass rate dip (round-3 PE weak item: 317.7k pass
+    with batch p90 254.5 ms) to the device/relay (sync spikes) or the
+    host feed path (feed spikes without sync spikes)."""
+    out = {}
+    for k, v in diag.items():
+        if len(v) >= 3:
+            a = np.asarray(v)
+            out[f"{k}_p50"] = round(float(np.percentile(a, 50)), 1)
+            out[f"{k}_p90"] = round(float(np.percentile(a, 90)), 1)
+            out[f"{k}_max"] = round(float(a.max()), 1)
+    return out
+
+
 def batch_percentiles(stamps):
     """Steady-state per-batch ms p10/p50/p90 from completion stamps."""
     if len(stamps) < 3:
@@ -278,13 +293,18 @@ def run_single(args, db, mapper, rng, t_index, dev):
     sink = io.BytesIO()
     stats = {"mapped": 0, "correct": 0}
 
+    diag = {"sync_ms": [], "feed_ms": []}
+
     def start(item):
         _s, batch, pk = item
         return mapper.start_batch(batch.codes, batch.lengths, prepacked=pk)
 
     def sync(item, handle):
         _s, batch, _pk = item
-        return mapper.finish_batch(handle, batch.lengths)
+        t0 = time.monotonic()
+        r = mapper.finish_batch(handle, batch.lengths)
+        diag["sync_ms"].append((time.monotonic() - t0) * 1e3)
+        return r
 
     def fmt(item, res):
         s, batch, _pk = item
@@ -329,8 +349,14 @@ def run_single(args, db, mapper, rng, t_index, dev):
         pf = PrefetchIterator(
             reader, transform=lambda b: (b, mapper.prepack(b.codes,
                                                            b.lengths)))
+        t0 = time.monotonic()
         for batch, pk in pf:
+            # gap between our yield returning and the next item pull =
+            # drain-loop body + prefetch-queue wait; spikes here WITHOUT
+            # matching sync_ms spikes = host/feed stall, not the device
+            diag["feed_ms"].append((time.monotonic() - t0) * 1e3)
             yield s, batch, pk
+            t0 = time.monotonic()
             s += len(batch)
 
     elapsed, warm, stamps = timed_passes(
@@ -340,7 +366,7 @@ def run_single(args, db, mapper, rng, t_index, dev):
         "map_reads_per_sec_150bp_se", args.reads, elapsed, warm, stamps,
         {"mapped_frac": round(stats["mapped"] / args.reads, 4),
          "correct_frac": round(stats["correct"] / args.reads, 4),
-         "index_build_s": round(t_index, 2)},
+         "index_build_s": round(t_index, 2), **stall_diag(diag)},
         args, dev)
 
 
@@ -376,6 +402,8 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
     sink = io.BytesIO()
     stats = {"mapped": 0, "correct": 0, "proper": 0}
 
+    diag = {"sync_ms": [], "feed_ms": []}
+
     def start(item):
         _s, b1, b2, pk = item
         return pm.start_batch(b1.codes, b1.lengths, b2.codes, b2.lengths,
@@ -383,7 +411,10 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
 
     def sync(item, handle):
         _s, b1, b2, _pk = item
-        return pm.finish_batch(handle, b1.lengths, b2.lengths)
+        t0 = time.monotonic()
+        r = pm.finish_batch(handle, b1.lengths, b2.lengths)
+        diag["sync_ms"].append((time.monotonic() - t0) * 1e3)
+        return r
 
     def fmt(item, res):
         s, b1, b2, _pk = item
@@ -427,8 +458,11 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
             reader,
             transform=lambda p: (p, pm.prepack(p[0].codes, p[0].lengths,
                                                p[1].codes, p[1].lengths)))
+        t0 = time.monotonic()
         for (b1, b2), pk in pf:
+            diag["feed_ms"].append((time.monotonic() - t0) * 1e3)
             yield s, b1, b2, pk
+            t0 = time.monotonic()
             s += len(b1)
 
     elapsed, warm, stamps = timed_passes(
@@ -438,7 +472,7 @@ def run_paired(args, db, mapper, rng, t_index, dev, se_rec=None):
     extra = {"mapped_frac": round(stats["mapped"] / total_reads, 4),
              "correct_frac": round(stats["correct"] / total_reads, 4),
              "proper_frac": round(stats["proper"] / n_pairs, 4),
-             "index_build_s": round(t_index, 2)}
+             "index_build_s": round(t_index, 2), **stall_diag(diag)}
     if se_rec is not None:
         extra["se_reads_per_sec"] = se_rec["value"]
         extra["se_correct_frac"] = se_rec["correct_frac"]
