@@ -145,6 +145,12 @@ def main(argv=None):
                          "segments — reads there are ambiguous; a good "
                          "mapper reports them at MAPQ 0, so precision at "
                          "MAPQ>=10 should stay ~1.0 while recall drops")
+    ap.add_argument("--index-cache", default="",
+                    help="directory to save/load the built index + "
+                         "prepared tables (the at-scale repeat runs "
+                         "re-use one build across configs; the genome "
+                         "is deterministic in the seed, so a cache hit "
+                         "is bit-equal to a rebuild)")
     args = ap.parse_args(argv)
 
     import jax
@@ -159,16 +165,32 @@ def main(argv=None):
 
     rng = np.random.default_rng(0)
     glen = int(args.genome_mbp * 1e6)
-    seq = rng.integers(0, 4, size=glen).astype(np.uint8)
-    if args.repeat_frac > 0:
-        plant_repeat_families(rng, seq, args.repeat_frac)
-    db = SeqDB.from_seqs(["chr1"], [seq])
-    sbits = IndexConfig.auto_slot_bits(db.total_len)
-    if args.veryfast:
-        sbits = min(sbits + 2, 30)
-    index = build_index(db, IndexConfig(slot_bits=sbits,
-                                        veryfast=args.veryfast),
-                        backend="host")
+    cache = args.index_cache
+    if cache and os.path.exists(os.path.join(cache, "header.json")):
+        from urmap_tpu.index import UfiIndex
+
+        t0 = time.monotonic()
+        index = UfiIndex.load(cache)
+        db = index.seqdb
+        assert int(db.lengths[0]) == glen, (db.lengths[0], glen)
+        print(f"# cached index loaded in {time.monotonic() - t0:.0f}s")
+    else:
+        seq = rng.integers(0, 4, size=glen).astype(np.uint8)
+        if args.repeat_frac > 0:
+            t0 = time.monotonic()
+            plant_repeat_families(rng, seq, args.repeat_frac)
+            print(f"# repeats planted in {time.monotonic() - t0:.0f}s")
+        db = SeqDB.from_seqs(["chr1"], [seq])
+        sbits = IndexConfig.auto_slot_bits(db.total_len)
+        if args.veryfast:
+            sbits = min(sbits + 2, 30)
+        t0 = time.monotonic()
+        index = build_index(db, IndexConfig(slot_bits=sbits,
+                                            veryfast=args.veryfast),
+                            backend="host")
+        print(f"# index built in {time.monotonic() - t0:.0f}s")
+        if cache:
+            index.save(cache)
     mkw = dict(max_read_len=args.read_len, batch_size=args.batch)
     if args.veryfast:
         from urmap_tpu.config import VERYFAST_MAP_OVERRIDES
@@ -182,9 +204,23 @@ def main(argv=None):
         mkw["end_clip"] = True
     if args.second_pass:
         mkw["second_pass_p"] = args.second_pass
+    if cache:
+        from urmap_tpu.index.store import load_prepared, save_prepared
+
+        pp = mkw.get("positions_per_seed", MapConfig.positions_per_seed)
+        for p_ in [pp] + ([args.second_pass] if args.second_pass else []):
+            if load_prepared(index, p_) is None:
+                t0 = time.monotonic()
+                save_prepared(index, cache, p_)
+                print(f"# prepared p={p_} cached in "
+                      f"{time.monotonic() - t0:.0f}s")
     mapper = Mapper(index, MapConfig(**mkw))
 
-    codes, tpos, tstrand = simulate(rng, db, args.reads, args.read_len,
+    # reads come from their OWN rng stream so a cache hit simulates the
+    # same reads as a fresh build (the genome rng consumed differently)
+    rng_reads = np.random.default_rng(1)
+    codes, tpos, tstrand = simulate(rng_reads, db, args.reads,
+                                    args.read_len,
                                     args.snp_rate, args.indel_rate)
     lengths = np.full(args.reads, args.read_len, np.int32)
     t0 = time.monotonic()
