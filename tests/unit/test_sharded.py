@@ -199,3 +199,55 @@ def test_a2a_skewed_repeat_genome(rng):
     # be contained (never confidently wrong): MAPQ 0 or a correct locus
     for i in range(0, n, 2):
         assert got.mapped[i]
+
+
+def test_a2a_round_model(rng):
+    """tools/a2a_rounds.rounds_for_batch's closed form
+    (ceil(max_dest_count / K) per device, max over devices) must equal
+    a step-level simulation of _a2a_gather_runner's actual loop body
+    (stable sort by destination, first K per destination served per
+    round) on skewed query loads."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2] / "tools"))
+    from a2a_rounds import rounds_for_batch
+
+    def simulate(slots, valid, sps, S, rows_per_dev, K):
+        worst = 1
+        m = slots.shape[0]
+        for d0 in range(0, m, rows_per_dev):
+            fslot = slots[d0 : d0 + rows_per_dev].reshape(-1)
+            served = ~valid[d0 : d0 + rows_per_dev].reshape(-1)
+            owner = np.clip(fslot.astype(np.int64) // sps, 0, S - 1)
+            r = 0
+            while not served.all():
+                r += 1
+                ow = np.where(served, S, owner)
+                order = np.argsort(ow, kind="stable")
+                so = ow[order]
+                counts = np.bincount(so, minlength=S + 1)
+                start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                rank = np.arange(so.shape[0]) - start[so]
+                okK = (rank < K) & (so < S)
+                served[order] |= okK
+                assert r <= 1000
+            worst = max(worst, max(r, 1))
+        return worst
+
+    S, sps = 4, 64
+    for trial in range(8):
+        m, q = 32, 8
+        # skew: most queries hammer shard 0's range
+        hot = rng.random() < 0.7
+        slots = rng.integers(0, S * sps, size=(m, q)).astype(np.int64)
+        if hot:
+            mask = rng.random(slots.shape) < 0.8
+            slots[mask] = rng.integers(0, sps, size=int(mask.sum()))
+        valid = rng.random(slots.shape) < 0.9
+        for K in (1, 3, 8, 50):
+            for rows in (8, 16, 32):
+                want = simulate(slots, valid, sps, S, rows, K)
+                got = rounds_for_batch(slots, valid, sps=sps, n_shards=S,
+                                       rows_per_dev=rows, K=K)
+                assert got == want, (K, rows, got, want)
