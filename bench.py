@@ -503,7 +503,7 @@ def check_kernel_full(args, mcfg, icfg, dev):
     kr[:512] = kw[:512, hw : hw + args.read_len]  # planted matches
     kl = ck_rng.integers(30, args.read_len + 1, size=2048).astype(np.int32)
     for clip in (None, sc.clip_open):
-        s_p, d_p, e_p = pallas_from_windows(
+        s_p, d_p, e_p, _u = pallas_from_windows(
             jnp.asarray(kw), jnp.asarray(kr), jnp.asarray(kl),
             hw=hw, sc=sc, clip_open=clip)
         s_j, d_j, e_j = banded_from_windows(

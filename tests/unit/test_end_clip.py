@@ -81,7 +81,7 @@ def test_clip_pallas_matches_jnp(rng):
     s_j, d_j, e_j = banded_from_windows(
         jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(lengths),
         hw=hw, sc=sc, clip_open=CLIP)
-    s_p, d_p, e_p = pallas_from_windows(
+    s_p, d_p, e_p, _u = pallas_from_windows(
         jnp.asarray(windows), jnp.asarray(reads), jnp.asarray(lengths),
         hw=hw, sc=sc, clip_open=CLIP, interpret=True)
     np.testing.assert_array_equal(np.asarray(s_j), np.asarray(s_p))

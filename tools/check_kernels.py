@@ -64,7 +64,7 @@ def main():
                                      jnp.asarray(kl), hw=hw, sc=sc,
                                      clip_open=clip)
         same = all(np.array_equal(np.asarray(a), np.asarray(b))
-                   for a, b in zip(outs_p, outs_j))
+                   for a, b in zip(outs_p[:3], outs_j))
         print(f"banded_dp clip={clip is not None}: "
               f"{'ok' if same else 'MISMATCH'}", flush=True)
         ok &= same

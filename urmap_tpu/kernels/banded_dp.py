@@ -73,15 +73,22 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
         H0 = b_idx                                   # packed (0, d0=b-hw)
         E0 = jnp.full((W, block_r), NEGP, jnp.int32)
         early0 = jnp.full((1, block_r), NEGP, jnp.int32)
+        U0 = jnp.zeros((W, block_r), jnp.int32)
 
         def step(i, carry):
-            H, E, final, early, wslab, rslab = carry
+            H, E, final, early, U, wslab, rslab = carry
             if clip_open is not None:
                 fresh = jnp.where(i == 0, H0, clip_s + b_idx + i)
                 H = jnp.maximum(H, jnp.where(i < lens, fresh, NEGP))
             win = wslab[0:W, :]                      # [W, R] uint8
             rd = rslab[0:1, :]                       # [1, R]
             sub = jnp.where(win == rd, match_s, mis_s)
+            # straight-diagonal (ungapped) score per band offset: U[b]
+            # = S * ungapped score of the M-only placement at
+            # cand + (b - hw) — replaces banded_packed's post-DP
+            # mismatch_counts re-gather (one VPU add here vs a 3-row
+            # window gather + popcount per lane out there)
+            U = U + jnp.where(i < lens, sub, 0)
             diag = H + sub
             E = jnp.maximum(_shift_up(H, W, b_idx, NEGP) + open_s,
                             _shift_up(E, W, b_idx, NEGP) + ext_s)
@@ -100,11 +107,11 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
                 early = jnp.maximum(early, row_best + clip_s)
             wslab = pltpu.roll(wslab, wp - 1, axis=0)   # row r+1 → row r
             rslab = pltpu.roll(rslab, lp - 1, axis=0)
-            return H, E, final, early, wslab, rslab
+            return H, E, final, early, U, wslab, rslab
 
         # int32 slabs: Mosaic's sublane rotate doesn't lower for int8
-        _, _, final, early, _, _ = jax.lax.fori_loop(
-            0, L, step, (H0, E0, H0, early0,
+        _, _, final, early, U, _, _ = jax.lax.fori_loop(
+            0, L, step, (H0, E0, H0, early0, U0,
                          win_ref[:].astype(jnp.int32),
                          read_ref[:].astype(jnp.int32)))
         best = jnp.max(final, axis=0)
@@ -113,8 +120,24 @@ def _make_kernel(L: int, hw: int, sc: ScoreConfig, block_r: int,
         b_end = jnp.min(jnp.where(final == best[None, :], b_idx, W), axis=0)
         if clip_open is not None:
             best = jnp.maximum(best, early[0, :])
+        # winner's START band offset b0 = best mod S, extracted with an
+        # f32 DIVISION (no integer div in Mosaic): exact because |best|
+        # ≤ ~max_read_len·|mismatch|·S ≪ 2^23, so operands are exact,
+        # an integer quotient is returned exactly (one IEEE rounding of
+        # an exactly-representable value), and a fractional one sits
+        # ≥ 1/S from the next integer — far beyond the ~2^-12 division
+        # error at these magnitudes. (A reciprocal-MULTIPLY here would
+        # misfloor exact multiples.) In clip mode b0 may exceed W-1
+        # (clipped start rows live outside the band) — the one-hot
+        # select then yields 0 and callers must not consume row 2
+        # (banded_packed keeps the mismatch_counts path under clip).
+        q = jnp.floor(best.astype(jnp.float32)
+                      / jnp.float32(S)).astype(jnp.int32)
+        b0 = best - q * S
         out_ref[0, :] = best
         out_ref[1, :] = b_end
+        out_ref[2, :] = jnp.sum(
+            jnp.where(b_idx == b0[None, :], U, 0), axis=0)
 
     return kernel, W, S
 
@@ -125,7 +148,14 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
                         sc: ScoreConfig, block_r: int = DEFAULT_BLOCK_R,
                         interpret: bool = False,
                         clip_open: int | None = None):
-    """Kernel twin of map.dp.banded_from_windows → (scores, d0, d1)."""
+    """Kernel twin of map.dp.banded_from_windows →
+    (scores, d0, d1, ungapped).
+
+    ``ungapped`` (the 4th return, which the jnp twin does not produce)
+    is the straight-diagonal M-only score at POS = cand + d0, equal by
+    construction to banded_packed's mismatch_counts rescore there —
+    accumulated in-kernel so the caller skips that whole window
+    re-gather. Meaningless under ``clip_open`` (see _make_kernel)."""
     N, L = reads.shape
     wlen = L + 2 * hw
     assert windows.shape == (N, wlen)
@@ -148,18 +178,20 @@ def pallas_from_windows(windows, reads, lengths, *, hw: int,
             pl.BlockSpec((lp, R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, R), lambda i: (0, i),
+        out_specs=pl.BlockSpec((3, R), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2, npad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((3, npad), jnp.int32),
         interpret=interpret,
     )(win_t, reads_t, lens_p)
     d1 = packed[1, :N] - hw
+    # U = S·ungapped exactly (every sub term is a multiple of S)
+    ung = jnp.floor_divide(packed[2, :N], S).astype(jnp.int32)
     packed = packed[0, :N]
 
     scores = jnp.floor_divide(packed, S)
     b0 = packed - scores * S
     d0 = b0.astype(jnp.int32) - hw
-    return scores.astype(jnp.int32), d0, d1
+    return scores.astype(jnp.int32), d0, d1, ung
 
 
 @functools.partial(jax.jit, static_argnames=("hw", "sc", "block_r",
@@ -176,13 +208,18 @@ def banded_semiglobal_pallas(genome, cand_starts, reads, lengths, *,
     widx = cand_starts[:, None] - hw + jnp.arange(wlen, dtype=jnp.int32)[None, :]
     windows = jnp.take(genome, jnp.clip(widx, 0, G - 1).astype(jnp.int32),
                        axis=0)                                  # [N, wlen]
-    scores, d0, d1 = pallas_from_windows(windows, reads, lengths, hw=hw,
-                                         sc=sc, block_r=block_r,
-                                         interpret=interpret,
-                                         clip_open=clip_open)
+    scores, d0, d1, _kung = pallas_from_windows(windows, reads, lengths,
+                                                hw=hw, sc=sc,
+                                                block_r=block_r,
+                                                interpret=interpret,
+                                                clip_open=clip_open)
 
     # ungapped rescore at POS = cand + d0 (M-only CIGAR fast path), same
-    # as the jnp version
+    # as the jnp version. NOT _kung: this twin's per-element window
+    # clamp can repeat boundary codes for out-of-range candidates, and
+    # the equality contract here is with banded_semiglobal's explicit
+    # re-gather (banded_packed is the production path that consumes the
+    # in-kernel rescore).
     pos = cand_starts + d0
     gidx = pos[:, None] + jnp.arange(L, dtype=jnp.int32)[None, :]
     gcodes = jnp.take(genome, jnp.clip(gidx, 0, G - 1).astype(jnp.int32),

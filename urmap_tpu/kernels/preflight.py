@@ -91,13 +91,22 @@ def ensure_kernels() -> None:
         seed_ok = (jnp.all(v == vj) & jnp.all(o == oj)
                    & jnp.all(jnp.where(vj, s == sj, True)))
         vote_ok = jnp.all(tc == tcj) & jnp.all(tv == tvj)
-        # banded DP, both modes, vs the jnp twin
-        ds, dd0, dd1 = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        # banded DP, both modes, vs the jnp twin — including the
+        # in-kernel ungapped rescore vs the window-derived straight-
+        # diagonal score at d0 (what banded_packed's mismatch_counts
+        # would compute; the windows here ARE the genome for the probe)
+        ds, dd0, dd1, dung = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc)
         js, jd0, jd1 = banded_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        gsl = jnp.take_along_axis(
+            wj, (jd0 + hw)[:, None] + jnp.arange(L)[None, :], axis=1)
+        in_rd = jnp.arange(L)[None, :] < lj[:, None]
+        jung = jnp.sum(jnp.where(
+            in_rd, jnp.where(gsl == cj, sc.match, sc.mismatch),
+            0).astype(jnp.int32), axis=-1)
         dp_ok = (jnp.all(ds == js) & jnp.all(dd0 == jd0)
-                 & jnp.all(dd1 == jd1))
-        cs, cd0, _ = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc,
-                                         clip_open=sc.clip_open)
+                 & jnp.all(dd1 == jd1) & jnp.all(dung == jung))
+        cs, cd0, _, _ = pallas_from_windows(wj, cj, lj, hw=hw, sc=sc,
+                                            clip_open=sc.clip_open)
         zs, zd0, _ = banded_from_windows(wj, cj, lj, hw=hw, sc=sc,
                                          clip_open=sc.clip_open)
         dp_clip_ok = jnp.all(cs == zs) & jnp.all(cd0 == zd0)

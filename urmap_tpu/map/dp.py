@@ -244,9 +244,17 @@ def banded_packed(ginter, base_off: int, cand_starts, reads,
             and os.environ.get("URMAP_NO_DP_KERNEL") != "1"):
         from urmap_tpu.kernels.banded_dp import pallas_from_windows
 
-        scores, d0, d1 = pallas_from_windows(windows, reads, lengths,
-                                             hw=hw, sc=sc,
-                                             clip_open=clip_open)
+        scores, d0, d1, kung = pallas_from_windows(windows, reads, lengths,
+                                                   hw=hw, sc=sc,
+                                                   clip_open=clip_open)
+        if clip_open is None:
+            # in-kernel straight-diagonal rescore (same value as the
+            # mismatch_counts path below by construction — preflight and
+            # tests/unit/test_pallas_dp.py compare them): skips a whole
+            # 3-row window re-gather + popcount per DP lane. Under clip
+            # the winner's start may sit outside the band rows, so the
+            # kernel's U select is meaningless there — re-gather.
+            return scores, d0, kung, lengths + d1 - d0
     else:
         scores, d0, d1 = banded_from_windows(windows, reads, lengths,
                                              hw=hw, sc=sc,
