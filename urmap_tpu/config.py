@@ -186,6 +186,56 @@ class MapConfig:
     # wrong within-run offset, i.e. the BWA "multimapping = MAPQ 0"
     # convention. PARITY-TODO: the reference's repeat-confidence rule.
     weak_mapq_cap: int = 0
+    # Suspect gate — DISPERSED-repeat containment (the weak cap above
+    # covers tandems; this covers Alu-style high-copy families): a
+    # mapped read is SUSPECT when (a) >=1 of its seeds hit a SATURATED
+    # (recap-subsampled) slot AND (b) its best score trails the perfect
+    # score (length * match) by MORE than ``suspect_deficit``. Both
+    # conditions together say "the winner aligns poorly AND the
+    # candidate set was a subsample" — exactly the signature of a read
+    # whose true repeat copy was subsampled out of every slot while a
+    # DIVERGED sibling copy survived and won unopposed (measured at
+    # 1 Gbp / 25% repeats with high-copy families: 1.7% of MAPQ>=10
+    # calls confidently wrong, winner ~10 mismatches, true locus ~2,
+    # no second candidate seen). Suspect reads: MAPQ capped at
+    # ``suspect_mapq_cap`` on device, and re-mapped by the host
+    # second pass (second_pass_p) where the wider gather usually
+    # surfaces the true copy and restores an honest, HIGH MAPQ.
+    # 18 = 6 mismatch-equivalents at match=1/mismatch=-2: clean-read
+    # deficits are ~3*Binomial(150, 1%) (P(>6 mm) ~ 1e-4) and a full
+    # 8 bp indel costs 11, both safely under the gate; saturated slots
+    # essentially never occur on non-repetitive sequence at auto
+    # slot_bits, so the cap costs no clean-genome recall.
+    # PARITY-TODO: the reference's repeat-confidence rule.
+    suspect_deficit: int = 18
+    suspect_mapq_cap: int = 0
+    # Second (lower) deficit tier that only ROUTES to the second pass,
+    # WITHOUT capping: winners trailing perfect by more than this with
+    # saturated evidence are exported as suspect so the host wide
+    # gather re-adjudicates them, but keep their device MAPQ (no
+    # second pass configured ⇒ nothing changes). Rationale: the
+    # residual confident-wrong calls after the hard cap are CLOSE
+    # siblings (measured at 1 Gbp / 25% repeats: deficit p50 = 15,
+    # winner ~5 mismatches vs true ~1) — capping at that deficit would
+    # also cap honest 5-SNP reads inside repeats (~0.3% recall@>=1),
+    # while re-mapping them is free: the true copy either surfaces and
+    # wins (call flips to correct) or the device call is confirmed
+    # with its honest competitors now visible. 9 = 3 mismatch-
+    # equivalents.
+    suspect_remap_deficit: int = 9
+    # A seed slot counts as repeat-territory ("saturated") when it
+    # contributes >= min(positions_per_seed, suspect_slot_load)
+    # positions. At gather widths <= this it reduces to the plain
+    # all-lanes-full test; at WIDER gathers (the host second pass,
+    # p=32/64) a slot holding e.g. 50 sibling copies is *not* width-
+    # saturated yet still floods the top_candidates vote lanes (8) —
+    # the candidate set is a vote-stage subsample and the gap formula
+    # can again report false confidence (measured: the p=64 second
+    # pass REINTRODUCED confident-wrong calls on a 80-copy/2%-diverged
+    # family until load-based saturation capped them). 2*top_candidates:
+    # a slot outnumbering the vote lanes 2:1 can hide equal-scoring
+    # siblings however the votes fall.
+    suspect_slot_load: int = 16
     # MAPQ slope: mapq = min(max_mapq, mapq_scale * (best - second)).
     # PARITY-TODO.
     mapq_scale: float = 6.0

@@ -677,7 +677,7 @@ class ShardedMapper:
             return outs[0]
         merged = {}
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
-                  "gapped", "ungapped", "clipped"):
+                  "gapped", "ungapped", "clipped", "suspect"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
         return MapResult(lengths=np.asarray(lengths)[:B], **merged)
 
@@ -742,6 +742,12 @@ class ShardedPairedMapper:
         # mapper's .second)
         self.format_py = functools.partial(PairedMapper.format_py, self)
         self.second_pass = functools.partial(PairedMapper.second_pass, self)
+        # second_pass's concordance re-derivation calls
+        # self._recheck_pairs — bind it too (it was missing here: the
+        # sharded PE second pass raised AttributeError the moment a
+        # recovery actually touched a pair)
+        self._recheck_pairs = functools.partial(
+            PairedMapper._recheck_pairs, self)
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         from urmap_tpu import genome_pack as gpk
@@ -826,7 +832,7 @@ class ShardedPairedMapper:
         def cat(results, lengths):
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
-                                "mapq", "gapped", "ungapped", "clipped")}
+                                "mapq", "gapped", "ungapped", "clipped", "suspect")}
             return MapResult(lengths=np.asarray(lengths)[:B], **fields)
 
         return PairResult(m1=cat([o.m1 for o in outs], lengths1),

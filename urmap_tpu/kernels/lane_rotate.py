@@ -1,0 +1,105 @@
+"""Lane-rotate-narrow Pallas kernel: rows[i, off[i] : off[i]+width].
+
+The row128 table layouts (index positions AND interleaved genome at
+GRCh38 scale — store.align_runs_fixed / tables_to_device) fetch one or
+two dense 128-lane rows per seed/window and then align the run to lane
+0 with a 7-step conditional-shift funnel. In jnp each funnel step
+materializes a full [N, W] temporary, so the funnel — not the row
+gather — dominates the stage: measured on v5e with the GRCh38-size
+positions table (22M x 128 int32, N = 524288), the row take costs
+1.5 ms while take+funnel costs 45 ms (take_along_axis: 112 ms). Here
+the funnel runs in VMEM on each block: HBM traffic is one read of the
+gathered rows + one write of the narrow output, and the seven
+roll+select steps are VPU register work.
+
+Circular-roll correctness: out[j] = rows[(j + off) mod W]. Callers
+guarantee the USED lanes never wrap — row128 runs satisfy
+off + count <= 128 (runs never straddle a row) and window fetches
+satisfy off + width <= W — so wrapped lanes only ever land in
+positions the caller masks (j >= count).
+
+Bit-identical to the jnp funnel twin (seed._row128_fetch /
+genome_pack.row128_window_fetch keep it as the escape hatch:
+URMAP_NO_ROTATE_KERNEL=1, auto-flipped by kernels/preflight.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per grid block: [BN, 256] int32 = 256 KB in VMEM + funnel
+# registers — comfortable against the ~16 MB budget, wide enough to
+# amortize grid overhead over ~2k steps at N = 524288.
+_BN = 256
+
+
+def supports(w: int) -> bool:
+    """W must be a whole number of 128-lane tiles (the row128 layouts
+    produce exactly W=128 or W=256)."""
+    return w in (128, 256)
+
+
+_ON_TPU: bool | None = None
+
+
+def enabled() -> bool:
+    """Trace-time dispatch predicate: TPU backend and the escape hatch
+    not flipped (URMAP_NO_ROTATE_KERNEL=1 — set manually or by
+    kernels/preflight.py on a failed numeric probe)."""
+    import os
+
+    global _ON_TPU
+    if os.environ.get("URMAP_NO_ROTATE_KERNEL") == "1":
+        return False
+    if _ON_TPU is None:
+        dev = jax.devices()[0]
+        _ON_TPU = ("tpu" in dev.platform.lower()
+                   or "TPU" in getattr(dev, "device_kind", ""))
+    return _ON_TPU
+
+
+def _kernel(off_ref, rows_ref, out_ref, *, width: int, w: int):
+    cur = rows_ref[...]                       # [BN, W]
+    off = off_ref[...]                        # [BN, 1] int32, 0..127
+    for bit in range(6, -1, -1):
+        sh = 1 << bit
+        # pltpu.roll moves element i to i+shift (circular); we want
+        # out[j] = cur[j + sh], i.e. shift by -sh == W - sh
+        rolled = pltpu.roll(cur, shift=w - sh, axis=1)
+        cur = jnp.where(((off >> bit) & 1) == 1, rolled, cur)
+    out_ref[...] = cur[:, :width]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "interpret"))
+def rotate_narrow_pallas(rows, off, width: int, interpret: bool = False):
+    """rows [N, W] (W in {128, 256}), off int32[N] in [0, 128) →
+    [N, width] = rows[i, off[i] : off[i]+width] (used lanes; wrapped
+    lanes carry in-row garbage the caller masks). N padded internally
+    to a multiple of the block size."""
+    n, w = rows.shape
+    assert supports(w), w
+    pad = (-n) % _BN
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0)))
+        off = jnp.pad(off, (0, pad))
+    np_ = n + pad
+    out = pl.pallas_call(
+        functools.partial(_kernel, width=width, w=w),
+        grid=(np_ // _BN,),
+        in_specs=[
+            pl.BlockSpec((_BN, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BN, width), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, width), rows.dtype),
+        interpret=interpret,
+    )(off.astype(jnp.int32).reshape(-1, 1), rows)
+    return out[:n] if pad else out

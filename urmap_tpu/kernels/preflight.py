@@ -35,7 +35,7 @@ _RESULT: dict | None = None
 
 def last_result() -> dict | None:
     """Outcome of the preflight: None if it never ran (CPU backend or
-    skipped), else {"seed_ok","vote_ok","dp_ok","dp_clip_ok","error"}."""
+    skipped), else {"seed_ok","vote_ok","dp_ok","dp_clip_ok","rotate_ok","error"}."""
     return _RESULT
 
 
@@ -76,8 +76,16 @@ def ensure_kernels() -> None:
     win &= 3
     win = np.pad(win, ((0, 0), (hw, hw)), constant_values=4)  # [128, L+2hw]
 
+    from urmap_tpu.kernels.lane_rotate import rotate_narrow_pallas
+
+    # rotate probe inputs: random rows + offsets; the jnp twin below
+    # compares only the non-wrapped lanes (j + off < W), matching the
+    # callers' masking contract (lane_rotate.py docstring)
+    rot_rows = rng.integers(0, 1 << 30, size=(64, 128)).astype(np.int32)
+    rot_off = rng.integers(0, 128, size=64).astype(np.int32)
+
     @jax.jit
-    def probe(cj, lj, cd, wj):
+    def probe(cj, lj, cd, wj, rr, ro):
         rp, rn = gpk.pack_reads(cj, lj, -(-L // 16))
         s, o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
                                           slot_bits=sb, block_r=128)
@@ -110,16 +118,26 @@ def ensure_kernels() -> None:
         zs, zd0, _ = banded_from_windows(wj, cj, lj, hw=hw, sc=sc,
                                          clip_open=sc.clip_open)
         dp_clip_ok = jnp.all(cs == zs) & jnp.all(cd0 == zd0)
-        return seed_ok, vote_ok, dp_ok, dp_clip_ok
+        # lane-rotate-narrow vs direct indexing, non-wrapped lanes only
+        width = 8
+        rot = rotate_narrow_pallas(rr, ro, width)
+        j = jnp.arange(width, dtype=jnp.int32)[None, :]
+        ref = jnp.take_along_axis(
+            rr, jnp.minimum(ro[:, None] + j, 127), axis=1)
+        used = ro[:, None] + j < 128
+        rotate_ok = jnp.all(jnp.where(used, rot == ref, True))
+        return seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok
 
     hatches = {"seed": "URMAP_NO_SEED_KERNEL",
                "vote": "URMAP_NO_VOTE_KERNEL",
-               "dp": "URMAP_NO_DP_KERNEL"}
+               "dp": "URMAP_NO_DP_KERNEL",
+               "rotate": "URMAP_NO_ROTATE_KERNEL"}
     try:
-        seed_ok, vote_ok, dp_ok, dp_clip_ok = (
+        seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok = (
             bool(np.asarray(x)) for x in probe(
                 jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand),
-                jnp.asarray(win)))
+                jnp.asarray(win), jnp.asarray(rot_rows),
+                jnp.asarray(rot_off)))
         # fault injection (tests / on-chip validation): pretend kernel X
         # produced wrong numerics — the hatch flip below must fire
         # exactly like a real silent-wrong-lowering would
@@ -127,10 +145,13 @@ def ensure_kernels() -> None:
         seed_ok &= "seed" not in fake
         vote_ok &= "vote" not in fake
         dp_ok &= "dp" not in fake
+        rotate_ok &= "rotate" not in fake
         _RESULT = {"seed_ok": seed_ok, "vote_ok": vote_ok, "dp_ok": dp_ok,
-                   "dp_clip_ok": dp_clip_ok, "error": None}
+                   "dp_clip_ok": dp_clip_ok, "rotate_ok": rotate_ok,
+                   "error": None}
         bad = {"seed": not seed_ok, "vote": not vote_ok,
-               "dp": not (dp_ok and dp_clip_ok)}
+               "dp": not (dp_ok and dp_clip_ok),
+               "rotate": not rotate_ok}
         if any(bad.values()):
             # clean run, attributable mismatch → disable ONLY the
             # failing kernel(s); the healthy ones keep their speedups
@@ -145,7 +166,7 @@ def ensure_kernels() -> None:
         for var in hatches.values():
             os.environ[var] = "1"
         _RESULT = {"seed_ok": False, "vote_ok": False, "dp_ok": False,
-                   "dp_clip_ok": False,
+                   "dp_clip_ok": False, "rotate_ok": False,
                    "error": f"{type(e).__name__}: {e}"}
         print(f"urmap-tpu: Pallas kernels unavailable on this backend "
               f"({type(e).__name__}: {e}); using jnp fallbacks",

@@ -316,6 +316,46 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
 
     out1 = mate_out(se1, c1, pair["i1"], is_first=True)
     out2 = mate_out(se2, c2, pair["i2"], is_first=False)
+
+    # ---- suspect gate, per mate (pipeline.map_batch_device note) ----
+    # raw suspicion = saturated evidence AND the FINAL chosen score
+    # trails perfect by more than the gate. A window-RESCUED mate has
+    # no seed evidence of its own — it inherits the anchor's suspicion.
+    # A suspect mate riding a proper pair with a CLEAN other mate keeps
+    # rescue-grade confidence (fragment-corroborated, like the weak
+    # cap) and is NOT flagged for the second pass — re-mapping a
+    # corroborated mate could only break a good pair. Everything else
+    # is capped hard and exported for the wide re-map.
+    m = jnp.int32(sc.match)
+    def1 = l1 * m - out1["score"]
+    def2 = l2 * m - out2["score"]
+    sat1 = c1["nsat"] > 0
+    sat2 = c2["nsat"] > 0
+    sd = jnp.int32(mcfg.suspect_deficit)
+    rd = jnp.int32(mcfg.suspect_remap_deficit)
+    raw1, rm1 = sat1 & (def1 > sd), sat1 & (def1 > rd)
+    raw2, rm2 = sat2 & (def2 > sd), sat2 & (def2 > rd)
+    resc1 = resc_ok & a2          # mate1 was rescued off mate2's anchor
+    resc2 = resc_ok & a1
+    eff1 = jnp.where(resc1, raw2, raw1)
+    eff2 = jnp.where(resc2, raw1, raw2)
+    effr1 = jnp.where(resc1, rm2, rm1)
+    effr2 = jnp.where(resc2, rm1, rm2)
+    for out, eff, other_eff, effr, other_effr in (
+            (out1, eff1, eff2, effr1, effr2),
+            (out2, eff2, eff1, effr2, effr1)):
+        sus = out["mapped"] & eff
+        corrob = proper & ~other_eff
+        cap = jnp.where(corrob, jnp.int32(RESCUE_MAPQ_CAP),
+                        jnp.int32(mcfg.suspect_mapq_cap))
+        out["mapq"] = jnp.where(sus, jnp.minimum(out["mapq"], cap),
+                                out["mapq"])
+        # exported remap flag (lower tier, pipeline note) — still
+        # excluding fragment-corroborated mates, whose re-map could
+        # only break a good pair
+        out["suspect"] = (out["mapped"] & effr
+                          & ~(proper & ~other_effr))
+
     prop = proper | resc_ok
     return {"m1": out1, "m2": out2, "proper": prop}
 
@@ -444,7 +484,7 @@ class PairedMapper:
         """Per-mate wide-gather recovery (pipeline.Mapper.second_pass):
         mates still unmapped after pairing + rescue are re-mapped on the
         host CPU pass, then pairs a recovery touched are re-checked for
-        concordance (_promote_pairs) so a recovered mate that lands in
+        concordance (_recheck_pairs) so a recovered mate that lands in
         FR orientation within the fragment window gets proper-pair
         flags/TLEN like any device-paired read (round-3 verdict item 3:
         recoveries used to stay discordant forever — ~3% of pairs at
@@ -452,28 +492,47 @@ class PairedMapper:
         if getattr(self.mapper, "second", None) is None:
             return res
         sp = self.mapper.second_pass
-        was1 = res.m1.mapped.copy()
-        was2 = res.m2.mapped.copy()
+
+        def snap(m):
+            return (m.mapped.copy(), m.pos.copy(), m.strand.copy())
+
+        s1, s2 = snap(res.m1), snap(res.m2)
         res = PairResult(m1=sp(codes1, lengths1, res.m1),
                          m2=sp(codes2, lengths2, res.m2),
                          proper=res.proper)
-        touched = (res.m1.mapped & ~was1) | (res.m2.mapped & ~was2)
+
+        def moved(m, s):
+            return (m.mapped != s[0]) | (m.pos != s[1]) | (m.strand != s[2])
+
+        # any pair a recovery or a suspect re-map touched gets its
+        # concordance re-derived — promotion for newly-concordant
+        # pairs AND demotion for proper pairs a moved mate broke
+        # (suspect re-maps can relocate both mates of a both-suspect
+        # proper pair; the corroborated-mate exclusion in
+        # pair_batch_device means a proper pair is only ever re-mapped
+        # on BOTH mates or neither)
+        touched = moved(res.m1, s1) | moved(res.m2, s2)
         if touched.any():
-            self._promote_pairs(codes1, codes2, res, touched)
+            self._recheck_pairs(codes1, codes2, res, touched)
         return res
 
-    def _promote_pairs(self, codes1, codes2, res: "PairResult",
+    def _recheck_pairs(self, codes1, codes2, res: "PairResult",
                        touched: np.ndarray) -> None:
-        """Host-side concordance re-check for pairs the second pass
-        patched: mirrors the device rule (_pair_cross) — opposite
+        """Host-side concordance re-derivation for pairs the second
+        pass patched: mirrors the device rule (_pair_cross) — opposite
         strands, fwd mate leftmost, TLEN = (pr − pf) + ref_span of the
         rightmost mate inside [min_fragment_len, max_fragment_len].
         Spans use the same machinery as the emitted SAM (cigars_nm_fast
         ref spans; read-length proxy under end_clip, matching the
-        device's proxy). Promoted pairs keep their per-mate MAPQs (the
+        device's proxy). Sets proper for every touched pair — promoting
+        newly-concordant recoveries AND demoting proper pairs a moved
+        mate broke. Promoted pairs keep their per-mate MAPQs (the
         device's pair-gap MAPQ needs the candidate cross-product, gone
         by now) — conservative, never inflating confidence."""
-        rows = np.nonzero(touched & ~res.proper
+        # touched pairs that can no longer be concordant at all
+        res.proper[touched & ~(res.m1.mapped & res.m2.mapped
+                               & (res.m1.strand != res.m2.strand))] = False
+        rows = np.nonzero(touched
                           & res.m1.mapped & res.m2.mapped
                           & (res.m1.strand != res.m2.strand))[0]
         if rows.size == 0:
@@ -496,7 +555,7 @@ class PairedMapper:
         tlen = (pr - pf) + lr
         ok = ((pf <= pr) & (tlen >= mc.min_fragment_len)
               & (tlen <= mc.max_fragment_len))
-        res.proper[rows[ok]] = True
+        res.proper[rows] = ok
 
     def map_pair_codes(self, codes1, lengths1, codes2, lengths2) -> PairResult:
         B = codes1.shape[0]
@@ -516,7 +575,7 @@ class PairedMapper:
         def cat_result(results, lengths):
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
-                                "mapq", "gapped", "ungapped", "clipped")}
+                                "mapq", "gapped", "ungapped", "clipped", "suspect")}
             return MapResult(lengths=np.asarray(lengths)[:B], **fields)
 
         return PairResult(

@@ -70,6 +70,9 @@ class MapResult:
     ungapped: np.ndarray | None = None  # int32 M-only rescore at pos
     clipped: np.ndarray | None = None   # bool: clip-rescued row — host
     #                                     traceback must use clip mode
+    suspect: np.ndarray | None = None   # bool: saturated-evidence poor-
+    #                                     score winner (MAPQ capped); the
+    #                                     second pass re-maps these rows
 
     @classmethod
     def from_device(cls, out: dict, lengths) -> "MapResult":
@@ -86,6 +89,8 @@ class MapResult:
                       if "ungapped" in out else None),
             clipped=(np.asarray(out["clipped"])
                      if "clipped" in out else None),
+            suspect=(np.asarray(out["suspect"])
+                     if "suspect" in out else None),
         )
 
 
@@ -211,7 +216,12 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         # a saturated slot essentially cannot occur on non-repetitive
         # sequence, so this costs no clean-genome recall (the plain
         # no_floor cap cost 0.2% recall@MAPQ>=1 for nothing).
-        sat = jnp.all(cand.reshape(2 * B, q, p) != SENTINEL, axis=2)
+        # "saturated" = slot load >= min(p, suspect_slot_load): all
+        # lanes full at narrow gathers, absolute-load at wide ones
+        # (config.MapConfig.suspect_slot_load — a slot can flood the
+        # vote lanes long before it fills a 64-wide gather)
+        load = (cand.reshape(2 * B, q, p) != SENTINEL).sum(axis=2)
+        sat = load >= jnp.int32(min(p, mcfg.suspect_slot_load))
         nsat = sat.sum(axis=1).reshape(2, B).sum(axis=0)
         nval = valid.sum(axis=1).reshape(2, B).sum(axis=0)
         # the second term catches tandem-INTERIOR reads that defeat the
@@ -223,6 +233,7 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
             | ((2 * nsat >= nval) & (nval > 0))
     else:
         weak = jnp.zeros((B,), jnp.bool_)
+        nsat = jnp.zeros((B,), jnp.int32)
     # genome range in biased device coordinates (seed.POS_BIAS)
     top_cand = jnp.where(
         top_cand == SENTINEL, SENTINEL,
@@ -462,6 +473,10 @@ def candidates_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
         # vote subset missed the equal-scoring siblings and the MAPQ
         # gap formula saw no second.
         "weak": weak,
+        # per-read count of saturated seed slots (both strands): the
+        # suspect gate (MapConfig.suspect_deficit) needs "any evidence
+        # from a subsampled slot", not just the weak-fallback signal
+        "nsat": nsat,
     }
 
 
@@ -491,6 +506,24 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                             jnp.minimum(out["mapq"],
                                         jnp.int32(mcfg.weak_mapq_cap)),
                             out["mapq"])
+    # suspect winners (config.MapConfig.suspect_deficit): evidence
+    # touches a saturated slot AND the best score trails perfect by
+    # more than the gate — the dispersed-repeat signature of "the true
+    # copy was subsampled out; a diverged sibling won unopposed". Cap
+    # MAPQ; export the flag so the host second pass re-maps these rows
+    # at the wide gather (WideSecondPass), which usually surfaces the
+    # true copy and restores an honest confident call.
+    deficit = lengths * jnp.int32(sc.match) - out["score"]
+    sat = out["mapped"] & (c["nsat"] > 0)
+    cap = sat & (deficit > jnp.int32(mcfg.suspect_deficit))
+    out["mapq"] = jnp.where(cap,
+                            jnp.minimum(out["mapq"],
+                                        jnp.int32(mcfg.suspect_mapq_cap)),
+                            out["mapq"])
+    # the exported flag uses the LOWER remap tier (config
+    # suspect_remap_deficit): close-sibling winners keep their MAPQ on
+    # device but get re-adjudicated by the wide second pass
+    out["suspect"] = sat & (deficit > jnp.int32(mcfg.suspect_remap_deficit))
     return out
 
 
@@ -503,7 +536,10 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 #   2 = (ungapped int16 << 16) | (mapq uint8 << 8)
 #       | flag bits (1 mapped, 2 gapped, 4 dp_ran, 8 strand,
 #         16 clipped — winning alignment is end-clip-rescued: host
-#         traceback must run in clip mode for this row)
+#         traceback must run in clip mode for this row,
+#         32 suspect — saturated-evidence poor-score winner
+#         (MapConfig.suspect_deficit): MAPQ capped; the second pass
+#         re-maps these rows at the wide gather)
 # Scores/second/ungapped are saturated at I16_FLOOR on device; the floor
 # round-trips back to dp.NEG on unpack. Exact for every real value: true
 # alignment scores lie in [-2*max_read_len, max_read_len], and the only
@@ -524,11 +560,15 @@ def pack_out(out) -> "jnp.ndarray":
     clipped = out.get("clipped")
     if clipped is None:
         clipped = jnp.zeros_like(out["mapped"])
+    suspect = out.get("suspect")
+    if suspect is None:
+        suspect = jnp.zeros_like(out["mapped"])
     flags = (out["mapped"].astype(jnp.int32)
              | (out["gapped"].astype(jnp.int32) << 1)
              | (dp_ran.astype(jnp.int32) << 2)
              | (out["strand"].astype(jnp.int32) << 3)
-             | (clipped.astype(jnp.int32) << 4))
+             | (clipped.astype(jnp.int32) << 4)
+             | (suspect.astype(jnp.int32) << 5))
     col1 = (_sat16(out["score"]) << 16) | (_sat16(out["second"]) & 0xFFFF)
     col2 = ((_sat16(out["ungapped"]) << 16)
             | (out["mapq"].astype(jnp.int32) << 8) | flags)
@@ -550,6 +590,7 @@ def unpack_out(arr: np.ndarray) -> dict:
         "dp_ran": ((flags >> 2) & 1).astype(bool),
         "strand": ((flags >> 3) & 1).astype(np.int32),
         "clipped": ((flags >> 4) & 1).astype(bool),
+        "suspect": ((flags >> 5) & 1).astype(bool),
         # device positions are biased int32 → real int64 coordinates
         "pos": arr[:, 0].astype(np.int64) + POS_BIAS,
         "score": _unsat16(col1 >> 16),
@@ -691,9 +732,15 @@ class WideSecondPass:
         import jax
 
         lengths = np.asarray(lengths)
-        rows = np.nonzero(~result.mapped
-                          & (lengths[: len(result.mapped)]
-                             >= self.icfg.k))[0]
+        sel = ~result.mapped
+        if result.suspect is not None:
+            # suspect rows (MapConfig.suspect_deficit): device winner is
+            # a poor-scoring call on subsampled evidence — the wide
+            # gather here usually surfaces the subsampled-out true copy
+            # and replaces the call with an honest confident one
+            sel = sel | result.suspect
+        rows = np.nonzero(sel & (lengths[: len(result.mapped)]
+                                 >= self.icfg.k))[0]
         if rows.size == 0:
             return result
         L, SPB = self.mcfg.max_read_len, self._batch
@@ -725,6 +772,11 @@ class WideSecondPass:
             # score-consistency check (round-3 review finding)
             if result.clipped is not None:
                 result.clipped[pr] = out["clipped"][src]
+            if result.suspect is not None:
+                # a row still suspect at the wide gather keeps its flag
+                # (and its capped MAPQ from the host program); resolved
+                # rows clear it
+                result.suspect[pr] = out["suspect"][src]
         return result
 
 

@@ -252,6 +252,15 @@ def _row128_fetch(positions2d, flat_starts, width: int):
     r0 = (s // jnp.uint32(128)).astype(jnp.int32)
     cur = jnp.take(positions2d, jnp.clip(r0, 0, R - 1), axis=0)
     off = (s & jnp.uint32(127)).astype(jnp.int32)
+    from urmap_tpu.kernels import lane_rotate
+
+    if lane_rotate.enabled() and lane_rotate.supports(cur.shape[1]):
+        # in-VMEM funnel: the jnp version below materializes a full
+        # [N, 128] temp per step — 45 ms vs 1.5 ms for the row take
+        # itself at GRCh38 scale (kernels/lane_rotate.py). Wrapped
+        # lanes differ from the SENTINEL fill but only past each run's
+        # count, which every caller masks (gather_candidates ok mask).
+        return lane_rotate.rotate_narrow_pallas(cur, off, width)
     bit = 6
     while bit >= 0:
         sh = 1 << bit
