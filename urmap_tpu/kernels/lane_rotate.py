@@ -32,16 +32,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per grid block: [BN, 256] int32 = 256 KB in VMEM + funnel
-# registers — comfortable against the ~16 MB budget, wide enough to
-# amortize grid overhead over ~2k steps at N = 524288.
-_BN = 256
+# rows per grid block: [BN, 256] int32 = 1 MB in VMEM + funnel
+# registers — comfortable against the ~16 MB budget. Swept on v5e at
+# GRCh38 shape (N = 524288): 256 → 0.09 ms, 1024/4096 → 0.06 ms
+# (vs 43 ms for the jnp funnel); 1024 sits on the plateau with the
+# smallest VMEM footprint.
+_BN = 1024
 
 
 def supports(w: int) -> bool:
     """W must be a whole number of 128-lane tiles (the row128 layouts
-    produce exactly W=128 or W=256)."""
-    return w in (128, 256)
+    produce W=128/256; the rescue-window fetch reaches 384). Offsets
+    are always < 128 regardless of W (they locate a start inside its
+    first row), so the 7-bit funnel covers every width."""
+    return w % 128 == 0 and 128 <= w <= 1024
 
 
 _ON_TPU: bool | None = None
