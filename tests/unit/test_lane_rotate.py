@@ -56,3 +56,25 @@ def test_row128_fetch_path_unchanged_on_cpu(rng):
     from urmap_tpu.kernels import lane_rotate
 
     assert not lane_rotate.enabled()
+
+
+def test_aligned_table_128_view_equivalence(rng):
+    # the aligned-layout fast path (seed.gather_candidates) views the
+    # 1D pow2-nested table as [M/128, 128] and row128-fetches: pin that
+    # _row128_fetch on the view == _aligned_rows_fetch on the table for
+    # run-contained starts (both jnp paths; the kernel itself is pinned
+    # by the tests above)
+    from urmap_tpu.map.seed import _aligned_rows_fetch, _row128_fetch
+
+    rw, p, M = 16, 16, 128 * 64
+    tbl = rng.integers(0, 1 << 30, size=M).astype(np.int32)
+    # run starts: pow2-nested placement ⇒ any start with start%rw + p
+    # fitting inside its rw block; emulate with rw-aligned starts
+    starts = (rng.integers(0, M // rw, size=500) * rw).astype(np.uint32)
+    import jax.numpy as jnp
+
+    a = np.asarray(_aligned_rows_fetch(jnp.asarray(tbl), jnp.asarray(starts),
+                                       p, rw))
+    b = np.asarray(_row128_fetch(jnp.asarray(tbl).reshape(-1, 128),
+                                 jnp.asarray(starts), p))
+    np.testing.assert_array_equal(a, b)

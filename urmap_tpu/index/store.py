@@ -318,7 +318,14 @@ class UfiIndex:
             else:
                 rw = int(row_align)
                 starts, total = align_runs(counts, rw)
-                pad = 2 * gpk.ROW_WORDS + ((-total) % gpk.ROW_WORDS)
+                # pad to a 128-word multiple (not just ROW_WORDS): the
+                # pow2-nested placement means runs never cross 128-word
+                # boundaries either, so a 128-divisible table lets the
+                # TPU gather ride the [M/128, 128] dense-row view + the
+                # lane-rotate kernel (seed.gather_candidates aligned
+                # branch) instead of the rw-row funnel. Old caches
+                # without the pad fall back at trace time.
+                pad = 2 * gpk.ROW_WORDS + ((-total) % 128)
             if total + pad >= 1 << 32:
                 raise ValueError("row-aligned positions table exceeds "
                                  "uint32 offsets; raise the cap filter")

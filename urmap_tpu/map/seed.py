@@ -378,8 +378,22 @@ def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
         return cand_f.reshape(n, q * p)
     if csr_aligned:
         rw = align_row_words(p)
-        pos = _aligned_rows_fetch(positions, start.reshape(-1), p, rw) \
-            .reshape(n, q, p)
+        from urmap_tpu.kernels import lane_rotate
+
+        if (lane_rotate.enabled() and rw <= 128
+                and positions.shape[0] % 128 == 0):
+            # dense 128-row view + lane-rotate kernel: the pow2-nested
+            # placement (store.align_runs) keeps every run inside its
+            # next_pow2(count)-block, hence inside one 128-word row, so
+            # the row128 fetch is exact on this layout too. Gathers 8x
+            # the bytes of an rw=16 row but skips the per-step [N, rw]
+            # funnel temps (which XLA tile-pads to 128 lanes anyway) —
+            # net win on TPU; CPU keeps the narrow-row path.
+            pos = _row128_fetch(positions.reshape(-1, 128),
+                                start.reshape(-1), p).reshape(n, q, p)
+        else:
+            pos = _aligned_rows_fetch(positions, start.reshape(-1), p, rw) \
+                .reshape(n, q, p)
         ok = ((j[None, None, :] < cnt[:, :, None])
               & (pos != SENTINEL) & valid[:, :, None])
     else:
