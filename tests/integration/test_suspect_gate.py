@@ -118,3 +118,56 @@ def test_second_pass_recovers_suspects(rng):
     wrong_conf = res.mapped & ~correct & (res.mapq >= 10)
     assert not wrong_conf.any()
     assert (res.mapq[correct] >= 10).mean() >= 0.9
+
+
+def test_pe_suspect_corroboration(rng):
+    from urmap_tpu.map.pair import RESCUE_MAPQ_CAP, PairedMapper
+
+    # genome with family copies in the left half, unique right half
+    db, starts = _family_genome(rng, copies=120, div=0.02)
+    index = build_index(db, IndexConfig(slot_bits=20), backend="host")
+    L, n, frag = 150, 64, 400
+    g0 = int(db.starts[0])
+    glen = db.codes.shape[0] - g0
+    r1 = np.empty((n, L), np.uint8)
+    r2 = np.empty((n, L), np.uint8)
+    tpos = np.empty(n, np.int64)
+    for i in range(n):
+        if i % 2:
+            # mate1 FULLY inside a 300 bp family copy (saturated
+            # evidence); mate2 mostly in the unique sequence after the
+            # copy (clean anchor) — the corroborated-suspect case
+            p = int(starts[rng.integers(0, len(starts))])
+        else:
+            # fully unique fragment (control)
+            p = int(rng.integers(glen // 2, glen - frag - 1))
+        tpos[i] = g0 + p
+        r1[i] = db.codes[g0 + p : g0 + p + L]
+        r2[i] = alphabet.revcomp(db.codes[g0 + p + frag - L : g0 + p + frag])
+        # heavy SNPs on mate1 only → its deficit crosses the cap gate
+        m = rng.random(L) < 0.05
+        r1[i, m] = (r1[i, m] + rng.integers(1, 4, int(m.sum()))) % 4
+    ln = np.full(n, L, np.int32)
+    res = PairedMapper(Mapper(index, MapConfig(
+        max_read_len=L, batch_size=n, positions_per_seed=8))) \
+        .map_pair_codes(r1, ln, r2, ln)
+    fam = np.arange(n) % 2 == 1
+    uniq = ~fam
+    # control: heavy-SNP mate1 in UNIQUE sequence never trips the gate
+    # (no saturated evidence) — full confidence preserved
+    assert (res.m1.mapq[uniq & res.proper] >= 20).mean() >= 0.8
+    # family mate1 with gate-crossing deficit riding a proper pair with
+    # the clean mate2: when its evidence was saturated it is capped at
+    # rescue grade (fragment-corroborated, not zeroed); when its SNPs
+    # wiped every family-conserved seed there is no saturation evidence
+    # and no cap — but then the anchored placement is correct anyway.
+    # Either way it is NEVER exported for the second-pass re-map.
+    gated = fam & res.proper & (L - res.m1.score > 18)
+    assert gated.any()      # the scenario actually occurs
+    capped = res.m1.mapq[gated] <= RESCUE_MAPQ_CAP
+    correct = np.abs(res.m1.pos[gated] - tpos[gated]) <= 20
+    assert (capped | correct).all()
+    assert capped.any()     # the corroborated cap path fired too
+    assert not res.m1.suspect[fam & res.proper].any()
+    # the clean anchor mate keeps its own confidence
+    assert (res.m2.mapq[gated] >= 20).mean() >= 0.8
