@@ -168,6 +168,30 @@ def main():
                 slot_bits=icfg.slot_bits)
             if stage == "seed":
                 return jnp.sum(slots.astype(jnp.int32))
+            if stage in ("decode", "fetch"):
+                # gather decomposition (row128 layouts): "decode" = the
+                # offsets/obase start+count derivation only; "fetch" =
+                # + the positions row take, WITHOUT the rotate/narrow
+                slots_i = slots.astype(jnp.int32)
+                if off_bits is not None:
+                    w = jnp.take(tables["offsets"], slots_i >> 1, axis=0)
+                    u = jnp.where((slots_i & 1) == 1,
+                                  w >> jnp.uint32(16), w) & jnp.uint32(0xFFFF)
+                    b = jnp.take(tables["obase"],
+                                 slots_i >> off_bits[1], axis=0)
+                    start = b + (u >> jnp.uint32(off_bits[0]))
+                else:
+                    start = jnp.take(tables["offsets"], slots_i, axis=0)
+                if stage == "decode":
+                    return jnp.sum(start.astype(jnp.int32))
+                pos2d = tables["positions"]
+                s = start.reshape(-1).astype(jnp.uint32)
+                r0 = (s // jnp.uint32(128)).astype(jnp.int32)
+                rows = jnp.take(pos2d, jnp.clip(r0, 0, pos2d.shape[0] - 1),
+                                axis=0)
+                # sum ALL lanes: a [:, :8] slice would let XLA narrow
+                # the gather to 8 lanes and undercount the row fetch
+                return jnp.sum(rows)
             cand = seedmod.gather_candidates(
                 tables["offsets"], tables["positions"], slots, offs,
                 valid, p=p, csr_aligned=csr_aligned, tier=gather_tier,
@@ -204,7 +228,8 @@ def main():
 
     wanted = set(args.stages.split(",")) if args.stages else None
     results = []
-    for stage in ("null", "words", "seed", "gather", "vote"):
+    for stage in ("null", "words", "seed", "decode", "fetch", "gather",
+                  "vote"):
         if wanted and stage not in wanted:
             continue
         dt = timeit(upto(stage), tables, reads, lens)
