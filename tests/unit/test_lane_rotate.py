@@ -78,3 +78,25 @@ def test_aligned_table_128_view_equivalence(rng):
     b = np.asarray(_row128_fetch(jnp.asarray(tbl).reshape(-1, 128),
                                  jnp.asarray(starts), p))
     np.testing.assert_array_equal(a, b)
+
+
+def test_window_fetch_128_view_matches_row_gather(rng):
+    # gather_window's TPU dispatch now routes through
+    # row128_window_fetch on a [M/128,128] view — pin that it equals
+    # row_gather_window (the prior TPU path) for interior starts, at
+    # the verify width (22 words) and the rescue width (152 words)
+    import jax.numpy as jnp
+
+    from urmap_tpu.genome_pack import (row128_window_fetch,
+                                       row_gather_window)
+
+    M = 128 * 512
+    tbl = rng.integers(0, 1 << 32, size=M, dtype=np.int64).astype(np.uint32)
+    for width in (22, 152):
+        starts = rng.integers(0, M - width - 256, size=400).astype(np.int32)
+        a = np.asarray(row_gather_window(jnp.asarray(tbl),
+                                         jnp.asarray(starts), width,
+                                         row_words=16))
+        b = np.asarray(row128_window_fetch(
+            jnp.asarray(tbl).reshape(-1, 128), jnp.asarray(starts), width))
+        np.testing.assert_array_equal(a, b)

@@ -69,6 +69,16 @@ def gather_window(table, starts, width: int, *,
         mode = "slice" if jax.default_backend() == "cpu" else "row"
     if mode == "slice":
         return slice_gather_window(table, starts, width)
+    from urmap_tpu.kernels import lane_rotate
+
+    if (lane_rotate.enabled() and table.shape[0] % 128 == 0
+            and table.shape[0] - 1 <= np.iinfo(np.int32).max):
+        # dense 128-row view + in-VMEM rotate (kernels/lane_rotate.py):
+        # same [starts : +width] semantics as the narrow-row path below
+        # without its per-step shrink-funnel temps. Requires a
+        # 128-divisible table (pack_genome guarantees it; undersized
+        # stale caches fall back here at trace time).
+        return row128_window_fetch(table.reshape(-1, 128), starts, width)
     return row_gather_window(table, starts, width, row_words=row_words)
 
 
