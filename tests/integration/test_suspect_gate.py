@@ -120,6 +120,43 @@ def test_second_pass_recovers_suspects(rng):
     assert (res.mapq[correct] >= 10).mean() >= 0.9
 
 
+def test_clip_rescued_reads_excluded_from_gate(rng):
+    """An honest adapter-clipped read legitimately trails the perfect
+    full-length score by ~clip_len + clip_open, so the suspect deficit
+    gate must never fire on clip-rescued winners — even when their
+    seeds touch a saturated family slot (round-4 advisor finding: the
+    unexcluded gate capped such reads to MAPQ 0 and exported them for a
+    re-map that re-applied the same gate)."""
+    db, starts = _family_genome(rng)
+    index = build_index(db, IndexConfig(slot_bits=20), backend="host")
+    L, n = 150, 128
+    g0 = int(db.starts[0])
+    # read = 50 bp tail of a family copy (saturated slots) + 40 bp of
+    # the unique sequence after it (unique anchor) + 60 bp random
+    # adapter — placement is unique, evidence touches saturation, and
+    # the adapter drags the full-length score below min_score_frac so
+    # the clip-rescue lane fires
+    codes = np.empty((n, L), np.uint8)
+    tpos = np.empty(n, np.int64)
+    for i in range(n):
+        p = int(starts[rng.integers(0, len(starts))]) + 300 - 50
+        tpos[i] = g0 + p
+        codes[i, :90] = db.codes[g0 + p : g0 + p + 90]
+        codes[i, 90:] = rng.integers(0, 4, size=L - 90)
+    lengths = np.full(n, L, np.int32)
+    res = Mapper(index, MapConfig(max_read_len=L, batch_size=n,
+                                  positions_per_seed=8)).map_codes(
+        codes, lengths)
+    clip = res.clipped & res.mapped
+    assert clip.any(), "no read took the clip-rescue lane"
+    # the exclusion itself: clip-rescued winners are never suspect
+    assert not (clip & res.suspect).any()
+    # and the honest unique-anchor placements keep their confidence
+    correct = clip & (np.abs(res.pos - tpos) <= 20)
+    assert correct.any()
+    assert (res.mapq[correct] >= 10).mean() >= 0.8
+
+
 def test_pe_suspect_corroboration(rng):
     from urmap_tpu.map.pair import RESCUE_MAPQ_CAP, PairedMapper
 

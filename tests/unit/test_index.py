@@ -275,6 +275,11 @@ def test_row_aligned_tables_equal_classic(rng):
     # preserved, but pads shift nothing — sort for robustness
     np.testing.assert_array_equal(
         np.sort(np.asarray(c0), axis=-1), np.sort(np.asarray(c1), axis=-1))
+    # the aligned table must be 128-divisible INCLUDING the guard words,
+    # or seed.gather_candidates' dense-row + lane-rotate branch is dead
+    # code forever (round-4 advisor finding: the old pad formula left
+    # the length at 64 mod 128 with ROW_WORDS=32)
+    assert t_aligned["positions"].shape[0] % 128 == 0
 
 
 def test_align_runs_python_fallback_matches_native():

@@ -324,8 +324,13 @@ class UfiIndex:
                 # TPU gather ride the [M/128, 128] dense-row view + the
                 # lane-rotate kernel (seed.gather_candidates aligned
                 # branch) instead of the rw-row funnel. Old caches
-                # without the pad fall back at trace time.
-                pad = 2 * gpk.ROW_WORDS + ((-total) % 128)
+                # without the pad fall back at trace time. The guard
+                # words themselves must be INSIDE the 128-multiple:
+                # padding total alone leaves the final length at 64
+                # (mod 128) and the aligned dispatch guard never fires
+                # (round-4 advisor finding).
+                pad = (2 * gpk.ROW_WORDS
+                       + ((-(total + 2 * gpk.ROW_WORDS)) % 128))
             if total + pad >= 1 << 32:
                 raise ValueError("row-aligned positions table exceeds "
                                  "uint32 offsets; raise the cap filter")

@@ -83,9 +83,18 @@ def ensure_kernels() -> None:
     # callers' masking contract (lane_rotate.py docstring)
     rot_rows = rng.integers(0, 1 << 30, size=(64, 128)).astype(np.int32)
     rot_off = rng.integers(0, 128, size=64).astype(np.int32)
+    # second probe at W=256 with a width that SPANS a 128-lane row
+    # boundary — production also dispatches at W=256/384 (genome window
+    # fetches, rescue width 152 via row128_window_fetch), and a shape-
+    # specific mis-lowering there would otherwise pass preflight
+    # (round-4 advisor finding). Offsets stay < 128 per the kernel
+    # contract (they locate a start inside the FIRST row; the funnel is
+    # 7-bit — lane_rotate.supports docstring).
+    rot_rows2 = rng.integers(0, 1 << 30, size=(64, 256)).astype(np.int32)
+    rot_off2 = rng.integers(0, 128, size=64).astype(np.int32)
 
     @jax.jit
-    def probe(cj, lj, cd, wj, rr, ro):
+    def probe(cj, lj, cd, wj, rr, ro, rr2, ro2):
         rp, rn = gpk.pack_reads(cj, lj, -(-L // 16))
         s, o, v = seed_slots_words_pallas(rp, rn, lj, L, k=k, q=q,
                                           slot_bits=sb, block_r=128)
@@ -126,6 +135,13 @@ def ensure_kernels() -> None:
             rr, jnp.minimum(ro[:, None] + j, 127), axis=1)
         used = ro[:, None] + j < 128
         rotate_ok = jnp.all(jnp.where(used, rot == ref, True))
+        width2 = 130
+        rot2 = rotate_narrow_pallas(rr2, ro2, width2)
+        j2 = jnp.arange(width2, dtype=jnp.int32)[None, :]
+        ref2 = jnp.take_along_axis(
+            rr2, jnp.minimum(ro2[:, None] + j2, 255), axis=1)
+        used2 = ro2[:, None] + j2 < 256
+        rotate_ok &= jnp.all(jnp.where(used2, rot2 == ref2, True))
         return seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok
 
     hatches = {"seed": "URMAP_NO_SEED_KERNEL",
@@ -137,7 +153,8 @@ def ensure_kernels() -> None:
             bool(np.asarray(x)) for x in probe(
                 jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand),
                 jnp.asarray(win), jnp.asarray(rot_rows),
-                jnp.asarray(rot_off)))
+                jnp.asarray(rot_off), jnp.asarray(rot_rows2),
+                jnp.asarray(rot_off2)))
         # fault injection (tests / on-chip validation): pretend kernel X
         # produced wrong numerics — the hatch flip below must fire
         # exactly like a real silent-wrong-lowering would

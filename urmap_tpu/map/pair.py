@@ -344,7 +344,10 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
     for out, eff, other_eff, effr, other_effr in (
             (out1, eff1, eff2, effr1, effr2),
             (out2, eff2, eff1, effr2, effr1)):
-        sus = out["mapped"] & eff
+        # clip-rescued mates are excluded like the SE gate
+        # (pipeline.map_batch_device): their score legitimately trails
+        # perfect by the clipped tail, not by repeat divergence
+        sus = out["mapped"] & eff & ~out["clipped"]
         corrob = proper & ~other_eff
         cap = jnp.where(corrob, jnp.int32(RESCUE_MAPQ_CAP),
                         jnp.int32(mcfg.suspect_mapq_cap))
@@ -353,7 +356,7 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
         # exported remap flag (lower tier, pipeline note) — still
         # excluding fragment-corroborated mates, whose re-map could
         # only break a good pair
-        out["suspect"] = (out["mapped"] & effr
+        out["suspect"] = (out["mapped"] & effr & ~out["clipped"]
                           & ~(proper & ~other_effr))
 
     prop = proper | resc_ok

@@ -513,8 +513,13 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     # MAPQ; export the flag so the host second pass re-maps these rows
     # at the wide gather (WideSecondPass), which usually surfaces the
     # true copy and restores an honest confident call.
+    # clip-rescued winners are excluded: an honest adapter-clipped read
+    # legitimately trails the full-length perfect score by ~clip_len +
+    # clip_open, so the deficit gate would cap/flag every such read that
+    # touches one saturated slot — and the host second pass applies the
+    # same gate, so it could never recover (round-4 advisor finding)
     deficit = lengths * jnp.int32(sc.match) - out["score"]
-    sat = out["mapped"] & (c["nsat"] > 0)
+    sat = out["mapped"] & (c["nsat"] > 0) & ~out["clipped"]
     cap = sat & (deficit > jnp.int32(mcfg.suspect_deficit))
     out["mapq"] = jnp.where(cap,
                             jnp.minimum(out["mapq"],
@@ -920,6 +925,6 @@ class Mapper:
         merged = {}
         first = outs[0]
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
-                  "gapped", "ungapped", "clipped"):
+                  "gapped", "ungapped", "clipped", "suspect"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
         return MapResult(lengths=np.asarray(lengths)[:B], **merged)
