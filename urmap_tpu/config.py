@@ -172,6 +172,18 @@ class MapConfig:
     # the batch covers the ~6.5% trigger rate of 1%-error reads in one
     # round at half the cost of 1/4.
     dp_capacity_frac: int = 8
+    # Device traceback-bits pass (kernels/tb_dp.py, SURVEY.md §7 Phase
+    # 2): gapped WINNERS are re-DP'd on device with per-cell direction
+    # bits so host CIGARs decode from an O(L) bit-walk instead of a
+    # banded DP re-run (~36 us/read of host time at round-4 defaults —
+    # THE bottleneck at 8% gapped reads). Output-identical to the host
+    # DP path; rows whose optimal path leaves the re-anchored band (or
+    # that overflow the lane budget) silently fall back to it.
+    tb_bits: bool = True
+    # Traceback lane budget: rows // tb_capacity_frac gapped winners
+    # per batch get device bits; 1/8 covers the 8%-indel bench corpus
+    # with ~55% headroom. Overflow rows fall back to the host DP.
+    tb_capacity_frac: int = 8
     # MAPQ ceiling. PARITY-TODO: reference's exact MAPQ formula & cap
     # (SURVEY.md §0.1 item 3).
     max_mapq: int = 42

@@ -56,6 +56,8 @@ def ensure_kernels() -> None:
     from urmap_tpu.config import ScoreConfig
     from urmap_tpu.kernels.banded_dp import pallas_from_windows
     from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
+    from urmap_tpu.kernels.tb_dp import (tb_from_windows,
+                                         tb_from_windows_pallas)
     from urmap_tpu.kernels.vote import vote_pallas
     from urmap_tpu.map.dp import banded_from_windows
     from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
@@ -142,14 +144,21 @@ def ensure_kernels() -> None:
             rr2, jnp.minimum(ro2[:, None] + j2, 255), axis=1)
         used2 = ro2[:, None] + j2 < 256
         rotate_ok &= jnp.all(jnp.where(used2, rot2 == ref2, True))
-        return seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok
+        # traceback-bits DP (kernels/tb_dp.py): score/bend AND every
+        # packed direction word vs the jnp twin
+        ts, tb_, tw = tb_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        ks, kb, kw = tb_from_windows_pallas(wj, cj, lj, hw=hw, sc=sc)
+        tb_ok = (jnp.all(ts == ks) & jnp.all(tb_ == kb)
+                 & jnp.all(tw == kw))
+        return seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok, tb_ok
 
     hatches = {"seed": "URMAP_NO_SEED_KERNEL",
                "vote": "URMAP_NO_VOTE_KERNEL",
                "dp": "URMAP_NO_DP_KERNEL",
-               "rotate": "URMAP_NO_ROTATE_KERNEL"}
+               "rotate": "URMAP_NO_ROTATE_KERNEL",
+               "tb": "URMAP_NO_TB_KERNEL"}
     try:
-        seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok = (
+        seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok, tb_ok = (
             bool(np.asarray(x)) for x in probe(
                 jnp.asarray(codes), jnp.asarray(lens), jnp.asarray(cand),
                 jnp.asarray(win), jnp.asarray(rot_rows),
@@ -163,12 +172,13 @@ def ensure_kernels() -> None:
         vote_ok &= "vote" not in fake
         dp_ok &= "dp" not in fake
         rotate_ok &= "rotate" not in fake
+        tb_ok &= "tb" not in fake
         _RESULT = {"seed_ok": seed_ok, "vote_ok": vote_ok, "dp_ok": dp_ok,
                    "dp_clip_ok": dp_clip_ok, "rotate_ok": rotate_ok,
-                   "error": None}
+                   "tb_ok": tb_ok, "error": None}
         bad = {"seed": not seed_ok, "vote": not vote_ok,
                "dp": not (dp_ok and dp_clip_ok),
-               "rotate": not rotate_ok}
+               "rotate": not rotate_ok, "tb": not tb_ok}
         if any(bad.values()):
             # clean run, attributable mismatch → disable ONLY the
             # failing kernel(s); the healthy ones keep their speedups
@@ -184,6 +194,7 @@ def ensure_kernels() -> None:
             os.environ[var] = "1"
         _RESULT = {"seed_ok": False, "vote_ok": False, "dp_ok": False,
                    "dp_clip_ok": False, "rotate_ok": False,
+                   "tb_ok": False,
                    "error": f"{type(e).__name__}: {e}"}
         print(f"urmap-tpu: Pallas kernels unavailable on this backend "
               f"({type(e).__name__}: {e}); using jnp fallbacks",

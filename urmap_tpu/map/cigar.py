@@ -120,14 +120,137 @@ def traceback(genome: np.ndarray, read: np.ndarray, start: int,
     return "".join(out), score, nm
 
 
+def _finish_ops(ops: list[str]) -> tuple[str, int, int]:
+    """Shared tail of every traceback: leading/trailing I → S, X → M
+    merge, run-length encode. Returns (cigar, nm, ref_span). ``ops`` is
+    the forward-ordered op chars (M/X/I/D, optionally S)."""
+    s, e = 0, len(ops)
+    while s < e and ops[s] == "I":
+        ops[s] = "S"; s += 1
+    while e > s and ops[e - 1] == "I":
+        ops[e - 1] = "S"; e -= 1
+    nm = sum(1 for op in ops if op in "XID")
+    span = sum(1 for op in ops if op in "MXD")
+    if not ops:
+        return "", 0, 0
+    out: list[str] = []
+    prev, run = None, 0
+    for op in ops:
+        op = "M" if op == "X" else op
+        if op == prev:
+            run += 1
+        else:
+            if prev is not None:
+                out.append(f"{run}{prev}")
+            prev, run = op, 1
+    out.append(f"{run}{prev}")
+    return "".join(out), nm, span
+
+
+def decode_tb_row(bits: np.ndarray, col: int, bend: int, length: int,
+                  genome: np.ndarray, pos: int, read: np.ndarray,
+                  hw: int, L: int) -> tuple[str, int, int] | None:
+    """Walk one read's traceback bits (kernels/tb_dp.py layout) →
+    (cigar, nm, ref_span), or None when the walk is inconsistent (the
+    winner's path left the re-anchored band — caller falls back to the
+    host DP). ``bits`` is the [NWORDS, n] device matrix, ``col`` the
+    read's column, ``L`` the static padded read length the bits were
+    packed at (nibble positions depend on it), ``pos`` the UNBIASED
+    genome start. Byte-identical to traceback() for in-band paths: the
+    4-bit codes record the same value-equality tie-breaks the host walk
+    applies (diag > E > F; gap-open preferred over extend on ties)."""
+    W = 2 * hw + 1
+    Wp = -(-W // 8) * 8
+    ops: list[str] = []
+    i, b = length - 1, int(bend)
+    if not (0 <= b < W):
+        return None
+    state = "H"
+    guard = 3 * length + 2 * W + 4
+    while i >= 0:
+        guard -= 1
+        if guard < 0:
+            return None
+        g = i >> 3
+        hi = min(g * 8 + 8, L)
+        code = (int(bits[g * Wp + b, col]) >> (4 * (hi - 1 - i))) & 0xF
+        if state == "H":
+            hc = code & 3
+            if hc == 0:
+                gi = pos + i + b - hw
+                if gi < 0 or gi >= len(genome):
+                    return None
+                ops.append("M" if genome[gi] == read[i] else "X")
+                i -= 1
+            elif hc == 1:
+                state = "E"
+            elif hc == 2:
+                state = "F"
+            else:
+                return None
+        elif state == "E":
+            ops.append("I")
+            state = "E" if (code >> 2) & 1 else "H"
+            i -= 1
+            b += 1
+            if b >= W:
+                return None
+        else:
+            ops.append("D")
+            state = "F" if (code >> 3) & 1 else "H"
+            b -= 1
+            if b < 0:
+                return None
+    if state != "H" or b != hw:
+        return None
+    ops.reverse()
+    return _finish_ops(ops)
+
+
+def _tb_select(result, rows: np.ndarray, clip_rows):
+    """Gapped-winner rows whose CIGAR can decode from the device
+    traceback bits (MapResult.tb): present in the tb matrix with the
+    SAME score and pos as the final result (a second-pass patch or a
+    band-escaping path invalidates the entry) and not clip-rescued.
+    Returns (sub_rows, tb_entry_indices)."""
+    tb = getattr(result, "tb", None)
+    if tb is None or rows.size == 0 or tb["rows"].size == 0:
+        return rows[:0], np.zeros(0, np.int64)
+    tbr = tb["rows"]
+    pi = np.minimum(np.searchsorted(tbr, rows), tbr.size - 1)
+    ok = tbr[pi] == rows
+    ok &= tb["score"][pi] == np.asarray(result.score)[rows]
+    ok &= tb["pos"][pi] == np.asarray(result.pos)[rows]
+    if clip_rows is not None:
+        ok &= ~np.asarray(clip_rows, bool)[rows]
+    return rows[ok], pi[ok]
+
+
+def _tb_decode_rows(genome, raw_codes, result, use: np.ndarray,
+                    ti: np.ndarray):
+    """Decode device bits for rows ``use`` → (blob, offsets, nm, span,
+    ok bool[n]) — strand applied here; ok=False rows fall back."""
+    tb = result.tb
+    lens_u = np.asarray(result.lengths)[use]
+    sub = strand_codes_subset(raw_codes[use],
+                              np.asarray(result.strand)[use], lens_u)
+    (blob, off), nm_u, span_u, okd = tb_decode_batch(
+        tb["bits"], tb["cols"][ti], tb["bend"][ti], lens_u, genome,
+        np.asarray(result.pos)[use], sub, tb["hw"], tb["L"], raw=True)
+    return blob, off, nm_u, span_u, okd
+
+
 def _clip_groups(result, sc: ScoreConfig, clip_open: int | None,
-                 clip_rows) -> list[tuple[np.ndarray, int | None]]:
+                 clip_rows, rows: np.ndarray | None = None,
+                 ) -> list[tuple[np.ndarray, int | None]]:
     """Gapped rows split into (rows, per-group clip_open) traceback
     groups. ``clip_open`` set = every row clips (-endclip mode);
     ``clip_rows`` = per-row clip-rescue flags (MapResult.clipped) —
-    those rows traceback in clip mode with sc.clip_open."""
-    rows = np.nonzero(result.mapped.astype(bool)
-                      & result.gapped.astype(bool))[0]
+    those rows traceback in clip mode with sc.clip_open. ``rows``
+    restricts the split (tb-decoded rows already handled)."""
+    if rows is None:
+        rows = np.nonzero(result.mapped.astype(bool)
+                          & result.gapped.astype(bool))[0]
     if clip_open is not None:
         return [(rows, clip_open)]
     if clip_rows is None:
@@ -166,7 +289,27 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
     nm = np.where(m_only, (L * sc.match - ung) // denom, -1).astype(np.int32)
     span = np.where(m_only, L, 0).astype(np.int32)
     cig = np.where(m_only, np.char.add(L.astype("U6"), "M"), "").astype(object)
-    for rows, co in _clip_groups(result, sc, clip_open, clip_rows):
+    grows_all = np.nonzero(mapped & gapped)[0]
+    handled = np.zeros(grows_all.size, bool)
+    if clip_open is None and grows_all.size:
+        use, ti = _tb_select(result, grows_all, clip_rows)
+        if use.size:
+            # ``strand_codes`` is already strand-applied here (this
+            # entry point's contract) — decode directly
+            tb = result.tb
+            lens_u = np.asarray(result.lengths)[use]
+            (cigs_u, nm_u, span_u, okd) = tb_decode_batch(
+                tb["bits"], tb["cols"][ti], tb["bend"][ti], lens_u,
+                genome, np.asarray(result.pos)[use], strand_codes[use],
+                tb["hw"], tb["L"])
+            good = np.nonzero(okd)[0]
+            for g in good:
+                cig[use[g]] = cigs_u[g]
+            nm[use[good]] = nm_u[good]
+            span[use[good]] = span_u[good]
+            handled[np.searchsorted(grows_all, use[good])] = True
+    for rows, co in _clip_groups(result, sc, clip_open, clip_rows,
+                                 rows=grows_all[~handled]):
         if rows.size == 0:
             continue
         nat = traceback_batch_native(
@@ -255,6 +398,85 @@ def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
     return cigars, nm, score, span
 
 
+def tb_decode_batch(bits: np.ndarray, cols: np.ndarray, bend: np.ndarray,
+                    lengths: np.ndarray, genome: np.ndarray,
+                    starts: np.ndarray, reads: np.ndarray, hw: int,
+                    L: int, raw: bool = False):
+    """Batch-decode device traceback bits (kernels/tb_dp.py layout) for
+    ``len(cols)`` reads. C++ when available, Python decode_tb_row twin
+    otherwise — byte-identical outputs.
+
+    reads must be STRAND-APPLIED codes [n, >=L]. Returns
+    (cigars list[str] | (blob, offsets) with raw=True, nm int32[n],
+    span int32[n], ok bool[n]); rows with ok=False have empty cigar
+    entries and must fall back to the host DP traceback."""
+    from urmap_tpu.io import native
+
+    n = cols.shape[0]
+    lib = native.lib()
+    if lib is not None:
+        import ctypes
+
+        bits = np.ascontiguousarray(bits, np.int32)
+        cols32 = np.ascontiguousarray(cols, np.int32)
+        bend32 = np.ascontiguousarray(bend, np.int32)
+        lens32 = np.ascontiguousarray(lengths, np.int32)
+        genome = np.ascontiguousarray(genome, np.uint8)
+        starts64 = np.ascontiguousarray(starts, np.int64)
+        reads = np.ascontiguousarray(reads, np.uint8)
+        cap = n * (6 * L + 32) + 64
+        while True:
+            cig = np.empty(cap, np.uint8)
+            cig_off = np.empty(n + 1, np.int64)
+            nm = np.empty(n, np.int32)
+            span = np.empty(n, np.int32)
+            ok = np.empty(n, np.uint8)
+            rc = lib.urmap_tb_decode_batch(
+                bits.ctypes.data_as(native.p_i32),
+                bits.shape[0], bits.shape[1],
+                cols32.ctypes.data_as(native.p_i32),
+                bend32.ctypes.data_as(native.p_i32),
+                lens32.ctypes.data_as(native.p_i32),
+                genome.ctypes.data_as(native.p_u8), genome.shape[0],
+                starts64.ctypes.data_as(native.p_i64),
+                reads.ctypes.data_as(native.p_u8),
+                reads.shape[1] if n else 0, n, hw, L,
+                cig.ctypes.data_as(ctypes.c_void_p), cap,
+                cig_off.ctypes.data_as(native.p_i64),
+                nm.ctypes.data_as(native.p_i32),
+                span.ctypes.data_as(native.p_i32),
+                ok.ctypes.data_as(native.p_u8))
+            if rc == 0:
+                break
+            cap *= 2
+        okb = ok.astype(bool)
+        if raw:
+            return (cig[: cig_off[n]].tobytes(), cig_off), nm, span, okb
+        blob = cig.tobytes()
+        return ([blob[cig_off[i] : cig_off[i + 1]].decode("ascii")
+                 for i in range(n)], nm, span, okb)
+    # Python twin (no native lib: tests / fallback platforms)
+    cigars: list[str] = []
+    nm = np.full(n, -1, np.int32)
+    span = np.zeros(n, np.int32)
+    ok = np.zeros(n, bool)
+    for i in range(n):
+        dec = decode_tb_row(bits, int(cols[i]), int(bend[i]),
+                            int(lengths[i]), genome, int(starts[i]),
+                            reads[i], hw, L)
+        if dec is None:
+            cigars.append("")
+            continue
+        cigars.append(dec[0])
+        nm[i], span[i], ok[i] = dec[1], dec[2], True
+    if raw:
+        blob = "".join(cigars).encode("ascii")
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(c) for c in cigars], out=off[1:])
+        return (blob, off), nm, span, ok
+    return cigars, nm, span, ok
+
+
 def strand_codes_subset(raw_codes: np.ndarray, strand, lengths) -> np.ndarray:
     """Strand-applied codes for a row subset (reverse-complement the
     strand==1 rows in place of the originals)."""
@@ -302,8 +524,34 @@ def cigars_nm_blob(genome: np.ndarray, raw_codes: np.ndarray, result,
     tcig_off = np.zeros(1, np.int64)
     rows = np.nonzero(gapped)[0]
     if rows.size:
-        groups = _clip_groups(result, sc, clip_open, clip_rows)
         parts = []           # (sel-within-rows, blob, offs) per group
+        handled = np.zeros(rows.size, bool)
+        if clip_open is None:
+            # device traceback bits: O(L) bit-walk decode for the rows
+            # the tb pass covered (pipeline.tb_pass_device); stale/
+            # band-escaped/overflow rows fall through to the DP below
+            use, ti = _tb_select(result, rows, clip_rows)
+            if use.size:
+                blob, off, nm_u, span_u, okd = _tb_decode_rows(
+                    genome, raw_codes, result, use, ti)
+                good = np.nonzero(okd)[0]
+                if good.size:
+                    guse = use[good]
+                    nm[guse] = nm_u[good]
+                    span[guse] = span_u[good]
+                    if good.size == use.size:
+                        gblob, goff = blob, off
+                    else:
+                        lnb = np.diff(off)
+                        goff = np.zeros(good.size + 1, np.int64)
+                        np.cumsum(lnb[good], out=goff[1:])
+                        gblob = b"".join(blob[off[g] : off[g + 1]]
+                                         for g in good)
+                    sel = np.searchsorted(rows, guse)
+                    parts.append((sel, gblob, goff))
+                    handled[sel] = True
+        groups = _clip_groups(result, sc, clip_open, clip_rows,
+                              rows=rows[~handled])
         for grows, co in groups:
             if grows.size == 0:
                 continue

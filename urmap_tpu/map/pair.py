@@ -164,7 +164,8 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                      gather_tier: int | None = None,
                      row128: bool = False,
                      gather_runner=None, dp_runner=None,
-                     off_bits: tuple[int, int] | None = None):
+                     off_bits: tuple[int, int] | None = None,
+                     tb: bool = False):
     """Full paired-end device step → per-mate output dicts + pair flags.
 
     ``gather_runner``/``dp_runner``: mesh-aware stage overrides for the
@@ -360,7 +361,26 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
                           & ~(proper & ~other_effr))
 
     prop = proper | resc_ok
-    return {"m1": out1, "m2": out2, "proper": prop}
+    res = {"m1": out1, "m2": out2, "proper": prop}
+    if tb:
+        # device traceback bits over BOTH mates' final winners (rows
+        # [0,B) = mate1, [B,2B) = mate2 — matching the candidates
+        # stacking) — covers proper-pair, rescue and single-end
+        # winners uniformly, since the pass re-anchors at whatever POS
+        # won (pipeline.tb_pass_device)
+        from urmap_tpu import genome_pack as gpk
+        from urmap_tpu.map.pipeline import tb_pass_device
+
+        nw = -(-L // gpk.BASES_PER_WORD)
+        rp, rn = gpk.pack_reads(reads, lens, nw)   # CSE'd w/ candidates
+        pos2 = jnp.concatenate([out1["pos"], out2["pos"]])
+        strand2 = jnp.concatenate([out1["strand"], out2["strand"]])
+        gsel = jnp.concatenate(
+            [o["mapped"] & o["gapped"] & ~o["clipped"]
+             for o in (out1, out2)])
+        res["_tb"] = tb_pass_device(tables, pos2, strand2, lens, gsel,
+                                    rp, rn, L=L, mcfg=mcfg, sc=sc)
+    return res
 
 
 def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
@@ -369,24 +389,29 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
                       csr_aligned: bool = False,
                       gather_tier: int | None = None,
                       row128: bool = False,
-                      off_bits: tuple[int, int] | None = None):
+                      off_bits: tuple[int, int] | None = None,
+                      tb: bool = False):
     """Jitted paired step → ONE packed int32[B, 2*PACKED_COLS+1]
     (mate1 cols, mate2 cols — pipeline.pack_out layout — then proper):
     a single D2H fetch per batch (see pipeline.PACKED_COLS note).
     ``packed_input``: mate blocks arrive packed 4 bases/byte + N plane
-    (see pipeline.make_map_batch_fn) and unpack on device."""
+    (see pipeline.make_map_batch_fn) and unpack on device. ``tb``:
+    the return becomes (packed, tb_matrix) — pipeline.tb_pass_device."""
     from urmap_tpu.map.pipeline import pack_out
 
     sc = sc or ScoreConfig()
     fn = functools.partial(map_pairs_device, icfg=icfg, mcfg=mcfg, sc=sc,
                           csr_aligned=csr_aligned, gather_tier=gather_tier,
-                          row128=row128, off_bits=off_bits)
+                          row128=row128, off_bits=off_bits, tb=tb)
 
     def combine(tables, r1, l1, r2, l2):
         out = fn(tables, r1, l1, r2, l2)
-        return jnp.concatenate(
+        packed = jnp.concatenate(
             [pack_out(out["m1"]), pack_out(out["m2"]),
              out["proper"].astype(jnp.int32)[:, None]], axis=1)
+        if tb:
+            return packed, out["_tb"]
+        return packed
 
     if packed_input:
         from urmap_tpu import genome_pack as gpk
@@ -425,13 +450,15 @@ class PairedMapper:
         self.sc = mapper.sc
         self.pair_batch = max(1, self.mcfg.batch_size // 2)
         self.packed_upload = getattr(mapper, "packed_upload", False)
+        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip)
         self._fn = make_map_pairs_fn(
             mapper.icfg, mapper.mcfg, mapper.sc,
             packed_input=self.packed_upload,
             csr_aligned=getattr(mapper, "csr_aligned", False),
             gather_tier=getattr(mapper, "gather_tier", None),
             row128=getattr(mapper, "row128", False),
-            off_bits=getattr(mapper, "off_bits", None))
+            off_bits=getattr(mapper, "off_bits", None),
+            tb=self.tb)
 
     def prepack(self, codes1, lengths1, codes2, lengths2):
         """Host-side upload prep for start_batch's ``prepacked`` — run
@@ -469,18 +496,42 @@ class PairedMapper:
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
-        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out
+        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out, unpack_tb
 
         out, B = handle
+        tbmat = None
+        if isinstance(out, tuple):
+            out, tbmat = out
         arr = np.asarray(out)[:B]
         C = PACKED_COLS
         m1 = unpack_out(arr[:, 0:C])
         m2 = unpack_out(arr[:, C : 2 * C])
-        return PairResult(
+        res = PairResult(
             m1=MapResult.from_device(m1, np.asarray(lengths1)[:B]),
             m2=MapResult.from_device(m2, np.asarray(lengths2)[:B]),
             proper=arr[:, 2 * C].astype(bool),
         )
+        if tbmat is not None:
+            # rows [0, Bp) = mate1, [Bp, 2Bp) = mate2 (Bp = the PADDED
+            # pair batch the device program ran at); both mates' dicts
+            # share one bits matrix, filtered by their own rows/cols
+            tb = unpack_tb(np.asarray(tbmat), self.mcfg.band_halfwidth,
+                           self.mcfg.max_read_len)
+            Bp = self.pair_batch
+            s1 = tb["rows"] < Bp
+
+            def side(sel, base):
+                return {"rows": tb["rows"][sel] - base,
+                        "bend": tb["bend"][sel],
+                        "score": tb["score"][sel],
+                        "pos": tb["pos"][sel],
+                        "cols": tb["cols"][sel],
+                        "bits": tb["bits"], "hw": tb["hw"],
+                        "L": tb["L"]}
+
+            res.m1.tb = side(s1, 0)
+            res.m2.tb = side(~s1, Bp)
+        return res
 
     def second_pass(self, codes1, lengths1, codes2, lengths2,
                     res: "PairResult") -> "PairResult":

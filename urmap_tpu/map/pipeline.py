@@ -73,6 +73,11 @@ class MapResult:
     suspect: np.ndarray | None = None   # bool: saturated-evidence poor-
     #                                     score winner (MAPQ capped); the
     #                                     second pass re-maps these rows
+    tb: dict | None = None              # device traceback bits for the
+    #                                     gapped winners (unpack_tb) —
+    #                                     consumed by map/cigar.py;
+    #                                     rows missing/stale fall back
+    #                                     to the host DP traceback
 
     @classmethod
     def from_device(cls, out: dict, lengths) -> "MapResult":
@@ -485,8 +490,11 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
                      gather_runner=None, csr_aligned: bool = False,
                      gather_tier: int | None = None, row128: bool = False,
                      use_pallas: bool = True, packed_reads=None,
-                     off_bits: tuple[int, int] | None = None):
-    """Pure jnp mapping step. tables: dict(offsets, positions, genome)."""
+                     off_bits: tuple[int, int] | None = None,
+                     tb: bool = False):
+    """Pure jnp mapping step. tables: dict(offsets, positions, genome).
+    ``tb``: append the traceback-bits matrix as out["_tb"]
+    (tb_pass_device)."""
     c = candidates_batch_device(tables, reads, lengths, icfg=icfg,
                                 mcfg=mcfg, sc=sc, dp_runner=dp_runner,
                                 gather_runner=gather_runner,
@@ -529,7 +537,92 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     # suspect_remap_deficit): close-sibling winners keep their MAPQ on
     # device but get re-adjudicated by the wide second pass
     out["suspect"] = sat & (deficit > jnp.int32(mcfg.suspect_remap_deficit))
+    if tb:
+        from urmap_tpu import genome_pack as gpk
+
+        L = mcfg.max_read_len if reads is None else reads.shape[1]
+        nw = -(-L // gpk.BASES_PER_WORD)
+        # forward word planes (trivially CSE'd with the identical call
+        # inside candidates_batch_device — one computation in the
+        # compiled program)
+        if packed_reads is not None:
+            pk, nm = packed_reads
+            rp1, rn1 = gpk.read_words_from_upload(pk, nm, lengths, nw)
+        else:
+            rp1, rn1 = gpk.pack_reads(reads, lengths, nw)
+        # clip-rescued rows keep the host clip-mode traceback (rare)
+        gsel = out["mapped"] & out["gapped"] & ~out["clipped"]
+        out["_tb"] = tb_pass_device(tables, out["pos"], out["strand"],
+                                    lengths, gsel, rp1, rn1, L=L,
+                                    mcfg=mcfg, sc=sc,
+                                    use_pallas=use_pallas)
     return out
+
+
+# ---- device traceback-bits pass (config.MapConfig.tb_bits) ----
+# Gapped winners are re-DP'd at their selected POS with per-cell
+# direction bits (kernels/tb_dp.py); the host then decodes CIGARs with
+# an O(L) bit-walk instead of re-running the banded DP (map/cigar.py
+# tb_decode_batch). One matrix rides the batch D2H:
+#   rows 0-3 = meta (winner row index; bend | do<<16; tb score;
+#   tb anchor pos, biased), rows 4.. = packed traceback words, columns
+#   = the C compacted gapped-winner lanes.
+TB_META_ROWS = 4
+
+
+def tb_pass_device(tables, pos, strand, lengths_rows, gsel, rp_fwd,
+                   rn_fwd, *, L: int, mcfg: MapConfig, sc: ScoreConfig,
+                   use_pallas: bool = True):
+    """Compact gapped winners → windows at POS-hw → tb kernel → one
+    int32 matrix [TB_META_ROWS + NWORDS, C].
+
+    pos: biased int32 winner positions (row-aligned with gsel);
+    rp_fwd/rn_fwd: FORWARD-strand word planes for the same rows (rc is
+    taken here for the compacted subset only)."""
+    from urmap_tpu import genome_pack as gpk
+    from urmap_tpu.kernels.tb_dp import tb_dispatch
+
+    nrows = gsel.shape[0]
+    C = min(max(nrows // mcfg.tb_capacity_frac, 128), nrows)
+    idx, = jnp.nonzero(gsel, size=C, fill_value=0)
+    # live-lane mask by COUNT, not gsel[idx]: fill lanes alias row 0,
+    # whose gsel bit may genuinely be set
+    do = jnp.arange(C, dtype=jnp.int32) < gsel.sum()
+    lens = lengths_rows[idx]
+    rp = rp_fwd[idx]
+    rn = rn_fwd[idx]
+    rp_rc, rn_rc = gpk.revcomp_words(rp, rn, lens, L)
+    st1 = (strand[idx] == 1)[:, None]
+    rp = jnp.where(st1, rp_rc, rp)
+    rn = jnp.where(st1, rn_rc, rn)
+    codes = gpk.unpack_words_to_codes(rp, rn, L)
+    hw = mcfg.band_halfwidth
+    p = jnp.where(do, pos[idx], 0)
+    windows = gpk.gather_codes(tables["ginter"], tables["base_off"],
+                               p - hw, L + 2 * hw)
+    score, bend, bits = tb_dispatch(windows, codes, lens, hw=hw, sc=sc,
+                                    use_pallas=use_pallas)
+    meta = jnp.stack([idx.astype(jnp.int32),
+                      bend | (do.astype(jnp.int32) << 16),
+                      score, p], axis=0)
+    return jnp.concatenate([meta, bits], axis=0)
+
+
+def unpack_tb(arr: np.ndarray, hw: int, L: int) -> dict:
+    """Host twin of tb_pass_device's packing → dict consumed by
+    map/cigar.py (rows/bend/score/pos are filtered to the live lanes)."""
+    meta = arr[:TB_META_ROWS]
+    do = (meta[1] >> 16).astype(bool)
+    return {
+        "rows": meta[0][do].astype(np.int64),
+        "bend": (meta[1] & 0xFFFF)[do].astype(np.int32),
+        "score": meta[2][do].astype(np.int32),
+        "pos": meta[3][do].astype(np.int64) + POS_BIAS,
+        "cols": np.nonzero(do)[0].astype(np.int32),
+        "bits": arr[TB_META_ROWS:],
+        "hw": hw,
+        "L": L,
+    }
 
 
 # Single-array output packing: the D2H fetch through this platform's
@@ -612,9 +705,11 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
                       gather_tier: int | None = None,
                       row128: bool = False,
                       use_pallas: bool = True,
-                      off_bits: tuple[int, int] | None = None):
+                      off_bits: tuple[int, int] | None = None,
+                      tb: bool = False):
     """Returns jitted fn(tables, reads, lengths) → packed int32[B, 6]
-    (or the raw output dict with packed=False).
+    (or the raw output dict with packed=False). With ``tb`` the packed
+    forms return (packed, tb_matrix) — pipeline.tb_pass_device.
 
     ``packed_input``: fn takes (tables, rpacked, nmask, lengths) with the
     read block packed 4 bases/byte + N plane (genome_pack.
@@ -629,7 +724,7 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     fn = functools.partial(map_batch_device, icfg=icfg, mcfg=mcfg, sc=sc,
                           csr_aligned=csr_aligned, gather_tier=gather_tier,
                           row128=row128, use_pallas=use_pallas,
-                          off_bits=off_bits)
+                          off_bits=off_bits, tb=tb)
     if not packed:
         return jax.jit(fn)
 
@@ -637,13 +732,18 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
         def packed_in_fn(tables, rpk, rnm, lengths):
             # word-native front door: the upload bytes feed the word
             # planes directly (no byte unpack -> re-pack round trip)
-            return pack_out(fn(tables, None, lengths,
-                               packed_reads=(rpk, rnm)))
+            out = fn(tables, None, lengths, packed_reads=(rpk, rnm))
+            if tb:
+                return pack_out(out), out["_tb"]
+            return pack_out(out)
 
         return jax.jit(packed_in_fn)
 
     def packed_fn(tables, reads, lengths):
-        return pack_out(fn(tables, reads, lengths))
+        out = fn(tables, reads, lengths)
+        if tb:
+            return pack_out(out), out["_tb"]
+        return pack_out(out)
 
     return jax.jit(packed_fn)
 
@@ -838,12 +938,17 @@ class Mapper:
             self.off_bits = tuple(meta["off_bits"])
         self.tables = tables_to_device(
             ht, use_packed_offsets=self.off_bits is not None)
+        # device traceback bits (config.MapConfig.tb_bits): not under
+        # -endclip, where every gapped winner needs the clip-mode host
+        # traceback anyway
+        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
                                      gather_tier=self.gather_tier,
                                      row128=self.row128,
-                                     off_bits=self.off_bits)
+                                     off_bits=self.off_bits,
+                                     tb=self.tb)
         self.second = (WideSecondPass(index, self.mcfg, self.sc)
                        if self.mcfg.second_pass_p else None)
 
@@ -908,8 +1013,16 @@ class Mapper:
 
     def finish_batch(self, handle, lengths) -> MapResult:
         out, B = handle
+        tbmat = None
+        if isinstance(out, tuple):
+            out, tbmat = out
         merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
-        return MapResult.from_device(merged, np.asarray(lengths)[:B])
+        res = MapResult.from_device(merged, np.asarray(lengths)[:B])
+        if tbmat is not None:
+            res.tb = unpack_tb(np.asarray(tbmat),
+                               self.mcfg.band_halfwidth,
+                               self.mcfg.max_read_len)
+        return res
 
     def map_codes(self, codes: np.ndarray, lengths: np.ndarray) -> MapResult:
         B = codes.shape[0]
