@@ -123,31 +123,75 @@ def test_pallas_interpret_bit_identical(rng):
     assert np.asarray(jw).shape == (tb_words(L, HW), 96)
 
 
-def test_native_decoder_matches_python(rng):
-    """urmap_tb_decode_batch (C++) vs decode_tb_row — byte-identical
+def test_dops_replay_matches_bit_walk(rng):
+    """The device-walk records (dops) replayed on host must reproduce
+    the full bit-walk decode (decode_tb_row, itself byte-identical to
+    the host DP traceback) on every planted case."""
+    from urmap_tpu.kernels.tb_dp import dops_from_bits
+    from urmap_tpu.map.cigar import decode_dops_row
+
+    sc = ScoreConfig()
+    genome, reads, lens, poss = _planted_cases(rng, 160)
+    win = _windows(genome, poss)
+    score, bend, bits = tb_from_windows(win, reads, lens, hw=HW, sc=sc)
+    dops, walk_ok = (np.asarray(x) for x in
+                     dops_from_bits(bits, bend, lens, hw=HW, L=L))
+    bits = np.asarray(bits)
+    bend = np.asarray(bend)
+    n_gapped = 0
+    for i in range(len(poss)):
+        ref = decode_tb_row(bits, i, int(bend[i]), int(lens[i]), genome,
+                            int(poss[i]), reads[i], HW, L)
+        assert ref is not None and walk_ok[i]
+        got = decode_dops_row(dops, i, int(lens[i]), genome,
+                              int(poss[i]), reads[i])
+        assert got == ref, (i, got, ref)
+        if "I" in ref[0] or "D" in ref[0]:
+            n_gapped += 1
+    assert n_gapped >= 30
+
+
+def test_native_dops_decoder_matches_python(rng):
+    """urmap_dops_decode_batch (C++) vs decode_dops_row — byte-identical
     CIGARs, same nm/span/ok on random planted cases."""
     from urmap_tpu.io import native
-    from urmap_tpu.map.cigar import tb_decode_batch
+    from urmap_tpu.kernels.tb_dp import tb_dops_from_windows
+    from urmap_tpu.map.cigar import decode_dops_row, dops_decode_batch
 
     if native.lib() is None:
         pytest.skip("native lib unavailable")
     sc = ScoreConfig()
     genome, reads, lens, poss = _planted_cases(rng, 128)
     win = _windows(genome, poss)
-    score, bend, bits = (np.asarray(x) for x in
-                         tb_from_windows(win, reads, lens, hw=HW, sc=sc))
+    score, dops, walk_ok = (np.asarray(x) for x in tb_dops_from_windows(
+        win, reads, lens, hw=HW, sc=sc))
     cols = np.arange(128, dtype=np.int32)
-    cigs_c, nm_c, sp_c, ok_c = tb_decode_batch(
-        bits, cols, bend, lens, genome, poss, reads, HW, L)
+    cigs_c, nm_c, sp_c, ok_c = dops_decode_batch(
+        dops, cols, lens, genome, poss, reads)
     for i in range(128):
-        dec = decode_tb_row(bits, i, int(bend[i]), int(lens[i]), genome,
-                            int(poss[i]), reads[i], HW, L)
+        dec = decode_dops_row(dops, i, int(lens[i]), genome,
+                              int(poss[i]), reads[i])
         if dec is None:
             assert not ok_c[i]
             continue
         assert ok_c[i]
         assert cigs_c[i] == dec[0]
         assert nm_c[i] == dec[1] and sp_c[i] == dec[2]
+
+
+def test_dops_pallas_interpret_bit_identical(rng):
+    from urmap_tpu.kernels.tb_dp import (tb_dops_from_windows,
+                                         tb_dops_from_windows_pallas)
+
+    sc = ScoreConfig()
+    genome, reads, lens, poss = _planted_cases(rng, 96)
+    win = _windows(genome, poss)
+    js, jd, jk = tb_dops_from_windows(win, reads, lens, hw=HW, sc=sc)
+    ps, pd, pk = tb_dops_from_windows_pallas(win, reads, lens, hw=HW,
+                                             sc=sc, interpret=True)
+    np.testing.assert_array_equal(np.asarray(js), np.asarray(ps))
+    np.testing.assert_array_equal(np.asarray(jd), np.asarray(pd))
+    np.testing.assert_array_equal(np.asarray(jk), np.asarray(pk))
 
 
 def test_zero_length_and_padding_rows(rng):

@@ -76,10 +76,10 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         p_u8, c_i64, p_i64, p_u8, c_i64, p_i32, c_i64, c_i32, c_i32,
         c_i32, c_i32, c_i32, c_i32, c_i32, ctypes.c_void_p, c_i64, p_i64,
         p_i32, p_i32, p_i32]
-    lib.urmap_tb_decode_batch.restype = c_i64
-    lib.urmap_tb_decode_batch.argtypes = [
-        p_i32, c_i64, c_i64, p_i32, p_i32, p_i32, p_u8, c_i64, p_i64,
-        p_u8, c_i64, c_i64, c_i32, c_i32, ctypes.c_void_p, c_i64, p_i64,
+    lib.urmap_dops_decode_batch.restype = c_i64
+    lib.urmap_dops_decode_batch.argtypes = [
+        p_i32, c_i64, c_i64, p_i32, p_i32, p_u8, c_i64, p_i64,
+        p_u8, c_i64, c_i64, ctypes.c_void_p, c_i64, p_i64,
         p_i32, p_i32, p_u8]
     lib.urmap_pack_reads.restype = None
     lib.urmap_pack_reads.argtypes = [p_u8, c_i64, c_i64, p_u8, p_u8]

@@ -461,87 +461,65 @@ int64_t urmap_traceback_batch(
   return 0;
 }
 
-// Decode device traceback bits (kernels/tb_dp.py layout) into CIGARs:
-// the O(L) walk that replaces the O(L*(L+pad)) banded re-DP above for
-// winners whose bits came back from the device pass. Byte-identical to
-// urmap_traceback_batch / map/cigar.py traceback() for in-band paths
-// (map/cigar.py decode_tb_row is the Python reference twin).
+// Replay device traceback records ("dops", kernels/tb_dp.py): the
+// device already WALKED its traceback bits and emitted one byte per
+// read row — rec_i = d | (op << 6) at byte i%4 of word i//4, where op
+// selects diag (M/X, host compares genome) vs insertion and d is the
+// deletion-run length AFTER the op. Forward CIGAR = for i ascending:
+// op_i then d_i 'D's. Byte-identical to urmap_traceback_batch /
+// map/cigar.py traceback() for in-band paths (decode_dops_row is the
+// Python reference twin). O(L) per read.
 //
-// bits: [nwords, ncols] int32 row-major (device matrix, lane stride
-// ncols); read i uses column cols[i]. Per cell (row ii, band b) the
-// 4-bit code sits in word (ii/8)*Wp + b at nibble (hi-1-ii), where
-// hi = min((ii/8)*8+8, Lpad) and Wp = 2*hw+1 padded up to 8.
-// ok_out[i] = 0 marks an inconsistent walk (path left the re-anchored
-// band — caller falls back to the DP); its cigar entry is empty.
-// Returns 0, or -1 if cig_cap was too small (caller doubles).
-int64_t urmap_tb_decode_batch(
-    const int32_t* bits, int64_t nwords, int64_t ncols, const int32_t* cols,
-    const int32_t* bend, const int32_t* lengths, const uint8_t* genome,
-    int64_t G, const int64_t* starts, const uint8_t* reads,
-    int64_t read_stride, int64_t n, int32_t hw, int32_t Lpad, char* cig,
-    int64_t cig_cap, int64_t* cig_off, int32_t* nm_out, int32_t* span_out,
-    uint8_t* ok_out) {
-  const int32_t W = 2 * hw + 1;
-  const int32_t Wp = ((W + 7) / 8) * 8;
+// dops: [nrows, ncols] int32 row-major (device matrix, lane stride
+// ncols); read i uses column cols[i]. ok_out[i] = 0 marks a
+// structural violation (caller falls back to the DP); its cigar entry
+// is empty. Returns 0, or -1 if cig_cap was too small (caller doubles).
+int64_t urmap_dops_decode_batch(
+    const int32_t* dops, int64_t nrows, int64_t ncols, const int32_t* cols,
+    const int32_t* lengths, const uint8_t* genome, int64_t G,
+    const int64_t* starts, const uint8_t* reads, int64_t read_stride,
+    int64_t n, char* cig, int64_t cig_cap, int64_t* cig_off,
+    int32_t* nm_out, int32_t* span_out, uint8_t* ok_out) {
   char* o = cig;
   char* oend = cig + cig_cap;
   cig_off[0] = 0;
-  int64_t opcap = 3 * (int64_t)Lpad + 2 * W + 8;
+  int32_t maxL = 0;
+  for (int64_t i = 0; i < n; ++i)
+    if (lengths[i] > maxL) maxL = lengths[i];
+  int64_t opcap = 64 * ((int64_t)maxL + 2);
   char* ops = new char[opcap];
   for (int64_t i = 0; i < n; ++i) {
     const int32_t L = lengths[i];
     const int64_t col = cols[i];
-    const int64_t pos = starts[i];
     const uint8_t* r = reads + i * read_stride;
-    int32_t ii = L - 1, b = bend[i];
+    int64_t gi = starts[i];
     int64_t no = 0;
-    char state = 'H';
-    bool ok = (b >= 0 && b < W && col >= 0 && col < ncols);
-    int64_t guard = 3 * (int64_t)L + 2 * W + 4;
-    while (ok && ii >= 0) {
-      if (--guard < 0 || no + 1 > opcap) { ok = false; break; }
-      const int32_t g8 = ii >> 3;
-      const int32_t hi = (g8 * 8 + 8 < Lpad) ? g8 * 8 + 8 : Lpad;
-      const int64_t w = (int64_t)g8 * Wp + b;
-      if (w < 0 || w >= nwords) { ok = false; break; }
-      const int32_t code =
-          (bits[w * ncols + col] >> (4 * (hi - 1 - ii))) & 0xF;
-      if (state == 'H') {
-        const int32_t hc = code & 3;
-        if (hc == 0) {
-          const int64_t gi = pos + ii + b - hw;
-          if (gi < 0 || gi >= G) { ok = false; break; }
-          ops[no++] = (genome[gi] == r[ii]) ? 'M' : 'X';
-          --ii;
-        } else if (hc == 1) {
-          state = 'E';
-        } else if (hc == 2) {
-          state = 'F';
-        } else {
-          ok = false;
-        }
-      } else if (state == 'E') {
+    bool ok = (col >= 0 && col < ncols && ((L + 3) >> 2) <= nrows);
+    for (int32_t ii = 0; ok && ii < L; ++ii) {
+      const int32_t rec =
+          (dops[(int64_t)(ii >> 2) * ncols + col] >> (8 * (ii & 3))) &
+          0xFF;
+      const int32_t d = rec & 63;
+      if ((rec >> 6) & 1) {
         ops[no++] = 'I';
-        state = (code & 4) ? 'E' : 'H';
-        --ii;
-        if (++b >= W) ok = false;
       } else {
-        ops[no++] = 'D';
-        state = (code & 8) ? 'F' : 'H';
-        if (--b < 0) ok = false;
+        if (gi < 0 || gi >= G) { ok = false; break; }
+        ops[no++] = (genome[gi] == r[ii]) ? 'M' : 'X';
+        ++gi;
+      }
+      if (d) {
+        if (no + d > opcap) { ok = false; break; }
+        for (int32_t a = 0; a < d; ++a) ops[no++] = 'D';
+        gi += d;
+        if (gi > G) { ok = false; break; }
       }
     }
-    if (state != 'H' || b != hw) ok = false;
     if (!ok) {
       ok_out[i] = 0;
       cig_off[i + 1] = o - cig;
       nm_out[i] = -1;
       span_out[i] = 0;
       continue;
-    }
-    // reverse to forward order
-    for (int64_t a = 0, z = no - 1; a < z; ++a, --z) {
-      char t = ops[a]; ops[a] = ops[z]; ops[z] = t;
     }
     // leading/trailing I -> S, nm/span, X -> M (same as traceback_batch)
     int64_t s0 = 0, e0p = no;

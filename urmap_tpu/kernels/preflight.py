@@ -56,8 +56,8 @@ def ensure_kernels() -> None:
     from urmap_tpu.config import ScoreConfig
     from urmap_tpu.kernels.banded_dp import pallas_from_windows
     from urmap_tpu.kernels.seed_slots import seed_slots_words_pallas
-    from urmap_tpu.kernels.tb_dp import (tb_from_windows,
-                                         tb_from_windows_pallas)
+    from urmap_tpu.kernels.tb_dp import (tb_dops_from_windows,
+                                         tb_dops_from_windows_pallas)
     from urmap_tpu.kernels.vote import vote_pallas
     from urmap_tpu.map.dp import banded_from_windows
     from urmap_tpu.map.seed import (SENTINEL, extract_seed_slots_words,
@@ -144,12 +144,13 @@ def ensure_kernels() -> None:
             rr2, jnp.minimum(ro2[:, None] + j2, 255), axis=1)
         used2 = ro2[:, None] + j2 < 256
         rotate_ok &= jnp.all(jnp.where(used2, rot2 == ref2, True))
-        # traceback-bits DP (kernels/tb_dp.py): score/bend AND every
-        # packed direction word vs the jnp twin
-        ts, tb_, tw = tb_from_windows(wj, cj, lj, hw=hw, sc=sc)
-        ks, kb, kw = tb_from_windows_pallas(wj, cj, lj, hw=hw, sc=sc)
-        tb_ok = (jnp.all(ts == ks) & jnp.all(tb_ == kb)
-                 & jnp.all(tw == kw))
+        # traceback dops DP (kernels/tb_dp.py): score, walk_ok AND
+        # every packed (d, op) record word vs the jnp twin
+        ts, tw, tk = tb_dops_from_windows(wj, cj, lj, hw=hw, sc=sc)
+        ks, kw, kk = tb_dops_from_windows_pallas(wj, cj, lj, hw=hw,
+                                                 sc=sc)
+        tb_ok = (jnp.all(ts == ks) & jnp.all(tw == kw)
+                 & jnp.all(tk == kk))
         return seed_ok, vote_ok, dp_ok, dp_clip_ok, rotate_ok, tb_ok
 
     hatches = {"seed": "URMAP_NO_SEED_KERNEL",

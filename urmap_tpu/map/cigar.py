@@ -228,15 +228,16 @@ def _tb_select(result, rows: np.ndarray, clip_rows):
 
 def _tb_decode_rows(genome, raw_codes, result, use: np.ndarray,
                     ti: np.ndarray):
-    """Decode device bits for rows ``use`` → (blob, offsets, nm, span,
-    ok bool[n]) — strand applied here; ok=False rows fall back."""
+    """Replay device dops records for rows ``use`` → (blob, offsets,
+    nm, span, ok bool[n]) — strand applied here; ok=False rows fall
+    back."""
     tb = result.tb
     lens_u = np.asarray(result.lengths)[use]
     sub = strand_codes_subset(raw_codes[use],
                               np.asarray(result.strand)[use], lens_u)
-    (blob, off), nm_u, span_u, okd = tb_decode_batch(
-        tb["bits"], tb["cols"][ti], tb["bend"][ti], lens_u, genome,
-        np.asarray(result.pos)[use], sub, tb["hw"], tb["L"], raw=True)
+    (blob, off), nm_u, span_u, okd = dops_decode_batch(
+        tb["dops"], tb["cols"][ti], lens_u, genome,
+        np.asarray(result.pos)[use], sub, raw=True)
     return blob, off, nm_u, span_u, okd
 
 
@@ -295,13 +296,12 @@ def cigars_nm_fast(genome: np.ndarray, strand_codes: np.ndarray, result,
         use, ti = _tb_select(result, grows_all, clip_rows)
         if use.size:
             # ``strand_codes`` is already strand-applied here (this
-            # entry point's contract) — decode directly
+            # entry point's contract) — replay directly
             tb = result.tb
             lens_u = np.asarray(result.lengths)[use]
-            (cigs_u, nm_u, span_u, okd) = tb_decode_batch(
-                tb["bits"], tb["cols"][ti], tb["bend"][ti], lens_u,
-                genome, np.asarray(result.pos)[use], strand_codes[use],
-                tb["hw"], tb["L"])
+            (cigs_u, nm_u, span_u, okd) = dops_decode_batch(
+                tb["dops"], tb["cols"][ti], lens_u,
+                genome, np.asarray(result.pos)[use], strand_codes[use])
             good = np.nonzero(okd)[0]
             for g in good:
                 cig[use[g]] = cigs_u[g]
@@ -398,13 +398,45 @@ def traceback_batch_native(genome: np.ndarray, starts: np.ndarray,
     return cigars, nm, score, span
 
 
-def tb_decode_batch(bits: np.ndarray, cols: np.ndarray, bend: np.ndarray,
-                    lengths: np.ndarray, genome: np.ndarray,
-                    starts: np.ndarray, reads: np.ndarray, hw: int,
-                    L: int, raw: bool = False):
-    """Batch-decode device traceback bits (kernels/tb_dp.py layout) for
-    ``len(cols)`` reads. C++ when available, Python decode_tb_row twin
-    otherwise — byte-identical outputs.
+def decode_dops_row(dops: np.ndarray, col: int, length: int,
+                    genome: np.ndarray, pos: int, read: np.ndarray,
+                    ) -> tuple[str, int, int] | None:
+    """Replay one read's device (d, op) records (kernels/tb_dp.py dops
+    layout: rec_i = byte i%4 of word i//4; op bit 6, deletion-run in
+    bits 0-5) → (cigar, nm, ref_span). Forward order: op_i, then d_i
+    deletions. Returns None on a structural violation (caller falls
+    back to the host DP)."""
+    ops: list[str] = []
+    gi = int(pos)
+    G = len(genome)
+    for i in range(length):
+        w = i >> 2
+        if w >= dops.shape[0]:
+            return None
+        rec = (int(dops[w, col]) >> (8 * (i & 3))) & 0xFF
+        d = rec & 63
+        if (rec >> 6) & 1:
+            ops.append("I")
+        else:
+            if gi < 0 or gi >= G:
+                return None
+            ops.append("M" if genome[gi] == read[i] else "X")
+            gi += 1
+        if d:
+            ops.extend("D" * d)
+            gi += d
+            if gi > G:
+                return None
+    return _finish_ops(ops)
+
+
+def dops_decode_batch(dops: np.ndarray, cols: np.ndarray,
+                      lengths: np.ndarray, genome: np.ndarray,
+                      starts: np.ndarray, reads: np.ndarray,
+                      raw: bool = False):
+    """Batch replay of device dops records for ``len(cols)`` reads.
+    C++ when available, decode_dops_row twin otherwise — byte-identical
+    outputs.
 
     reads must be STRAND-APPLIED codes [n, >=L]. Returns
     (cigars list[str] | (blob, offsets) with raw=True, nm int32[n],
@@ -413,13 +445,13 @@ def tb_decode_batch(bits: np.ndarray, cols: np.ndarray, bend: np.ndarray,
     from urmap_tpu.io import native
 
     n = cols.shape[0]
+    L = reads.shape[1] if n else 0
     lib = native.lib()
     if lib is not None:
         import ctypes
 
-        bits = np.ascontiguousarray(bits, np.int32)
+        dops = np.ascontiguousarray(dops, np.int32)
         cols32 = np.ascontiguousarray(cols, np.int32)
-        bend32 = np.ascontiguousarray(bend, np.int32)
         lens32 = np.ascontiguousarray(lengths, np.int32)
         genome = np.ascontiguousarray(genome, np.uint8)
         starts64 = np.ascontiguousarray(starts, np.int64)
@@ -431,16 +463,14 @@ def tb_decode_batch(bits: np.ndarray, cols: np.ndarray, bend: np.ndarray,
             nm = np.empty(n, np.int32)
             span = np.empty(n, np.int32)
             ok = np.empty(n, np.uint8)
-            rc = lib.urmap_tb_decode_batch(
-                bits.ctypes.data_as(native.p_i32),
-                bits.shape[0], bits.shape[1],
+            rc = lib.urmap_dops_decode_batch(
+                dops.ctypes.data_as(native.p_i32),
+                dops.shape[0], dops.shape[1],
                 cols32.ctypes.data_as(native.p_i32),
-                bend32.ctypes.data_as(native.p_i32),
                 lens32.ctypes.data_as(native.p_i32),
                 genome.ctypes.data_as(native.p_u8), genome.shape[0],
                 starts64.ctypes.data_as(native.p_i64),
-                reads.ctypes.data_as(native.p_u8),
-                reads.shape[1] if n else 0, n, hw, L,
+                reads.ctypes.data_as(native.p_u8), L, n,
                 cig.ctypes.data_as(ctypes.c_void_p), cap,
                 cig_off.ctypes.data_as(native.p_i64),
                 nm.ctypes.data_as(native.p_i32),
@@ -461,9 +491,8 @@ def tb_decode_batch(bits: np.ndarray, cols: np.ndarray, bend: np.ndarray,
     span = np.zeros(n, np.int32)
     ok = np.zeros(n, bool)
     for i in range(n):
-        dec = decode_tb_row(bits, int(cols[i]), int(bend[i]),
-                            int(lengths[i]), genome, int(starts[i]),
-                            reads[i], hw, L)
+        dec = decode_dops_row(dops, int(cols[i]), int(lengths[i]),
+                              genome, int(starts[i]), reads[i])
         if dec is None:
             cigars.append("")
             continue

@@ -410,7 +410,9 @@ def make_map_pairs_fn(icfg: IndexConfig, mcfg: MapConfig,
             [pack_out(out["m1"]), pack_out(out["m2"]),
              out["proper"].astype(jnp.int32)[:, None]], axis=1)
         if tb:
-            return packed, out["_tb"]
+            # one D2H array (pipeline make_map_batch_fn _emit note)
+            return jnp.concatenate([packed.reshape(-1),
+                                    out["_tb"].reshape(-1)])
         return packed
 
     if packed_input:
@@ -450,7 +452,10 @@ class PairedMapper:
         self.sc = mapper.sc
         self.pair_batch = max(1, self.mcfg.batch_size // 2)
         self.packed_upload = getattr(mapper, "packed_upload", False)
-        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip)
+        import os as _os
+
+        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
+                       and _os.environ.get("URMAP_NO_TB_BITS") != "1")
         self._fn = make_map_pairs_fn(
             mapper.icfg, mapper.mcfg, mapper.sc,
             packed_input=self.packed_upload,
@@ -496,13 +501,19 @@ class PairedMapper:
         return out, B
 
     def finish_batch(self, handle, lengths1, lengths2) -> PairResult:
-        from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out, unpack_tb
+        from urmap_tpu.map.pipeline import (PACKED_COLS, tb_cols, tb_rows,
+                                            unpack_out, unpack_tb)
 
         out, B = handle
+        arr = np.asarray(out)
         tbmat = None
-        if isinstance(out, tuple):
-            out, tbmat = out
-        arr = np.asarray(out)[:B]
+        Bp = self.pair_batch
+        if self.tb:
+            split = Bp * (2 * PACKED_COLS + 1)
+            tbmat = arr[split:].reshape(tb_rows(self.mcfg),
+                                        tb_cols(2 * Bp, self.mcfg))
+            arr = arr[:split].reshape(Bp, 2 * PACKED_COLS + 1)
+        arr = arr[:B]
         C = PACKED_COLS
         m1 = unpack_out(arr[:, 0:C])
         m2 = unpack_out(arr[:, C : 2 * C])
@@ -514,19 +525,17 @@ class PairedMapper:
         if tbmat is not None:
             # rows [0, Bp) = mate1, [Bp, 2Bp) = mate2 (Bp = the PADDED
             # pair batch the device program ran at); both mates' dicts
-            # share one bits matrix, filtered by their own rows/cols
-            tb = unpack_tb(np.asarray(tbmat), self.mcfg.band_halfwidth,
+            # share one dops matrix, filtered by their own rows/cols
+            tb = unpack_tb(tbmat, self.mcfg.band_halfwidth,
                            self.mcfg.max_read_len)
-            Bp = self.pair_batch
             s1 = tb["rows"] < Bp
 
             def side(sel, base):
                 return {"rows": tb["rows"][sel] - base,
-                        "bend": tb["bend"][sel],
                         "score": tb["score"][sel],
                         "pos": tb["pos"][sel],
                         "cols": tb["cols"][sel],
-                        "bits": tb["bits"], "hw": tb["hw"],
+                        "dops": tb["dops"], "hw": tb["hw"],
                         "L": tb["L"]}
 
             res.m1.tb = side(s1, 0)

@@ -559,31 +559,45 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     return out
 
 
-# ---- device traceback-bits pass (config.MapConfig.tb_bits) ----
+# ---- device traceback pass (config.MapConfig.tb_bits) ----
 # Gapped winners are re-DP'd at their selected POS with per-cell
-# direction bits (kernels/tb_dp.py); the host then decodes CIGARs with
-# an O(L) bit-walk instead of re-running the banded DP (map/cigar.py
-# tb_decode_batch). One matrix rides the batch D2H:
-#   rows 0-3 = meta (winner row index; bend | do<<16; tb score;
-#   tb anchor pos, biased), rows 4.. = packed traceback words, columns
-#   = the C compacted gapped-winner lanes.
+# direction bits, and the kernel WALKS those bits in VMEM, emitting one
+# (deletion-run, op) byte per read row (kernels/tb_dp.py dops design —
+# the raw bits were ~3 KB/read and this platform's relay moves D2H
+# bytes at ~25-40 MB/s, a measured 193k → 72k reads/s regression). The
+# host replays the records in O(L) (map/cigar.py). One matrix rides
+# the batch D2H, flattened into the SAME array as the packed output
+# (each extra relay fetch costs ~40 ms fixed):
+#   rows 0-3 = meta (winner row index; walk_ok<<17 | do<<16; tb score;
+#   tb anchor pos, biased), rows 4.. = packed dops words, columns =
+#   the C compacted gapped-winner lanes.
 TB_META_ROWS = 4
+
+
+def tb_cols(nrows: int, mcfg: MapConfig) -> int:
+    return min(max(nrows // mcfg.tb_capacity_frac, 128), nrows)
+
+
+def tb_rows(mcfg: MapConfig) -> int:
+    from urmap_tpu.kernels.tb_dp import dops_words
+
+    return TB_META_ROWS + dops_words(mcfg.max_read_len)
 
 
 def tb_pass_device(tables, pos, strand, lengths_rows, gsel, rp_fwd,
                    rn_fwd, *, L: int, mcfg: MapConfig, sc: ScoreConfig,
                    use_pallas: bool = True):
-    """Compact gapped winners → windows at POS-hw → tb kernel → one
-    int32 matrix [TB_META_ROWS + NWORDS, C].
+    """Compact gapped winners → windows at POS-hw → dops kernel → one
+    int32 matrix [TB_META_ROWS + DWp, C].
 
     pos: biased int32 winner positions (row-aligned with gsel);
     rp_fwd/rn_fwd: FORWARD-strand word planes for the same rows (rc is
     taken here for the compacted subset only)."""
     from urmap_tpu import genome_pack as gpk
-    from urmap_tpu.kernels.tb_dp import tb_dispatch
+    from urmap_tpu.kernels.tb_dp import tb_dops_dispatch
 
     nrows = gsel.shape[0]
-    C = min(max(nrows // mcfg.tb_capacity_frac, 128), nrows)
+    C = tb_cols(nrows, mcfg)
     idx, = jnp.nonzero(gsel, size=C, fill_value=0)
     # live-lane mask by COUNT, not gsel[idx]: fill lanes alias row 0,
     # whose gsel bit may genuinely be set
@@ -600,26 +614,28 @@ def tb_pass_device(tables, pos, strand, lengths_rows, gsel, rp_fwd,
     p = jnp.where(do, pos[idx], 0)
     windows = gpk.gather_codes(tables["ginter"], tables["base_off"],
                                p - hw, L + 2 * hw)
-    score, bend, bits = tb_dispatch(windows, codes, lens, hw=hw, sc=sc,
-                                    use_pallas=use_pallas)
+    score, dops, walk_ok = tb_dops_dispatch(windows, codes, lens, hw=hw,
+                                            sc=sc, use_pallas=use_pallas)
     meta = jnp.stack([idx.astype(jnp.int32),
-                      bend | (do.astype(jnp.int32) << 16),
+                      (do.astype(jnp.int32) << 16)
+                      | (walk_ok.astype(jnp.int32) << 17),
                       score, p], axis=0)
-    return jnp.concatenate([meta, bits], axis=0)
+    return jnp.concatenate([meta, dops], axis=0)
 
 
 def unpack_tb(arr: np.ndarray, hw: int, L: int) -> dict:
     """Host twin of tb_pass_device's packing → dict consumed by
-    map/cigar.py (rows/bend/score/pos are filtered to the live lanes)."""
+    map/cigar.py (rows/score/pos are filtered to the live lanes whose
+    device walk was structurally valid)."""
     meta = arr[:TB_META_ROWS]
-    do = (meta[1] >> 16).astype(bool)
+    do = ((meta[1] >> 16) & 1).astype(bool) \
+        & ((meta[1] >> 17) & 1).astype(bool)
     return {
         "rows": meta[0][do].astype(np.int64),
-        "bend": (meta[1] & 0xFFFF)[do].astype(np.int32),
         "score": meta[2][do].astype(np.int32),
         "pos": meta[3][do].astype(np.int64) + POS_BIAS,
         "cols": np.nonzero(do)[0].astype(np.int32),
-        "bits": arr[TB_META_ROWS:],
+        "dops": arr[TB_META_ROWS:],
         "hw": hw,
         "L": L,
     }
@@ -728,22 +744,26 @@ def make_map_batch_fn(icfg: IndexConfig, mcfg: MapConfig,
     if not packed:
         return jax.jit(fn)
 
+    def _emit(out):
+        # tb matrix FLATTENED into the same array as the packed output:
+        # the relay charges ~40 ms FIXED per fetched array (see
+        # tb_pass_device note); hosts split by known static sizes
+        if tb:
+            return jnp.concatenate([pack_out(out).reshape(-1),
+                                    out["_tb"].reshape(-1)])
+        return pack_out(out)
+
     if packed_input:
         def packed_in_fn(tables, rpk, rnm, lengths):
             # word-native front door: the upload bytes feed the word
             # planes directly (no byte unpack -> re-pack round trip)
-            out = fn(tables, None, lengths, packed_reads=(rpk, rnm))
-            if tb:
-                return pack_out(out), out["_tb"]
-            return pack_out(out)
+            return _emit(fn(tables, None, lengths,
+                            packed_reads=(rpk, rnm)))
 
         return jax.jit(packed_in_fn)
 
     def packed_fn(tables, reads, lengths):
-        out = fn(tables, reads, lengths)
-        if tb:
-            return pack_out(out), out["_tb"]
-        return pack_out(out)
+        return _emit(fn(tables, reads, lengths))
 
     return jax.jit(packed_fn)
 
@@ -940,8 +960,10 @@ class Mapper:
             ht, use_packed_offsets=self.off_bits is not None)
         # device traceback bits (config.MapConfig.tb_bits): not under
         # -endclip, where every gapped winner needs the clip-mode host
-        # traceback anyway
-        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip)
+        # traceback anyway. URMAP_NO_TB_BITS=1 disables the whole pass
+        # (the URMAP_NO_TB_KERNEL hatch only swaps kernel -> jnp twin).
+        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
+                       and _os.environ.get("URMAP_NO_TB_BITS") != "1")
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
@@ -1013,14 +1035,18 @@ class Mapper:
 
     def finish_batch(self, handle, lengths) -> MapResult:
         out, B = handle
+        arr = np.asarray(out)
         tbmat = None
-        if isinstance(out, tuple):
-            out, tbmat = out
-        merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
+        if self.tb:
+            bs = self.mcfg.batch_size
+            split = bs * PACKED_COLS
+            tbmat = arr[split:].reshape(tb_rows(self.mcfg),
+                                        tb_cols(bs, self.mcfg))
+            arr = arr[:split].reshape(bs, PACKED_COLS)
+        merged = {k: v[:B] for k, v in unpack_out(arr).items()}
         res = MapResult.from_device(merged, np.asarray(lengths)[:B])
         if tbmat is not None:
-            res.tb = unpack_tb(np.asarray(tbmat),
-                               self.mcfg.band_halfwidth,
+            res.tb = unpack_tb(tbmat, self.mcfg.band_halfwidth,
                                self.mcfg.max_read_len)
         return res
 
