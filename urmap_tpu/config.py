@@ -41,6 +41,19 @@ class ScoreConfig:
             return 0
         return self.gap_open + self.gap_extend * (length - 1)
 
+    def mismatch_equiv(self, n: int) -> int:
+        """Score deficit of ``n`` mismatches vs a perfect alignment —
+        the unit the suspect gate's thresholds are DERIVED in
+        (MapConfig.suspect_deficit = mismatch_equiv(6),
+        suspect_remap_deficit = mismatch_equiv(3)): honest clean-read
+        deficits are ~mismatch_equiv(Binomial(L, snp_rate)) with
+        P(>6 mm) ≈ 1e-4 at L=150/1%, and a full 8 bp indel costs
+        |gap_cost(8)| = 11 < mismatch_equiv(6) — so the gate only
+        fires on repeat-divergence-sized deficits regardless of the
+        score scale (tests/unit/test_config.py pins the relationship;
+        tools/suspect_sweep.py measures the flatness around it)."""
+        return n * (self.match - self.mismatch)
+
 
 @dataclass(frozen=True)
 class IndexConfig:
