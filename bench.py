@@ -247,6 +247,12 @@ def emit(metric, total_reads, elapsed_list, warm, stamps_all, extra, args,
     pct = batch_percentiles(stamps_all[med_i])
     if pct:
         rec.update(pct)
+    # per-pass p50/p90 pairs: a pass-to-pass rate spread with FLAT p50s
+    # and moving p90s = a few relay/host spikes, not a workload shift
+    # (the PE-spread attribution, round-4 verdict weak item 4)
+    rec["pass_batch_ms"] = [
+        [p["batch_ms_p50"], p["batch_ms_p90"]]
+        for p in (batch_percentiles(s) for s in stamps_all) if p]
     rec.update(extra)
     rec.update(kernel_diag())
     print(json.dumps(rec))
