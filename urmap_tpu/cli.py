@@ -202,29 +202,35 @@ def _table_bytes(index) -> int:
 
 
 def _auto_batch(opts: dict, index, mcfg, quiet: bool):
-    """HBM headroom: at GRCh38 scale the prepared tables leave <1 GB
-    for program temps, and temps scale with the batch (measured: batch
-    32768 overflows a 16 GB v5e by ~0.3 GB next to 15.3 GB of tables,
-    16384 fits — BASELINE.md round-3). Auto-shrink the DEFAULT batch
-    for single-device mapping; an explicit -batch always wins. Callers
-    must use the RETURNED config (and cmd_map re-reads mapper.mcfg for
-    reader sizing)."""
+    """HBM-fit batch sizing: the per-batch relay fixed charge (~34 ms)
+    makes bigger batches strictly better until the program temps
+    (~24 KB/read — dominated by the [n·q, 128] positions row-fetch)
+    overflow HBM, so pick the LARGEST 8192-multiple that fits next to
+    the tables. Measured round-5 at GRCh38/bits29 (14.3 GiB resident):
+    PE batch 65536 overflows the 15.75 GiB XLA budget by 98 MB, 49152
+    runs 341k reads/s vs 282k at 32768. An explicit -batch always
+    wins; callers must use the RETURNED config (cmd_map re-reads
+    mapper.mcfg for reader sizing)."""
     import os
 
     if "batch" in opts:
         return mcfg
-    budget = (float(os.environ.get("URMAP_DEVICE_MEM_GB", "16")) * 2**30)
+    # XLA's usable HBM on a 16 GiB part is ~15.75 GiB; tables_to_device
+    # adds ~0.7 GiB of runtime overhead beyond _table_bytes — keep a
+    # 0.9 GiB margin off the nominal device size
+    budget = ((float(os.environ.get("URMAP_DEVICE_MEM_GB", "16")) - 0.9)
+              * 2**30)
     tbytes = _table_bytes(index)
     bs = mcfg.batch_size
-    while bs > 8192 and tbytes + bs * 24_000 > 0.95 * budget:
-        bs //= 2
+    while bs > 8192 and tbytes + bs * 24_000 > budget:
+        bs -= 8192
     if bs != mcfg.batch_size:
         import dataclasses
 
         if not quiet:
-            print(f"auto batch {mcfg.batch_size} → {bs}: tables "
-                  f"{tbytes / 2**30:.1f} GiB leave little HBM "
-                  f"headroom (-batch overrides)", file=sys.stderr)
+            print(f"auto batch {mcfg.batch_size} → {bs}: largest "
+                  f"8192-multiple fitting next to {tbytes / 2**30:.1f} "
+                  f"GiB of tables (-batch overrides)", file=sys.stderr)
         mcfg = dataclasses.replace(mcfg, batch_size=bs)
     return mcfg
 
@@ -331,11 +337,12 @@ def cmd_map(opts: dict) -> int:
     if "batch" in opts:
         mkw["batch_size"] = int(str(opts["batch"]))
     else:
-        # production default: the relay charges ~30 ms FIXED per batch,
+        # production default: the relay charges ~34 ms FIXED per batch,
         # so the 2048-row library default caps e2e at ~70k reads/s;
-        # 32768 amortizes it (the HBM auto-shrink in _make_mapper still
-        # halves this when huge tables leave no headroom)
-        mkw["batch_size"] = 32768
+        # 65536 amortizes it best (bench SE 348k vs ~280k at 32768) and
+        # the HBM auto-fit in _make_mapper steps down in 8192-multiples
+        # when huge tables leave no headroom (GRCh38/bits29 → 49152)
+        mkw["batch_size"] = 65536
     if "maxreadlen" in opts:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))
     if opts.get("endclip"):
@@ -590,11 +597,14 @@ def cmd_map(opts: dict) -> int:
 
     # pipelined drain: device computes batch i+1 while workers format
     # batch i and the writer commits batch i-1 (utils/stream.py).
-    # inflight default 1: the axon relay hangs with more outstanding
-    # executes; raise with -inflight on standard TPU runtimes.
+    # inflight default 2: overlaps the relay's fixed per-batch charge
+    # with the previous batch's D2H+format (round-5: GRCh38 PE 341k
+    # reads/s at 49152/inflight-2). Drop to -inflight 1 if a relay
+    # build wedges on outstanding executes (the round-2-era failure
+    # mode — not reproduced since).
     from urmap_tpu.utils.stream import run_stream
 
-    inflight = int(str(opts.get("inflight", 1)))
+    inflight = int(str(opts.get("inflight", 2)))
     with profile_ctx:
         run_stream(my_batches(), start_one, sync_one, format_one, write_one,
                    inflight=inflight, workers=n_threads)
