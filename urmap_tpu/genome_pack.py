@@ -158,19 +158,20 @@ def row128_window_fetch(table2d, starts, width: int):
     off = (s - r0 * 128).astype(jnp.int32)
     from urmap_tpu.kernels import lane_rotate
 
-    if lane_rotate.enabled() and lane_rotate.supports(cur.shape[1]):
-        # in-VMEM funnel (kernels/lane_rotate.py): off + width <= 256
-        # always holds here (off < 128, width <= 129), so the circular
-        # roll never wraps a used lane — bit-identical to the jnp
-        # funnel below on every output lane
-        return lane_rotate.rotate_narrow_pallas(cur, off, width)
-    bit = 6
-    while bit >= 0:
-        sh = 1 << bit
-        cur = jnp.where((((off >> bit) & 1) == 1)[:, None],
-                        cur[:, sh:], cur[:, :-sh])
-        bit -= 1
-    return cur[:, :width]
+    def funnel(cur, off):
+        bit = 6
+        while bit >= 0:
+            sh = 1 << bit
+            cur = jnp.where((((off >> bit) & 1) == 1)[:, None],
+                            cur[:, sh:], cur[:, :-sh])
+            bit -= 1
+        return cur[:, :width]
+
+    # in-VMEM funnel on TPU lowerings (kernels/lane_rotate.py):
+    # off + width <= 256 always holds here (off < 128, width <= 129),
+    # so the circular roll never wraps a used lane — bit-identical to
+    # the jnp funnel on every output lane
+    return lane_rotate.rotate_dispatch(cur, off, width, funnel)
 
 
 def pack_genome(codes: np.ndarray):

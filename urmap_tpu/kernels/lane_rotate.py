@@ -67,6 +67,23 @@ def enabled() -> bool:
     return _ON_TPU
 
 
+def rotate_dispatch(cur, off, width: int, jnp_fallback):
+    """rotate_narrow_pallas on TPU LOWERINGS, ``jnp_fallback(cur, off)``
+    everywhere else — including non-TPU lowerings of a program traced
+    inside a TPU process (the WideSecondPass CPU program: a trace-time
+    backend check like enabled() cannot see the lowering platform, and
+    Pallas refuses to lower for CPU — round-5 on-chip `-secondpass`
+    crash). jax.lax.platform_dependent defers the choice to lowering;
+    the escape hatch / unsupported widths skip the kernel entirely."""
+    if not (enabled() and supports(cur.shape[1])):
+        return jnp_fallback(cur, off)
+    from jax.lax import platform_dependent
+
+    return platform_dependent(
+        cur, off, cpu=jnp_fallback,
+        default=lambda c, o: rotate_narrow_pallas(c, o, width))
+
+
 def _kernel(off_ref, rows_ref, out_ref, *, width: int, w: int):
     cur = rows_ref[...]                       # [BN, W]
     off = off_ref[...]                        # [BN, 1] int32, 0..127

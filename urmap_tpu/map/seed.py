@@ -254,21 +254,24 @@ def _row128_fetch(positions2d, flat_starts, width: int):
     off = (s & jnp.uint32(127)).astype(jnp.int32)
     from urmap_tpu.kernels import lane_rotate
 
-    if lane_rotate.enabled() and lane_rotate.supports(cur.shape[1]):
-        # in-VMEM funnel: the jnp version below materializes a full
-        # [N, 128] temp per step — 45 ms vs 1.5 ms for the row take
-        # itself at GRCh38 scale (kernels/lane_rotate.py). Wrapped
-        # lanes differ from the SENTINEL fill but only past each run's
-        # count, which every caller masks (gather_candidates ok mask).
-        return lane_rotate.rotate_narrow_pallas(cur, off, width)
-    bit = 6
-    while bit >= 0:
-        sh = 1 << bit
-        shifted = jnp.concatenate(
-            [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)], axis=1)
-        cur = jnp.where((((off >> bit) & 1) == 1)[:, None], shifted, cur)
-        bit -= 1
-    return cur[:, :width]
+    def funnel(cur, off):
+        bit = 6
+        while bit >= 0:
+            sh = 1 << bit
+            shifted = jnp.concatenate(
+                [cur[:, sh:], jnp.full_like(cur[:, :sh], SENTINEL)],
+                axis=1)
+            cur = jnp.where((((off >> bit) & 1) == 1)[:, None], shifted,
+                            cur)
+            bit -= 1
+        return cur[:, :width]
+
+    # in-VMEM funnel on TPU lowerings: the jnp funnel materializes a
+    # full [N, 128] temp per step — 45 ms vs 1.5 ms for the row take
+    # itself at GRCh38 scale (kernels/lane_rotate.py). Wrapped lanes
+    # differ from the SENTINEL fill but only past each run's count,
+    # which every caller masks (gather_candidates ok mask).
+    return lane_rotate.rotate_dispatch(cur, off, width, funnel)
 
 
 def gather_candidates(offsets, positions, slots, seed_offs, valid, *,
