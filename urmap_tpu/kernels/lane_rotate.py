@@ -84,16 +84,16 @@ def rotate_dispatch(cur, off, width: int, jnp_fallback):
         default=lambda c, o: rotate_narrow_pallas(c, o, width))
 
 
-def _kernel(off_ref, rows_ref, out_ref, *, width: int, w: int):
+def _kernel(off_ref, rows_ref, out_ref, *, w: int):
     cur = rows_ref[...]                       # [BN, W]
-    off = off_ref[...]                        # [BN, 1] int32, 0..127
+    off = off_ref[...].astype(jnp.int32)      # [BN, 1] int8 in, 0..127
     for bit in range(6, -1, -1):
         sh = 1 << bit
         # pltpu.roll moves element i to i+shift (circular); we want
         # out[j] = cur[j + sh], i.e. shift by -sh == W - sh
         rolled = pltpu.roll(cur, shift=w - sh, axis=1)
         cur = jnp.where(((off >> bit) & 1) == 1, rolled, cur)
-    out_ref[...] = cur[:, :width]
+    out_ref[...] = cur
 
 
 @functools.partial(jax.jit, static_argnames=("width", "interpret"))
@@ -101,7 +101,15 @@ def rotate_narrow_pallas(rows, off, width: int, interpret: bool = False):
     """rows [N, W] (W in {128, 256}), off int32[N] in [0, 128) →
     [N, width] = rows[i, off[i] : off[i]+width] (used lanes; wrapped
     lanes carry in-row garbage the caller masks). N padded internally
-    to a multiple of the block size."""
+    to a multiple of the block size.
+
+    HBM economics (round-5 GRCh38 OOM dump): the kernel writes the
+    FULL rotated row ALIASED over the input buffer — a narrow
+    out_shape was tile-padded 8-16x (512 MB at the GRCh38 seed fetch)
+    and the full-width copy would cost the same again; aliasing costs
+    ZERO new HBM and XLA fuses the [:, :width] slice into consumers.
+    The per-row offset rides as int8 (a [N, 1] int32 operand is lane-
+    padded 128x — another 512 MB)."""
     n, w = rows.shape
     assert supports(w), w
     pad = (-n) % _BN
@@ -110,7 +118,7 @@ def rotate_narrow_pallas(rows, off, width: int, interpret: bool = False):
         off = jnp.pad(off, (0, pad))
     np_ = n + pad
     out = pl.pallas_call(
-        functools.partial(_kernel, width=width, w=w),
+        functools.partial(_kernel, w=w),
         grid=(np_ // _BN,),
         in_specs=[
             pl.BlockSpec((_BN, 1), lambda i: (i, 0),
@@ -118,9 +126,10 @@ def rotate_narrow_pallas(rows, off, width: int, interpret: bool = False):
             pl.BlockSpec((_BN, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BN, width), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BN, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, width), rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, w), rows.dtype),
+        input_output_aliases={1: 0},
         interpret=interpret,
-    )(off.astype(jnp.int32).reshape(-1, 1), rows)
-    return out[:n] if pad else out
+    )(off.astype(jnp.int8).reshape(-1, 1), rows)
+    return out[:n, :width]
