@@ -204,13 +204,14 @@ def _table_bytes(index) -> int:
 def _auto_batch(opts: dict, index, mcfg, quiet: bool):
     """HBM-fit batch sizing: the per-batch relay fixed charge (~34 ms)
     makes bigger batches strictly better until the program temps
-    (~24 KB/read — dominated by the [n·q, 128] positions row-fetch)
-    overflow HBM, so pick the LARGEST 8192-multiple that fits next to
-    the tables. Measured round-5 at GRCh38/bits29 (14.3 GiB resident):
-    PE batch 65536 overflows the 15.75 GiB XLA budget by 98 MB, 49152
-    runs 341k reads/s vs 282k at 32768. An explicit -batch always
-    wins; callers must use the RETURNED config (cmd_map re-reads
-    mapper.mcfg for reader sizing)."""
+    (~11 KB/read after the round-5 lane_rotate aliasing fix — before
+    it, the rotate kernel's tile-padding waste was 24 KB/read and
+    GRCh38 PE 65536 overflowed by 98 MB) overflow HBM, so pick the
+    LARGEST 8192-multiple that fits next to the tables. Measured at
+    GRCh38/bits29 (14.3 GiB resident): PE batch 65536 runs 408k
+    reads/s vs 364k at 49152 vs 282k at 32768, same relay session. An
+    explicit -batch always wins; callers must use the RETURNED config
+    (cmd_map re-reads mapper.mcfg for reader sizing)."""
     import os
 
     if "batch" in opts:
@@ -222,7 +223,7 @@ def _auto_batch(opts: dict, index, mcfg, quiet: bool):
               * 2**30)
     tbytes = _table_bytes(index)
     bs = mcfg.batch_size
-    while bs > 8192 and tbytes + bs * 24_000 > budget:
+    while bs > 8192 and tbytes + bs * 11_000 > budget:
         bs -= 8192
     if bs != mcfg.batch_size:
         import dataclasses
