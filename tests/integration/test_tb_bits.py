@@ -10,7 +10,7 @@ import dataclasses
 import numpy as np
 import pytest
 
-from tests.utils import make_seqdb, plant_read
+from tests.utils import make_seqdb, plant_pair, plant_read
 from urmap_tpu import alphabet
 from urmap_tpu.config import IndexConfig, MapConfig, ScoreConfig
 from urmap_tpu.index import build_index
@@ -133,6 +133,68 @@ def test_pe_blob_identical_and_tb_used(world):
         without = cigars_nm_blob(db.codes, codes, m_no, sc,
                                  clip_rows=mate.clipped)
         for a, b in zip(with_tb, without):
+            if isinstance(a, bytes):
+                assert a == b
+            else:
+                np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_tb_blob_identical(world):
+    """ShardedMapper's per-shard dops (shard-local rows re-based by
+    _merge_tb) must be output-identical to the host DP path, SE and PE,
+    on the 8-virtual-device CPU mesh."""
+    rng, db, idx = world
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual CPU mesh")
+    from urmap_tpu.dist.sharded import (ShardedMapper, ShardedPairedMapper,
+                                        make_mesh)
+
+    mesh = make_mesh(4)
+    sm = ShardedMapper(idx, mesh, MCFG)
+    assert sm.tb
+    reads = _indel_reads(rng, db, 48)
+    codes, lens = _pad_batch(reads)
+    res = sm.map_codes(codes, lens)
+    assert res.tb is not None and res.tb["rows"].size > 0
+    rows = np.nonzero(res.mapped & res.gapped)[0]
+    use, _ = _tb_select(res, rows, res.clipped)
+    assert use.size >= int(0.8 * rows.size), (use.size, rows.size)
+    with_tb = cigars_nm_blob(db.codes, codes, res, sm.sc,
+                             clip_rows=res.clipped)
+    res_no = dataclasses.replace(res, tb=None)
+    without = cigars_nm_blob(db.codes, codes, res_no, sm.sc,
+                             clip_rows=res.clipped)
+    for a, b in zip(with_tb, without):
+        if isinstance(a, bytes):
+            assert a == b
+        else:
+            np.testing.assert_array_equal(a, b)
+    # PE: both mates through the sharded pair step
+    spm = ShardedPairedMapper(sm)
+    assert spm.tb
+    r1s, r2s = [], []
+    for _ in range(16):
+        p1, p2, _ = plant_pair(rng, db, length=90, frag=300, n_snps=1)
+        c = p1.codes.copy()
+        at = int(rng.integers(20, 60))
+        c = np.concatenate([c[:at],
+                            rng.integers(0, 4, 3).astype(np.uint8),
+                            c[at:]])[:90]
+        r1s.append(c)
+        r2s.append(p2.codes)
+    c1, l1 = _pad_batch(r1s)
+    c2, l2 = _pad_batch(r2s)
+    pres = spm.map_pair_codes(c1, l1, c2, l2)
+    assert (pres.m1.tb["rows"].size + pres.m2.tb["rows"].size) > 0
+    for mate, codes_m in ((pres.m1, c1), (pres.m2, c2)):
+        wt = cigars_nm_blob(db.codes, codes_m, mate, sm.sc,
+                            clip_rows=mate.clipped)
+        wo = cigars_nm_blob(db.codes, codes_m,
+                            dataclasses.replace(mate, tb=None), sm.sc,
+                            clip_rows=mate.clipped)
+        for a, b in zip(wt, wo):
             if isinstance(a, bytes):
                 assert a == b
             else:

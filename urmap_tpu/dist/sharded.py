@@ -416,12 +416,17 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                         csr_aligned: bool = False,
                         gather_tier: int | None = None,
                         row128: bool = False,
-                        a2a_slack: float = 2.0):
+                        a2a_slack: float = 2.0,
+                        tb: bool = False):
     """Jitted SE step fn(offsets, positions, ginter, pk, nm, lengths) →
     packed int32[B, PACKED_COLS], sharded per the mesh. Genome is
     replicated; CSR tables live on the "index" axis; reads (packed
     4-bases/byte + N plane, pipeline packed-upload layout) and outputs
-    ride the batch axes."""
+    ride the batch axes. ``tb``: a (packed, dops-matrix) pair — the
+    traceback pass runs per shard over its LOCAL rows (the genome is
+    replicated, so the winner re-DP needs no collective); matrix
+    columns shard with the batch, row indices inside are SHARD-LOCAL
+    (ShardedMapper._merge_tb re-bases them)."""
     from urmap_tpu.map.pipeline import pack_out
 
     n_index = mesh.shape["index"]
@@ -436,17 +441,21 @@ def make_sharded_map_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                                row128=row128, a2a_slack=a2a_slack)
         out = map_batch_device(tables, None, lengths, icfg=icfg, mcfg=mcfg,
                                sc=sc, dp_runner=dr, gather_runner=gr,
-                               packed_reads=(pk, nm))
+                               packed_reads=(pk, nm), tb=tb)
+        if tb:
+            return pack_out(out), out["_tb"]
         return pack_out(out)
 
     batch_axes = ("data", "index") if route == "a2a" else "data"
     # row128: positions ride as [S, R, 128] (dense tile rows)
     pos_spec = (P("index", None, None) if row128 else P("index", None))
+    out_specs = (P(batch_axes, None) if not tb
+                 else (P(batch_axes, None), P(None, batch_axes)))
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("index", None), pos_spec, P(),
                   P(batch_axes, None), P(batch_axes, None), P(batch_axes)),
-        out_specs=P(batch_axes, None),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -458,12 +467,16 @@ def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
                           csr_aligned: bool = False,
                           gather_tier: int | None = None,
                           row128: bool = False,
-                          a2a_slack: float = 2.0):
+                          a2a_slack: float = 2.0,
+                          tb: bool = False):
     """Jitted PE step fn(offsets, positions, ginter, pk1, nm1, l1, pk2,
     nm2, l2) → packed int32[Bp, 2*PACKED_COLS+1] (map/pair.py layout:
     mate1 cols, mate2 cols, proper). Pairs stay together on their device
     (both mates shard identically), so concordance scoring and mate
-    rescue run locally; only the seed gather crosses the "index" axis."""
+    rescue run locally; only the seed gather crosses the "index" axis.
+    ``tb``: see make_sharded_map_fn — per-shard dops matrix with
+    SHARD-LOCAL row indices (mate1 [0, Bp_local), mate2 [Bp_local,
+    2·Bp_local))."""
     from urmap_tpu import genome_pack as gpk
     from urmap_tpu.map.pair import map_pairs_device
     from urmap_tpu.map.pipeline import pack_out
@@ -483,20 +496,24 @@ def make_sharded_pairs_fn(mesh: Mesh, icfg: IndexConfig, mcfg: MapConfig,
         r2 = gpk.unpack_read_codes_device(pk2, nm2, L)
         out = map_pairs_device(tables, r1, l1, r2, l2, icfg=icfg,
                                mcfg=mcfg, sc=sc, gather_runner=gr,
-                               dp_runner=dr)
-        return jnp.concatenate(
+                               dp_runner=dr, tb=tb)
+        packed = jnp.concatenate(
             [pack_out(out["m1"]), pack_out(out["m2"]),
              out["proper"].astype(jnp.int32)[:, None]], axis=1)
+        if tb:
+            return packed, out["_tb"]
+        return packed
 
     batch_axes = ("data", "index") if route == "a2a" else "data"
     bspec = P(batch_axes, None)
     pos_spec = (P("index", None, None) if row128 else P("index", None))
+    out_specs = bspec if not tb else (bspec, P(None, batch_axes))
     fn = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("index", None), pos_spec, P(),
                   bspec, bspec, P(batch_axes),
                   bspec, bspec, P(batch_axes)),
-        out_specs=bspec,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -590,11 +607,18 @@ class ShardedMapper:
             self.ginter = put(np.asarray(ht["ginter"]), P())
         self._base_off = int(ht["base_off"])
         self._gmax = int(ht["genome_max_biased"])
+        # device traceback records (pipeline tb_pass_device): per-shard
+        # local pass; single-process only — the multi-host local finish
+        # would need addressable-column bookkeeping for marginal gain
+        # (those rows just fall back to the host DP traceback)
+        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
+                       and not self._multihost
+                       and os.environ.get("URMAP_NO_TB_BITS") != "1")
         self._fn = make_sharded_map_fn(
             mesh, self.icfg, self.mcfg, self.sc, self._sps, self._base_off,
             self._gmax, route=route, csr_aligned=self.csr_aligned,
             gather_tier=self.gather_tier, row128=self.row128,
-            a2a_slack=self.a2a_slack)
+            a2a_slack=self.a2a_slack, tb=self.tb)
         self._pairs_fn = None   # built on first paired use
         from urmap_tpu.map.pipeline import WideSecondPass
 
@@ -641,19 +665,83 @@ class ShardedMapper:
                        self._up(ln, P(ba)))
         return out, B
 
+    def _merge_tb(self, arr: np.ndarray, rows_per_shard: int) -> dict:
+        """Per-shard dops blocks → one host tb dict with GLOBAL row and
+        column indices (shard s owns batch rows [s·rps, (s+1)·rps) —
+        shard order preserves ascending rows, so the concatenation
+        stays sorted for cigar._tb_select's searchsorted)."""
+        from urmap_tpu.map.pipeline import TB_META_ROWS, tb_cols, unpack_tb
+
+        hw, L = self.mcfg.band_halfwidth, self.mcfg.max_read_len
+        Cl = tb_cols(rows_per_shard, self.mcfg)
+        nsh = arr.shape[1] // Cl
+        parts = []
+        for s in range(nsh):
+            p = unpack_tb(arr[:, s * Cl : (s + 1) * Cl], hw, L)
+            p["rows"] += s * rows_per_shard
+            p["cols"] += s * Cl
+            parts.append(p)
+        return {
+            "rows": np.concatenate([p["rows"] for p in parts]),
+            "score": np.concatenate([p["score"] for p in parts]),
+            "pos": np.concatenate([p["pos"] for p in parts]),
+            "cols": np.concatenate([p["cols"] for p in parts]),
+            "dops": arr[TB_META_ROWS:], "hw": hw, "L": L,
+        }
+
     def finish_batch(self, handle, lengths) -> MapResult:
         from urmap_tpu.map.pipeline import unpack_out
 
         out, B = handle
+        tbmat = None
+        if self.tb:
+            out, tbmat = out
         merged = {k: v[:B] for k, v in unpack_out(np.asarray(out)).items()}
-        return MapResult.from_device(merged, np.asarray(lengths)[:B])
+        res = MapResult.from_device(merged, np.asarray(lengths)[:B])
+        if tbmat is not None:
+            res.tb = self._merge_tb(np.asarray(tbmat),
+                                    self._bs // self._rows)
+        return res
+
+    def _merge_tb_pairs(self, arr: np.ndarray, bpl: int) -> tuple:
+        """PE twin of _merge_tb: per-shard rows [0, bpl) are mate1 and
+        [bpl, 2·bpl) mate2 → one (m1_tb, m2_tb) pair with GLOBAL pair
+        rows. Shard-ascending concatenation keeps each mate's rows
+        sorted (pair.PairedMapper.finish_batch does the same split for
+        the single-device matrix)."""
+        from urmap_tpu.map.pipeline import TB_META_ROWS, tb_cols, unpack_tb
+
+        hw, L = self.mcfg.band_halfwidth, self.mcfg.max_read_len
+        Cl = tb_cols(2 * bpl, self.mcfg)
+        nsh = arr.shape[1] // Cl
+        sides = ([], [])
+        for s in range(nsh):
+            p = unpack_tb(arr[:, s * Cl : (s + 1) * Cl], hw, L)
+            p["cols"] += s * Cl
+            m1 = p["rows"] < bpl
+            for side, sel, base in ((0, m1, 0), (1, ~m1, bpl)):
+                sides[side].append({
+                    "rows": p["rows"][sel] - base + s * bpl,
+                    "score": p["score"][sel], "pos": p["pos"][sel],
+                    "cols": p["cols"][sel]})
+
+        def cat(parts):
+            return {
+                "rows": np.concatenate([q["rows"] for q in parts]),
+                "score": np.concatenate([q["score"] for q in parts]),
+                "pos": np.concatenate([q["pos"] for q in parts]),
+                "cols": np.concatenate([q["cols"] for q in parts]),
+                "dops": arr[TB_META_ROWS:], "hw": hw, "L": L,
+            }
+
+        return cat(sides[0]), cat(sides[1])
 
     def finish_batch_local(self, handle, lengths):
         """Multi-host finish: fetch only THIS process's addressable
         output rows → (MapResult over those rows, global row indices).
         Each host then formats/writes its own rows; the rank-ordered
         shard merge yields the complete deterministic SAM
-        (dist/multihost.py)."""
+        (dist/multihost.py). tb is disabled under multi-host (ctor)."""
         from urmap_tpu.map.pipeline import unpack_out
 
         out, B = handle
@@ -729,13 +817,15 @@ class ShardedPairedMapper:
         # pair batches are half the read batch (map/pair.PairedMapper
         # docstring), kept mesh-even by ShardedMapper._bs
         self.pair_batch = mapper._bs // 2
+        self.tb = mapper.tb
         if mapper._pairs_fn is None:
             mapper._pairs_fn = make_sharded_pairs_fn(
                 mapper.mesh, mapper.icfg, mapper.mcfg, mapper.sc,
                 mapper._sps, mapper._base_off, mapper._gmax,
                 route=mapper.route, csr_aligned=mapper.csr_aligned,
                 gather_tier=mapper.gather_tier, row128=mapper.row128,
-                a2a_slack=getattr(mapper, "a2a_slack", 2.0))
+                a2a_slack=getattr(mapper, "a2a_slack", 2.0),
+                tb=self.tb)
         self._fn = mapper._pairs_fn
         # reuse the single-device Python formatter and per-mate second
         # pass (duck-typed: they touch self.index / self.sc / the
@@ -782,15 +872,27 @@ class ShardedPairedMapper:
         from urmap_tpu.map.pipeline import PACKED_COLS, unpack_out
 
         out, B = handle
+        tbmat = None
+        if self.tb:
+            out, tbmat = out
         arr = np.asarray(out)[:B]
         C = PACKED_COLS
-        return PairResult(
+        res = PairResult(
             m1=MapResult.from_device(unpack_out(arr[:, 0:C]),
                                      np.asarray(lengths1)[:B]),
             m2=MapResult.from_device(unpack_out(arr[:, C : 2 * C]),
                                      np.asarray(lengths2)[:B]),
             proper=arr[:, 2 * C].astype(bool),
         )
+        if tbmat is not None:
+            # per-shard rows are [0, Bpl) mate1 / [Bpl, 2·Bpl) mate2
+            # (Bpl = pair rows per shard); fold the mate halves out of
+            # the shard-local index space, then re-base per shard
+            m = self.mapper
+            Bpl = self.pair_batch // m._rows
+            tb = m._merge_tb_pairs(np.asarray(tbmat), Bpl)
+            res.m1.tb, res.m2.tb = tb
+        return res
 
     def finish_batch_local(self, handle, lengths1, lengths2):
         """Multi-host finish → (PairResult over this process's rows,
