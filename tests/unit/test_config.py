@@ -5,20 +5,29 @@ tunings)."""
 
 import numpy as np
 
-from urmap_tpu.config import MapConfig, ScoreConfig
+from urmap_tpu.config import (MapConfig, ScoreConfig,
+                              resolve_suspect_deficits)
 
 
 def test_suspect_thresholds_derive_from_score_model():
     sc = ScoreConfig()
     mc = MapConfig()
     # the gate thresholds ARE mismatch-equivalents of the score model:
-    # hard cap at 6 mm-equivalents, remap tier at 3
-    assert mc.suspect_deficit == sc.mismatch_equiv(6)
-    assert mc.suspect_remap_deficit == sc.mismatch_equiv(3)
+    # hard cap at 6 mm-equivalents, remap tier at 3, WIRED through
+    # resolve_suspect_deficits (defaults are None = derive)
+    sd, rd = resolve_suspect_deficits(mc, sc)
+    assert sd == sc.mismatch_equiv(6) == 18
+    assert rd == sc.mismatch_equiv(3) == 9
+    # explicit overrides win (the sweep tool disables the cap this way)
+    assert resolve_suspect_deficits(
+        MapConfig(suspect_deficit=1 << 20), sc)[0] == 1 << 20
+    # a rescaled score model moves the DERIVED gate with it
+    sc2 = ScoreConfig(match=2, mismatch=-4)
+    assert resolve_suspect_deficits(mc, sc2) == (36, 18)
     # the derivation's safety margins (config.ScoreConfig.mismatch_equiv
     # docstring): a full max-band-size indel still scores under the
     # hard gate, so honest indel reads never trip it...
-    assert abs(sc.gap_cost(8)) < mc.suspect_deficit
+    assert abs(sc.gap_cost(8)) < sd
     # ...and clean 1%-SNP reads sit orders of magnitude below:
     # P(Binomial(150, 0.01) > 6) ~ 1e-4
     from math import comb
@@ -29,7 +38,7 @@ def test_suspect_thresholds_derive_from_score_model():
     assert p_gt6 < 2e-3
     # remap tier strictly below the cap tier (the close-sibling band
     # between them routes to the second pass without capping)
-    assert mc.suspect_remap_deficit < mc.suspect_deficit
+    assert rd < sd
 
 
 def test_mismatch_equiv_scales_with_score_model():

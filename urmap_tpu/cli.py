@@ -340,9 +340,10 @@ def cmd_map(opts: dict) -> int:
     else:
         # production default: the relay charges ~34 ms FIXED per batch,
         # so the 2048-row library default caps e2e at ~70k reads/s;
-        # 65536 amortizes it best (bench SE 348k vs ~280k at 32768) and
-        # the HBM auto-fit in _make_mapper steps down in 8192-multiples
-        # when huge tables leave no headroom (GRCh38/bits29 → 49152)
+        # 65536 amortizes it best (GRCh38 PE 408k vs 364k at 49152 vs
+        # 282k at 32768, post lane_rotate-aliasing) and the HBM
+        # auto-fit in _make_mapper steps down in 8192-multiples when
+        # huge tables leave no headroom
         mkw["batch_size"] = 65536
     if "maxreadlen" in opts:
         mkw["max_read_len"] = int(str(opts["maxreadlen"]))

@@ -93,6 +93,18 @@ class IndexConfig:
         return bits
 
 
+def resolve_suspect_deficits(mc: "MapConfig",
+                             sc: ScoreConfig) -> tuple[int, int]:
+    """(suspect_deficit, suspect_remap_deficit) with the None defaults
+    DERIVED from the score model (mismatch_equiv(6)/(3)) — the single
+    resolution point both the SE and PE gates use."""
+    sd = (mc.suspect_deficit if mc.suspect_deficit is not None
+          else sc.mismatch_equiv(6))
+    rd = (mc.suspect_remap_deficit if mc.suspect_remap_deficit is not None
+          else sc.mismatch_equiv(3))
+    return sd, rd
+
+
 VERYFAST_MAP_OVERRIDES = {
     # Mapping-side widths for a -veryfast index (IndexConfig.veryfast):
     # 4x slot space keeps runs short, so half the gather width and one
@@ -226,13 +238,17 @@ class MapConfig:
     # ``suspect_mapq_cap`` on device, and re-mapped by the host
     # second pass (second_pass_p) where the wider gather usually
     # surfaces the true copy and restores an honest, HIGH MAPQ.
-    # 18 = 6 mismatch-equivalents at match=1/mismatch=-2: clean-read
-    # deficits are ~3*Binomial(150, 1%) (P(>6 mm) ~ 1e-4) and a full
-    # 8 bp indel costs 11, both safely under the gate; saturated slots
-    # essentially never occur on non-repetitive sequence at auto
-    # slot_bits, so the cap costs no clean-genome recall.
+    # None = DERIVED as ScoreConfig.mismatch_equiv(6) (18 at the
+    # default match=1/mismatch=-2): clean-read deficits are
+    # ~3*Binomial(150, 1%) (P(>6 mm) ~ 1e-3) and a full 8 bp indel
+    # costs 11, both safely under the gate; saturated slots essentially
+    # never occur on non-repetitive sequence at auto slot_bits, so the
+    # cap costs no clean-genome recall. A custom score scale moves the
+    # gate with it (resolve_suspect_deficits — a raw constant here
+    # silently miscalibrated under rescaled scoring). Explicit int
+    # overrides win (tools/suspect_sweep.py measures flatness ±6).
     # PARITY-TODO: the reference's repeat-confidence rule.
-    suspect_deficit: int = 18
+    suspect_deficit: int | None = None
     suspect_mapq_cap: int = 0
     # Second (lower) deficit tier that only ROUTES to the second pass,
     # WITHOUT capping: winners trailing perfect by more than this with
@@ -245,9 +261,9 @@ class MapConfig:
     # also cap honest 5-SNP reads inside repeats (~0.3% recall@>=1),
     # while re-mapping them is free: the true copy either surfaces and
     # wins (call flips to correct) or the device call is confirmed
-    # with its honest competitors now visible. 9 = 3 mismatch-
-    # equivalents.
-    suspect_remap_deficit: int = 9
+    # with its honest competitors now visible. None = DERIVED as
+    # mismatch_equiv(3) (= 9 at default scoring).
+    suspect_remap_deficit: int | None = None
     # A seed slot counts as repeat-territory ("saturated") when it
     # contributes >= min(positions_per_seed, suspect_slot_load)
     # positions. At gather widths <= this it reduces to the plain

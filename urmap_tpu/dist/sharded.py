@@ -611,9 +611,9 @@ class ShardedMapper:
         # local pass; single-process only — the multi-host local finish
         # would need addressable-column bookkeeping for marginal gain
         # (those rows just fall back to the host DP traceback)
-        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
-                       and not self._multihost
-                       and os.environ.get("URMAP_NO_TB_BITS") != "1")
+        from urmap_tpu.map.pipeline import tb_enabled
+
+        self.tb = tb_enabled(self.mcfg) and not self._multihost
         self._fn = make_sharded_map_fn(
             mesh, self.icfg, self.mcfg, self.sc, self._sps, self._base_off,
             self._gmax, route=route, csr_aligned=self.csr_aligned,
@@ -685,6 +685,7 @@ class ShardedMapper:
             "rows": np.concatenate([p["rows"] for p in parts]),
             "score": np.concatenate([p["score"] for p in parts]),
             "pos": np.concatenate([p["pos"] for p in parts]),
+            "strand": np.concatenate([p["strand"] for p in parts]),
             "cols": np.concatenate([p["cols"] for p in parts]),
             "dops": arr[TB_META_ROWS:], "hw": hw, "L": L,
         }
@@ -723,6 +724,7 @@ class ShardedMapper:
                 sides[side].append({
                     "rows": p["rows"][sel] - base + s * bpl,
                     "score": p["score"][sel], "pos": p["pos"][sel],
+                    "strand": p["strand"][sel],
                     "cols": p["cols"][sel]})
 
         def cat(parts):
@@ -730,6 +732,7 @@ class ShardedMapper:
                 "rows": np.concatenate([q["rows"] for q in parts]),
                 "score": np.concatenate([q["score"] for q in parts]),
                 "pos": np.concatenate([q["pos"] for q in parts]),
+                "strand": np.concatenate([q["strand"] for q in parts]),
                 "cols": np.concatenate([q["cols"] for q in parts]),
                 "dops": arr[TB_META_ROWS:], "hw": hw, "L": L,
             }
@@ -763,11 +766,16 @@ class ShardedMapper:
                 self.finish_batch(h, lengths[s : s + self._bs])))
         if len(outs) == 1:
             return outs[0]
+        from urmap_tpu.map.pipeline import merge_tb_batches
+
         merged = {}
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
                   "gapped", "ungapped", "clipped", "suspect"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
-        return MapResult(lengths=np.asarray(lengths)[:B], **merged)
+        res = MapResult(lengths=np.asarray(lengths)[:B], **merged)
+        res.tb = merge_tb_batches([o.tb for o in outs],
+                                  range(0, B, self._bs))
+        return res
 
 
 def _addressable_rows(out):
@@ -932,10 +940,15 @@ class ShardedPairedMapper:
             return outs[0]
 
         def cat(results, lengths):
+            from urmap_tpu.map.pipeline import merge_tb_batches
+
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
                                 "mapq", "gapped", "ungapped", "clipped", "suspect")}
-            return MapResult(lengths=np.asarray(lengths)[:B], **fields)
+            res = MapResult(lengths=np.asarray(lengths)[:B], **fields)
+            res.tb = merge_tb_batches([r.tb for r in results],
+                                      range(0, B, bs))
+            return res
 
         return PairResult(m1=cat([o.m1 for o in outs], lengths1),
                           m2=cat([o.m2 for o in outs], lengths2),

@@ -221,6 +221,10 @@ def _tb_select(result, rows: np.ndarray, clip_rows):
     ok = tbr[pi] == rows
     ok &= tb["score"][pi] == np.asarray(result.score)[rows]
     ok &= tb["pos"][pi] == np.asarray(result.pos)[rows]
+    # strand too: a second-pass patch can flip orientation at an EQUAL
+    # pos/score on an inverted repeat — stale records would replay the
+    # wrong orientation's ops with no structural violation
+    ok &= tb["strand"][pi] == np.asarray(result.strand)[rows]
     if clip_rows is not None:
         ok &= ~np.asarray(clip_rows, bool)[rows]
     return rows[ok], pi[ok]

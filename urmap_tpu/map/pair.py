@@ -332,8 +332,11 @@ def map_pairs_device(tables, r1, l1, r2, l2, *, icfg: IndexConfig,
     def2 = l2 * m - out2["score"]
     sat1 = c1["nsat"] > 0
     sat2 = c2["nsat"] > 0
-    sd = jnp.int32(mcfg.suspect_deficit)
-    rd = jnp.int32(mcfg.suspect_remap_deficit)
+    from urmap_tpu.config import resolve_suspect_deficits
+
+    sus_d, remap_d = resolve_suspect_deficits(mcfg, sc)
+    sd = jnp.int32(sus_d)
+    rd = jnp.int32(remap_d)
     raw1, rm1 = sat1 & (def1 > sd), sat1 & (def1 > rd)
     raw2, rm2 = sat2 & (def2 > sd), sat2 & (def2 > rd)
     resc1 = resc_ok & a2          # mate1 was rescued off mate2's anchor
@@ -452,10 +455,10 @@ class PairedMapper:
         self.sc = mapper.sc
         self.pair_batch = max(1, self.mcfg.batch_size // 2)
         self.packed_upload = getattr(mapper, "packed_upload", False)
-        import os as _os
-
-        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
-                       and _os.environ.get("URMAP_NO_TB_BITS") != "1")
+        # MUST mirror the wrapped mapper's predicate (one source of
+        # truth: pipeline.tb_enabled) — a drifted copy desynchronizes
+        # finish_batch's split of the flattened device output
+        self.tb = bool(getattr(mapper, "tb", False))
         self._fn = make_map_pairs_fn(
             mapper.icfg, mapper.mcfg, mapper.sc,
             packed_input=self.packed_upload,
@@ -534,6 +537,7 @@ class PairedMapper:
                 return {"rows": tb["rows"][sel] - base,
                         "score": tb["score"][sel],
                         "pos": tb["pos"][sel],
+                        "strand": tb["strand"][sel],
                         "cols": tb["cols"][sel],
                         "dops": tb["dops"], "hw": tb["hw"],
                         "L": tb["L"]}
@@ -636,10 +640,15 @@ class PairedMapper:
             return outs[0]
 
         def cat_result(results, lengths):
+            from urmap_tpu.map.pipeline import merge_tb_batches
+
             fields = {f: np.concatenate([getattr(r, f) for r in results])
                       for f in ("mapped", "pos", "strand", "score", "second",
                                 "mapq", "gapped", "ungapped", "clipped", "suspect")}
-            return MapResult(lengths=np.asarray(lengths)[:B], **fields)
+            res = MapResult(lengths=np.asarray(lengths)[:B], **fields)
+            res.tb = merge_tb_batches([r.tb for r in results],
+                                      range(0, B, bs))
+            return res
 
         return PairResult(
             m1=cat_result([o.m1 for o in outs], lengths1),

@@ -526,9 +526,12 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     # clip_open, so the deficit gate would cap/flag every such read that
     # touches one saturated slot — and the host second pass applies the
     # same gate, so it could never recover (round-4 advisor finding)
+    from urmap_tpu.config import resolve_suspect_deficits
+
+    sus_d, remap_d = resolve_suspect_deficits(mcfg, sc)
     deficit = lengths * jnp.int32(sc.match) - out["score"]
     sat = out["mapped"] & (c["nsat"] > 0) & ~out["clipped"]
-    cap = sat & (deficit > jnp.int32(mcfg.suspect_deficit))
+    cap = sat & (deficit > jnp.int32(sus_d))
     out["mapq"] = jnp.where(cap,
                             jnp.minimum(out["mapq"],
                                         jnp.int32(mcfg.suspect_mapq_cap)),
@@ -536,7 +539,7 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
     # the exported flag uses the LOWER remap tier (config
     # suspect_remap_deficit): close-sibling winners keep their MAPQ on
     # device but get re-adjudicated by the wide second pass
-    out["suspect"] = sat & (deficit > jnp.int32(mcfg.suspect_remap_deficit))
+    out["suspect"] = sat & (deficit > jnp.int32(remap_d))
     if tb:
         from urmap_tpu import genome_pack as gpk
 
@@ -572,6 +575,21 @@ def map_batch_device(tables, reads, lengths, *, icfg: IndexConfig,
 #   tb anchor pos, biased), rows 4.. = packed dops words, columns =
 #   the C compacted gapped-winner lanes.
 TB_META_ROWS = 4
+
+
+def tb_enabled(mcfg: MapConfig) -> bool:
+    """THE tb-pass enable predicate — every mapper wrapper must use
+    this one (a drifted copy desynchronizes the host split/reshape of
+    the flattened output from the device program). Off under -endclip
+    (every gapped winner needs the clip-mode host traceback), under
+    URMAP_NO_TB_BITS=1, and for band_halfwidth > 31 (the dops record
+    packs the deletion-run length in 6 bits, d <= 2*hw must fit —
+    kernels/tb_dp.py)."""
+    import os as _os
+
+    return bool(mcfg.tb_bits and not mcfg.end_clip
+                and mcfg.band_halfwidth <= 31
+                and _os.environ.get("URMAP_NO_TB_BITS") != "1")
 
 
 def tb_cols(nrows: int, mcfg: MapConfig) -> int:
@@ -614,13 +632,45 @@ def tb_pass_device(tables, pos, strand, lengths_rows, gsel, rp_fwd,
     p = jnp.where(do, pos[idx], 0)
     windows = gpk.gather_codes(tables["ginter"], tables["base_off"],
                                p - hw, L + 2 * hw)
+    assert mcfg.band_halfwidth <= 31, \
+        "dops d-field is 6 bits; gate tb off for wider bands (tb_enabled)"
     score, dops, walk_ok = tb_dops_dispatch(windows, codes, lens, hw=hw,
                                             sc=sc, use_pallas=use_pallas)
+    # strand rides the meta so a second-pass patch that flips
+    # orientation at an equal pos/score (inverted repeats) cannot
+    # replay stale records (cigar._tb_select compares it)
     meta = jnp.stack([idx.astype(jnp.int32),
                       (do.astype(jnp.int32) << 16)
-                      | (walk_ok.astype(jnp.int32) << 17),
+                      | (walk_ok.astype(jnp.int32) << 17)
+                      | (strand[idx].astype(jnp.int32) << 18),
                       score, p], axis=0)
     return jnp.concatenate([meta, dops], axis=0)
+
+
+def merge_tb_batches(tbs: list, row_offsets) -> dict | None:
+    """Per-batch tb dicts → one dict over the concatenated result:
+    rows re-based by each batch's starting row, dops matrices
+    concatenated along columns (None if any batch lacks tb — the whole
+    merge then falls back to the host DP rather than mixing)."""
+    if not tbs or any(t is None for t in tbs):
+        return None
+    if len(tbs) == 1:
+        return tbs[0]
+    col_off = np.cumsum([0] + [t["dops"].shape[1] for t in tbs])
+
+    def cat(key, offs):
+        return np.concatenate([t[key] + o for t, o in zip(tbs, offs)])
+
+    zero = [0] * len(tbs)
+    return {
+        "rows": cat("rows", list(row_offsets)),
+        "score": cat("score", zero),
+        "pos": cat("pos", zero),
+        "strand": cat("strand", zero),
+        "cols": cat("cols", col_off),
+        "dops": np.concatenate([t["dops"] for t in tbs], axis=1),
+        "hw": tbs[0]["hw"], "L": tbs[0]["L"],
+    }
 
 
 def unpack_tb(arr: np.ndarray, hw: int, L: int) -> dict:
@@ -634,6 +684,7 @@ def unpack_tb(arr: np.ndarray, hw: int, L: int) -> dict:
         "rows": meta[0][do].astype(np.int64),
         "score": meta[2][do].astype(np.int32),
         "pos": meta[3][do].astype(np.int64) + POS_BIAS,
+        "strand": ((meta[1] >> 18) & 1)[do].astype(np.int32),
         "cols": np.nonzero(do)[0].astype(np.int32),
         "dops": arr[TB_META_ROWS:],
         "hw": hw,
@@ -958,12 +1009,9 @@ class Mapper:
             self.off_bits = tuple(meta["off_bits"])
         self.tables = tables_to_device(
             ht, use_packed_offsets=self.off_bits is not None)
-        # device traceback bits (config.MapConfig.tb_bits): not under
-        # -endclip, where every gapped winner needs the clip-mode host
-        # traceback anyway. URMAP_NO_TB_BITS=1 disables the whole pass
-        # (the URMAP_NO_TB_KERNEL hatch only swaps kernel -> jnp twin).
-        self.tb = bool(self.mcfg.tb_bits and not self.mcfg.end_clip
-                       and _os.environ.get("URMAP_NO_TB_BITS") != "1")
+        # device traceback records — ONE shared predicate (tb_enabled;
+        # the URMAP_NO_TB_KERNEL hatch only swaps kernel -> jnp twin)
+        self.tb = tb_enabled(self.mcfg)
         self._fn = make_map_batch_fn(self.icfg, self.mcfg, self.sc,
                                      packed_input=packed_upload,
                                      csr_aligned=self.csr_aligned,
@@ -1066,4 +1114,9 @@ class Mapper:
         for f in ("mapped", "pos", "strand", "score", "second", "mapq",
                   "gapped", "ungapped", "clipped", "suspect"):
             merged[f] = np.concatenate([getattr(o, f) for o in outs])
-        return MapResult(lengths=np.asarray(lengths)[:B], **merged)
+        res = MapResult(lengths=np.asarray(lengths)[:B], **merged)
+        # keep the device traceback across the multi-batch merge, or
+        # every gapped winner here silently pays the host DP again
+        res.tb = merge_tb_batches([o.tb for o in outs],
+                                  range(0, B, bs))
+        return res
