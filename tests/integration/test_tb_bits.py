@@ -202,8 +202,8 @@ def test_sharded_tb_blob_identical(world):
 
 
 def test_second_pass_patch_invalidates_tb(world):
-    """A row the second pass moves must NOT decode from stale bits —
-    the pos/score compare in _tb_select rejects it."""
+    """A row the second pass moves must NOT decode from stale records —
+    the pos/score/STRAND compares in _tb_select reject it."""
     rng, db, idx = world
     mapper = Mapper(idx, MCFG)
     reads = _indel_reads(rng, db, 16)
@@ -217,3 +217,38 @@ def test_second_pass_patch_invalidates_tb(world):
     res.pos[r] += 3
     use2, _ = _tb_select(res, rows, res.clipped)
     assert r not in use2
+    res.pos[r] -= 3
+    # a strand FLIP at the same pos/score (inverted-repeat re-map) must
+    # also invalidate — stale records would replay the wrong
+    # orientation with no structural violation (round-5 review finding)
+    r2 = int(use[1]) if use.size > 1 else r
+    res.strand[r2] = 1 - res.strand[r2]
+    use3, _ = _tb_select(res, rows, res.clipped)
+    assert r2 not in use3
+
+
+def test_multi_batch_merge_keeps_tb(world):
+    """map_codes over >1 batch must keep the device records usable
+    (merge_tb_batches re-bases rows and dops columns) — the merged
+    blob must equal the host-DP blob AND actually decode from tb."""
+    rng, db, idx = world
+    mapper = Mapper(idx, MCFG)      # batch_size 64
+    reads = _indel_reads(rng, db, 150)   # 3 batches (64+64+22)
+    codes, lens = _pad_batch(reads)
+    res = mapper.map_codes(codes, lens)
+    assert res.tb is not None
+    rows = np.nonzero(res.mapped & res.gapped)[0]
+    # winners from EVERY batch must be tb-covered, incl. rows >= 128
+    use, _ = _tb_select(res, rows, res.clipped)
+    assert use.size >= int(0.9 * rows.size)
+    assert (use >= 128).any() and (use < 64).any()
+    with_tb = cigars_nm_blob(db.codes, codes, res, mapper.sc,
+                             clip_rows=res.clipped)
+    res_no = dataclasses.replace(res, tb=None)
+    without = cigars_nm_blob(db.codes, codes, res_no, mapper.sc,
+                             clip_rows=res.clipped)
+    for a, b in zip(with_tb, without):
+        if isinstance(a, bytes):
+            assert a == b
+        else:
+            np.testing.assert_array_equal(a, b)
