@@ -194,6 +194,64 @@ def test_dops_pallas_interpret_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(jk), np.asarray(pk))
 
 
+def test_dops_odd_shapes(rng):
+    """Layout math at awkward static shapes: L not a multiple of 8 or
+    4 (partial nibble group AND partial dops word), odd band widths —
+    replay must still match the host traceback byte-for-byte."""
+    from urmap_tpu.kernels.tb_dp import (tb_dops_from_windows,
+                                         tb_dops_from_windows_pallas)
+    from urmap_tpu.map.cigar import decode_dops_row
+
+    sc = ScoreConfig()
+    # two shapes cover the layout hazards (partial nibble group +
+    # partial dops word; band at the 6-bit d-field limit) — each
+    # variant costs two fresh XLA compiles, so keep the list tight
+    for Lx, hwx in ((101, 9), (96, 31)):
+        genome = rng.integers(0, 4, size=4000).astype(np.uint8)
+        n = 24
+        reads = np.full((n, Lx), 5, np.uint8)
+        lens = np.zeros(n, np.int32)
+        poss = np.zeros(n, np.int64)
+        for i in range(n):
+            ln = int(rng.integers(max(Lx - 9, 8), Lx + 1))
+            pos = int(rng.integers(hwx + 4, 4000 - Lx - 32))
+            seq = list(genome[pos : pos + ln + 8])
+            at = int(rng.integers(4, ln - 4))
+            sz = int(rng.integers(1, min(hwx, 4) + 1))
+            if rng.random() < 0.5:
+                seq = seq[:at] + list(rng.integers(0, 4, sz)) + seq[at:]
+            else:
+                seq = seq[:at] + seq[at + sz :]
+            reads[i, :ln] = np.asarray(seq[:ln], np.uint8)
+            lens[i] = ln
+            poss[i] = pos
+        win = np.zeros((n, Lx + 2 * hwx), np.uint8)
+        for i in range(n):
+            win[i] = genome[poss[i] - hwx : poss[i] + Lx + hwx]
+        js, jd, jk = (np.asarray(x) for x in tb_dops_from_windows(
+            win, reads, lens, hw=hwx, sc=sc))
+        if hwx == 9:
+            # kernel/twin identity once (interpret-mode compiles of the
+            # wide-band unrolled backward pass cost minutes on CPU; the
+            # other shapes pin the twin + replay math)
+            ps, pd, pk = (np.asarray(x) for x in
+                          tb_dops_from_windows_pallas(
+                              win, reads, lens, hw=hwx, sc=sc,
+                              interpret=True))
+            np.testing.assert_array_equal(js, ps)
+            np.testing.assert_array_equal(jd, pd)
+            np.testing.assert_array_equal(jk, pk)
+        for i in range(n):
+            hcig, hscore, hnm = traceback(genome, reads[i][: lens[i]],
+                                          int(poss[i]), sc)
+            if hscore != js[i] or not jk[i]:
+                continue   # host path left the band — fallback case
+            dec = decode_dops_row(jd, i, int(lens[i]), genome,
+                                  int(poss[i]), reads[i])
+            assert dec is not None and dec[0] == hcig and dec[1] == hnm, \
+                (Lx, hwx, i)
+
+
 def test_zero_length_and_padding_rows(rng):
     sc = ScoreConfig()
     genome, reads, lens, poss = _planted_cases(rng, 8)
